@@ -20,7 +20,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS); read as epoch-nanos
+    * long (Sessions sets `spark.sql.legacy.parquet.nanosAsLong`) and
+    * truncate to Spark's microsecond TimestampType. Integer `div` — a
+    * double division would lose precision above 2^53 ns (~1970+104 days).
+    * DuckDB's `CAST(ts AS TIMESTAMP)` truncates identically.
+    */
+  def events(s: SparkSession, d: String): DataFrame =
+    table(s, d, "events").selectExpr(
+      "event_id",
+      "timestamp_micros(ts div 1000) AS ts",
+      "ts AS ts_ns",
+      "user_id", "event_type", "value", "props")
 }

@@ -1,0 +1,219 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Num._
+
+/** Time-series analytics over the events stream table (SURVEY.md §2.7:
+  * win_diff_prev / win_recovery_next / win_abrupt_drop /
+  * win_sustained_change, plus ext_event_sessionize; reference
+  * quality.py:105-181). The per-day mean of `value` stands in for the
+  * scene-mean NDVI series (FIXTURES.md §A), with thresholds scaled to
+  * this data (reference thresholds at settings.py:24-26 are NDVI-scale).
+  *
+  * Scale posture: the day-series windows run over one row per day —
+  * microscopic regardless of event volume; the only big shuffle is the
+  * initial day aggregation (map-side combined). Sessionization partitions
+  * by user_id, so its window parallelizes across users and never needs a
+  * global sort.
+  */
+object Events {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Scaled event-detection thresholds (reference settings.py:24-26). */
+  val DropThreshold = -3.0      // reference: -0.3 on NDVI scale
+  val RecoveryThreshold = 2.0   // reference: 0.2
+  val SustainedLow = 49.7       // reference: 0.3
+  val SustainedPrior = 50.0     // reference: 0.5
+
+  /** Per-day scene series: mean/std/count of value (agg_same_day_merge +
+    * agg_scene_stats shape over the stream table). */
+  def dayStats(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        avg("value").as("vmean"),
+        stddev_pop(col("value")).as("vstd"),
+        count(lit(1)).as("n_events"))
+
+  private val daySqlBody: String =
+    """SELECT CAST(ts AS DATE) AS day,
+      |  avg(value) AS vmean,
+      |  stddev_pop(value) AS vstd,
+      |  count(*) AS n_events
+      |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin
+
+  val sceneSeriesQ: Q = (s, d) =>
+    dayStats(s, d)
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        r6(col("vmean")).as("vmean"),
+        r6(col("vstd")).as("vstd"),
+        col("n_events"))
+      .orderBy("day")
+
+  val sceneSeriesSql: String =
+    s"""SELECT strftime(day, '%Y-%m-%d') AS day,
+       |  round(vmean, 6) AS vmean,
+       |  round(vstd, 6) AS vstd,
+       |  n_events
+       |FROM ($daySqlBody)
+       |ORDER BY day""".stripMargin
+
+  /** diff vs previous scene and recovery vs next — quality.py:124-129. */
+  val winDiffQ: Q = (s, d) => {
+    val w = Window.orderBy("day")
+    dayStats(s, d)
+      .withColumn("diff", col("vmean") - lag(col("vmean"), 1).over(w))
+      .withColumn("recovery", lead(col("vmean"), 1).over(w) - col("vmean"))
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        r6(col("vmean")).as("vmean"),
+        r6(col("diff")).as("diff"),
+        r6(col("recovery")).as("recovery"))
+      .orderBy("day")
+  }
+
+  val winDiffSql: String =
+    s"""SELECT strftime(day, '%Y-%m-%d') AS day,
+       |  round(vmean, 6) AS vmean,
+       |  round(vmean - lag(vmean) OVER (ORDER BY day), 6) AS diff,
+       |  round(lead(vmean) OVER (ORDER BY day) - vmean, 6) AS recovery
+       |FROM ($daySqlBody)
+       |ORDER BY day""".stripMargin
+
+  /** Abrupt-drop detection + classification — quality.py:127-154: drop
+    * events classified transient_anomaly (recovers), recent_event (last
+    * scene, no next), else possible_fire_or_harvest. */
+  def abruptDrops(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy("day")
+    dayStats(s, d)
+      .withColumn("prev_mean", lag(col("vmean"), 1).over(w))
+      .withColumn("next_mean", lead(col("vmean"), 1).over(w))
+      .withColumn("diff", col("vmean") - col("prev_mean"))
+      .withColumn("recovery", col("next_mean") - col("vmean"))
+      .filter(col("diff") < DropThreshold)
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("date"),
+        r6(col("prev_mean")).as("value_before"),
+        r6(col("vmean")).as("value_during"),
+        r6(col("next_mean")).as("value_after"),
+        r6(col("diff")).as("drop"),
+        when(col("next_mean").isNull, lit("recent_event"))
+          .when(col("recovery") > RecoveryThreshold, lit("transient_anomaly"))
+          .otherwise(lit("possible_fire_or_harvest")).as("type"))
+      .orderBy("date")
+  }
+
+  val abruptDropsQ: Q = (s, d) => abruptDrops(s, d)
+
+  val abruptDropsSql: String =
+    s"""SELECT strftime(day, '%Y-%m-%d') AS date,
+       |  round(prev_mean, 6) AS value_before,
+       |  round(vmean, 6) AS value_during,
+       |  round(next_mean, 6) AS value_after,
+       |  round(vmean - prev_mean, 6) AS drop,
+       |  CASE WHEN next_mean IS NULL THEN 'recent_event'
+       |       WHEN next_mean - vmean > $RecoveryThreshold THEN 'transient_anomaly'
+       |       ELSE 'possible_fire_or_harvest' END AS type
+       |FROM (
+       |  SELECT day, vmean,
+       |    lag(vmean) OVER (ORDER BY day) AS prev_mean,
+       |    lead(vmean) OVER (ORDER BY day) AS next_mean
+       |  FROM ($daySqlBody))
+       |WHERE vmean - prev_mean < $DropThreshold
+       |ORDER BY date""".stripMargin
+
+  /** Sustained change — quality.py:156-165: 3 consecutive scenes below
+    * the low bar, preceded (3 back) by a healthy scene; reports the
+    * window's start/end and mean. */
+  val sustainedChangeQ: Q = (s, d) => {
+    val w = Window.orderBy("day")
+    val w3 = w.rowsBetween(-2, 0)
+    dayStats(s, d)
+      .withColumn("w3_max", max(col("vmean")).over(w3))
+      .withColumn("w3_mean", avg(col("vmean")).over(w3))
+      .withColumn("prior", lag(col("vmean"), 3).over(w))
+      .withColumn("start_day", lag(col("day"), 2).over(w))
+      .filter(col("w3_max") < SustainedLow && col("prior") > SustainedPrior)
+      .select(
+        date_format(col("start_day"), "yyyy-MM-dd").as("start_date"),
+        date_format(col("day"), "yyyy-MM-dd").as("end_date"),
+        r6(col("w3_mean")).as("window_mean"),
+        r6(col("prior")).as("prior_value"))
+      .orderBy("end_date")
+  }
+
+  val sustainedChangeSql: String =
+    s"""SELECT strftime(start_day, '%Y-%m-%d') AS start_date,
+       |  strftime(day, '%Y-%m-%d') AS end_date,
+       |  round(w3_mean, 6) AS window_mean,
+       |  round(prior, 6) AS prior_value
+       |FROM (
+       |  SELECT day,
+       |    max(vmean) OVER (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS w3_max,
+       |    avg(vmean) OVER (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS w3_mean,
+       |    lag(vmean, 3) OVER (ORDER BY day) AS prior,
+       |    lag(day, 2) OVER (ORDER BY day) AS start_day
+       |  FROM ($daySqlBody))
+       |WHERE w3_max < $SustainedLow AND prior > $SustainedPrior
+       |ORDER BY end_date""".stripMargin
+
+  /** Gap-based sessionization (ext_event_sessionize): a new session starts
+    * after a >30 min silence per user; sessions aggregate count, span and
+    * value sum. Runs on the raw microsecond timeline, partitioned by
+    * user — embarrassingly parallel across users at any scale. */
+  val sessionizeQ: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), expr("ts_ns div 1000").as("us"),
+        col("event_id"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("new_sess",
+        when(col("us") - lag(col("us"), 1).over(w) > 1800L * 1000000L, 1L)
+          .when(lag(col("us"), 1).over(w).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(wRun))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("us").as("start_us"),
+        max("us").as("end_us"),
+        xsum(col("value")).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val sessionizeSql: String =
+    s"""SELECT user_id, session_id, count(*) AS n_events,
+       |  min(us) AS start_us, max(us) AS end_us,
+       |  ${xsumSql("value")} AS sum_value
+       |FROM (
+       |  SELECT user_id, us, value,
+       |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM (
+       |    SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id, value,
+       |      CASE WHEN lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id) IS NULL THEN 1
+       |           WHEN epoch_ns(ts) // 1000 - lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id) > 1800000000 THEN 1
+       |           ELSE 0 END AS new_sess
+       |    FROM events))
+       |GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "e01_scene_series" -> sceneSeriesQ,
+    "e02_win_diff" -> winDiffQ,
+    "e03_abrupt_drops" -> abruptDropsQ,
+    "e04_sustained_change" -> sustainedChangeQ,
+    "e05_sessionize" -> sessionizeQ)
+
+  val oracle: Map[String, String] = Map(
+    "e01_scene_series" -> sceneSeriesSql,
+    "e02_win_diff" -> winDiffSql,
+    "e03_abrupt_drops" -> abruptDropsSql,
+    "e04_sustained_change" -> sustainedChangeSql,
+    "e05_sessionize" -> sessionizeSql)
+}

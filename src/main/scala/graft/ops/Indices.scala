@@ -81,9 +81,13 @@ object Indices {
   def maskToNull(value: Column, mask: Column): Column =
     when(mask, lit(null)).otherwise(value)
 
-  /** Clamp into [lo, hi] — processor.py:300-301 (np.clip). */
+  /** Clamp into [lo, hi] — processor.py:300-301 (np.clip). NULL-propagating:
+    * Spark's least/greatest skip NULL operands, so a bare
+    * greatest(lo, least(hi, c)) would turn a masked (NULL) pixel into `hi`;
+    * numpy's clip propagates NaN, so missing must stay missing here. */
   def clip(c: Column, lo: Double, hi: Double): Column =
-    greatest(lit(lo), least(lit(hi), c))
+    when(c.isNull, lit(null))
+      .otherwise(greatest(lit(lo), least(lit(hi), c)))
 
   /** Export-side missing → sentinel — arcgis.py:79-80. */
   def nodataFill(c: Column, sentinel: Double = -9999.0): Column =

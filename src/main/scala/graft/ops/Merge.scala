@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Num._
+
+/** Cube merge operators (SURVEY.md §2.6 agg_spatial_merge /
+  * agg_same_day_merge, §2.5 join_coord_align as union+group, §2.8
+  * setop_concat/sort, §2.1 src_granule_cache anti-join; reference
+  * merger.py:16-113, processor.py:342-356).
+  *
+  * Scale posture: both merges are single keyed shuffles on
+  * (time|date, y, x) with map-side partial aggregation — no full-outer
+  * join machinery needed because all tiles share one fixed grid
+  * (SURVEY.md §2.5 join_coord_align note). The mean-of-timestamps is
+  * computed over *distinct granule timestamps*, not pixel rows, matching
+  * merger.py:78-80 exactly (SURVEY.md §7.4 #3).
+  */
+object Merge {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Same-timestamp multi-tile merge — merger.py:16-54: per-cell skipna
+    * mean across tiles, tile-id concat, tile count. */
+  val spatialMergeQ: Q = (s, d) => {
+    val px = PixelOps.withIndices(Pixels.pixels(s, d))
+    px.filter(year(col("date")) === 1996)
+      .groupBy("time", "y", "x")
+      .agg(
+        r6(avg("ndvi_c")).as("ndvi"),
+        r6(avg("evi_c")).as("evi"),
+        countDistinct("tile_id").as("num_tiles_merged"),
+        concat_ws("+", array_sort(collect_set(col("tile_id").cast("string")))).as("tile_ids"))
+      .select(
+        date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("t"),
+        col("y"), col("x"), col("ndvi"), col("evi"),
+        col("num_tiles_merged"), col("tile_ids"))
+      .orderBy("t", "y", "x")
+  }
+
+  val spatialMergeSql: String = {
+    val f = Pixels.Sql0
+    Pixels.withPixels(
+      s"""SELECT strftime(time, '%Y-%m-%d %H:%M:%S') AS t, y, x,
+         |  round(avg(${f.ndviClipped}), 6) AS ndvi,
+         |  round(avg(${f.eviClipped}), 6) AS evi,
+         |  count(DISTINCT tile_id) AS num_tiles_merged,
+         |  string_agg(DISTINCT CAST(tile_id AS VARCHAR), '+' ORDER BY CAST(tile_id AS VARCHAR)) AS tile_ids
+         |FROM pixels
+         |WHERE year(date) = 1996
+         |GROUP BY time, y, x
+         |ORDER BY t, y, x""".stripMargin)
+  }
+
+  /** Same-calendar-date merge — merger.py:56-93: per-cell skipna mean over
+    * the date, merged timestamp = mean of the *distinct granule
+    * timestamps* that date (ns-integer average in the reference;
+    * microsecond integer average here, floor-truncated on both sides). */
+  val sameDayMergeQ: Q = (s, d) => {
+    val px = PixelOps.withIndices(Pixels.pixels(s, d))
+    val merged = px.filter(year(col("date")) === 1996)
+      .groupBy("date", "y", "x")
+      .agg(
+        r6(avg("ndvi_c")).as("ndvi"),
+        r6(avg("evi_c")).as("evi"),
+        countDistinct("tile_id", "time").as("num_granules_merged"))
+    val mergedTs = px.filter(year(col("date")) === 1996)
+      .select("date", "time").distinct()
+      .groupBy("date")
+      .agg(timestamp_micros(floor(avg(unix_micros(col("time").cast("timestamp"))))
+        .cast("long")).as("merged_ts"))
+    merged.join(mergedTs, "date")
+      .select(
+        date_format(col("date"), "yyyy-MM-dd").as("day"),
+        date_format(col("merged_ts"), "yyyy-MM-dd HH:mm:ss").as("merged_ts"),
+        col("y"), col("x"), col("ndvi"), col("evi"), col("num_granules_merged"))
+      .orderBy("day", "y", "x")
+  }
+
+  val sameDayMergeSql: String = {
+    val f = Pixels.Sql0
+    Pixels.withPixels(
+      s"""WITH merged AS (
+         |  SELECT date, y, x,
+         |    round(avg(${f.ndviClipped}), 6) AS ndvi,
+         |    round(avg(${f.eviClipped}), 6) AS evi,
+         |    count(DISTINCT (tile_id, time)) AS num_granules_merged
+         |  FROM pixels WHERE year(date) = 1996
+         |  GROUP BY date, y, x
+         |), ts AS (
+         |  SELECT date,
+         |    make_timestamp(CAST(floor(avg(epoch_us(time))) AS BIGINT)) AS merged_ts
+         |  FROM (SELECT DISTINCT date, time FROM pixels WHERE year(date) = 1996)
+         |  GROUP BY date
+         |)
+         |SELECT strftime(merged.date, '%Y-%m-%d') AS day,
+         |  strftime(ts.merged_ts, '%Y-%m-%d %H:%M:%S') AS merged_ts,
+         |  y, x, ndvi, evi, num_granules_merged
+         |FROM merged JOIN ts ON merged.date = ts.date
+         |ORDER BY day, y, x""".stripMargin)
+  }
+
+  /** Cache-keyed incremental skip — processor.py:342-356: anti-join the
+    * granule catalog against an already-processed key set on
+    * (tile_id, yyyyDDD cache key). Here the "done" set is granules of
+    * tiles 0–1 before 1998. */
+  val cacheAntijoinQ: Q = (s, d) => {
+    val px = Pixels.pixels(s, d)
+    val granules = px
+      .select(col("tile_id"), col("date"),
+        date_format(col("time"), "yyyyDDD").as("cache_key"))
+      .distinct()
+    val done = granules
+      .filter(col("date") < lit("1998-01-01") && col("tile_id") <= 1)
+      .select("tile_id", "cache_key").distinct()
+    granules.join(done, Seq("tile_id", "cache_key"), "left_anti")
+      .groupBy("tile_id")
+      .agg(count(lit(1)).as("n_pending"), min("cache_key").as("first_key"),
+        max("cache_key").as("last_key"))
+      .orderBy("tile_id")
+  }
+
+  val cacheAntijoinSql: String = Pixels.withPixels(
+    """WITH granules AS (
+      |  SELECT DISTINCT tile_id, date, strftime(time, '%Y%j') AS cache_key
+      |  FROM pixels
+      |), done AS (
+      |  SELECT DISTINCT tile_id, cache_key FROM granules
+      |  WHERE date < DATE '1998-01-01' AND tile_id <= 1
+      |)
+      |SELECT g.tile_id, count(*) AS n_pending,
+      |  min(g.cache_key) AS first_key, max(g.cache_key) AS last_key
+      |FROM granules g
+      |WHERE NOT EXISTS (SELECT 1 FROM done dn
+      |                  WHERE dn.tile_id = g.tile_id AND dn.cache_key = g.cache_key)
+      |GROUP BY g.tile_id
+      |ORDER BY g.tile_id""".stripMargin)
+
+  val queries: Map[String, Q] = Map(
+    "m01_spatial_merge" -> spatialMergeQ,
+    "m02_same_day_merge" -> sameDayMergeQ,
+    "m03_cache_antijoin" -> cacheAntijoinQ)
+
+  val oracle: Map[String, String] = Map(
+    "m01_spatial_merge" -> spatialMergeSql,
+    "m02_same_day_merge" -> sameDayMergeSql,
+    "m03_cache_antijoin" -> cacheAntijoinSql)
+}

@@ -11,10 +11,28 @@ import org.apache.spark.sql.functions._
   * (order-independent, no precision loss at the declared scale) and only
   * converts back to double at the end. Averages/stddevs keep native double
   * accumulation (error is relative, absorbed by round-to-6).
+  *
+  * Oracle contract: every oracle query must mirror the identical per-row
+  * cast — `CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)` for [[xsum]],
+  * scale 18 for [[xsumHi]] — a native double SUM on the oracle side can
+  * drift past round-to-6 tolerance at scale (see the DuckdbParitySpec
+  * fixture test).
   */
 object Num {
-  /** Exact, order-independent sum of a double expression. */
+  /** Exact, order-independent sum of a double expression (money-scale). */
   def xsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+
+  /** Exact sum at scale 18 for unit-magnitude values (embedding dot
+    * products and norms, where 6 decimals would swallow the signal). */
+  def xsumHi(c: Column): Column = sum(c.cast("decimal(38,18)")).cast("double")
+
+  /** SQL spelling of [[xsum]] for oracle queries. */
+  def xsumSql(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(38,6))) AS DOUBLE)"
+
+  /** SQL spelling of [[xsumHi]] for oracle queries. */
+  def xsumHiSql(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(38,18))) AS DOUBLE)"
 
   /** Round for oracle comparison (absorbs cross-engine accumulation order). */
   def r6(c: Column): Column = round(c, 6)

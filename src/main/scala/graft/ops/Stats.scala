@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Num._
+
+/** Whole-cube and per-pixel temporal statistics (SURVEY.md §2.6
+  * agg_global_stats / agg_temporal_mean_px / agg_temporal_std_px;
+  * reference visualize_dataset.py:47-59, 277-314).
+  *
+  * `percentile` (exact, interpolating) is used instead of
+  * `percentile_approx` so the DuckDB oracle (`quantile_cont`) matches
+  * bit-for-bit (SURVEY.md §7.5). At 100 TB an exact percentile implies a
+  * sort — swap to approx_percentile in latency-sensitive paths where the
+  * oracle contract doesn't apply.
+  */
+object Stats {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Whole-cube min/max/mean/median/std + valid % per variable —
+    * visualize_dataset.py:47-59 (np.nanmin/max/mean/median/std,
+    * population std per xarray ddof=0). */
+  val globalStatsQ: Q = (s, d) => {
+    val px = PixelOps.withIndices(Pixels.pixels(s, d))
+    def stats(c: String, tag: String) = px.agg(
+      lit(tag).as("variable"),
+      count(lit(1)).as("n_total"),
+      count(col(c)).as("n_valid"),
+      r6(lit(100.0) * count(col(c)) / count(lit(1))).as("valid_pct"),
+      r6(min(col(c))).as("vmin"),
+      r6(max(col(c))).as("vmax"),
+      r6(avg(col(c))).as("vmean"),
+      r6(expr(s"percentile($c, 0.5)")).as("vmedian"),
+      r6(stddev_pop(col(c))).as("vstd"))
+    stats("ndvi_c", "ndvi").unionByName(stats("evi_c", "evi")).orderBy("variable")
+  }
+
+  val globalStatsSql: String = {
+    val f = Pixels.Sql0
+    def one(expr: String, tag: String) =
+      s"""SELECT '$tag' AS variable,
+         |  count(*) AS n_total,
+         |  count($expr) AS n_valid,
+         |  round(100.0 * count($expr) / count(*), 6) AS valid_pct,
+         |  round(min($expr), 6) AS vmin,
+         |  round(max($expr), 6) AS vmax,
+         |  round(avg($expr), 6) AS vmean,
+         |  round(quantile_cont($expr, 0.5), 6) AS vmedian,
+         |  round(stddev_pop($expr), 6) AS vstd
+         |FROM pixels""".stripMargin
+    Pixels.withPixels(
+      s"""${one(f.ndviClipped, "ndvi")}
+         |UNION ALL
+         |${one(f.eviClipped, "evi")}
+         |ORDER BY variable""".stripMargin)
+  }
+
+  /** Per-pixel mean over time — visualize_dataset.py:277-278. */
+  val temporalMeanQ: Q = (s, d) => {
+    val px = PixelOps.withIndices(Pixels.pixels(s, d))
+    px.groupBy("y", "x")
+      .agg(
+        r6(avg("ndvi_c")).as("ndvi_mean"),
+        r6(avg("evi_c")).as("evi_mean"),
+        count(col("ndvi_c")).as("n_obs"))
+      .orderBy("y", "x")
+  }
+
+  val temporalMeanSql: String = {
+    val f = Pixels.Sql0
+    Pixels.withPixels(
+      s"""SELECT y, x,
+         |  round(avg(${f.ndviClipped}), 6) AS ndvi_mean,
+         |  round(avg(${f.eviClipped}), 6) AS evi_mean,
+         |  count(${f.ndviClipped}) AS n_obs
+         |FROM pixels GROUP BY y, x
+         |ORDER BY y, x""".stripMargin)
+  }
+
+  /** Per-pixel population std over time — visualize_dataset.py:313-314
+    * (xarray default ddof=0 ⇒ stddev_pop, SURVEY.md §7.4 #2). */
+  val temporalStdQ: Q = (s, d) => {
+    val px = PixelOps.withIndices(Pixels.pixels(s, d))
+    px.groupBy("y", "x")
+      .agg(
+        r6(stddev_pop(col("ndvi_c"))).as("ndvi_std"),
+        r6(stddev_pop(col("evi_c"))).as("evi_std"))
+      .orderBy("y", "x")
+  }
+
+  val temporalStdSql: String = {
+    val f = Pixels.Sql0
+    Pixels.withPixels(
+      s"""SELECT y, x,
+         |  round(stddev_pop(${f.ndviClipped}), 6) AS ndvi_std,
+         |  round(stddev_pop(${f.eviClipped}), 6) AS evi_std
+         |FROM pixels GROUP BY y, x
+         |ORDER BY y, x""".stripMargin)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "s01_global_stats" -> globalStatsQ,
+    "s02_temporal_mean_px" -> temporalMeanQ,
+    "s03_temporal_std_px" -> temporalStdQ)
+
+  val oracle: Map[String, String] = Map(
+    "s01_global_stats" -> globalStatsSql,
+    "s02_temporal_mean_px" -> temporalMeanSql,
+    "s03_temporal_std_px" -> temporalStdSql)
+}

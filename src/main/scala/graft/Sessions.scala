@@ -30,7 +30,7 @@ object Sessions {
   def local(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val s = builder(s"local[$cpus]", cpus).getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
+    s.sparkContext.setLogLevel("ERROR")
     s
   }
 }

@@ -23,11 +23,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ PixelOps.queries ++ Quality.queries ++
-      Merge.queries ++ Stats.queries ++ Meta.queries ++ Events.queries
+      Merge.queries ++ Stats.queries ++ Meta.queries ++ Events.queries ++
+      TextOps.queries ++ SimOps.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ PixelOps.oracle ++ Quality.oracle ++
-      Merge.oracle ++ Stats.oracle ++ Meta.oracle ++ Events.oracle
+      Merge.oracle ++ Stats.oracle ++ Meta.oracle ++ Events.oracle ++
+      TextOps.oracle ++ SimOps.oracle ++ Multimodal.oracle
 }

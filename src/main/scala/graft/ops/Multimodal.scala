@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.ops.Num.r6
+
+/** Multimodal (opaque-binary) column handling (SURVEY.md §2.11): media
+  * payloads travel as `binary` columns with typed metadata alongside; the
+  * decode / feature-extract step is a per-partition kernel over the
+  * binary bytes.
+  *
+  * The decode itself is a STUB — deterministic arithmetic on the payload
+  * bytes standing in for a real image/audio codec (none is available in
+  * this environment). Everything around it is real Spark plumbing: binary
+  * column schema, partition-parallel `mapPartitions` kernel with an
+  * explicit output Encoder, and a relational metadata projection that the
+  * DuckDB oracle checks bit-for-bit.
+  *
+  * Scale posture: decode is embarrassingly parallel per row; the binary
+  * column never shuffles (metadata-only projections prune it at the scan,
+  * and the kernel output drops the payload before any wide operation).
+  */
+object Multimodal {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Media-record schema: payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true)))
+
+  /** Decoded-feature schema produced by [[decodeStub]]. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("checksum", LongType, nullable = false)))
+
+  /** Deterministic stand-in for a media decoder: derives "dimensions",
+    * "frame count" and a byte checksum from the payload. A real codec
+    * drops in here without touching the surrounding plumbing — the
+    * kernel's batch shape (Iterator[Row] => Iterator[Row], one partition
+    * per task, payload pruned from the output) is the part that matters
+    * at 100 TB. */
+  def decodeStub(rows: Iterator[Row]): Iterator[Row] = rows.map { r =>
+    val id = r.getLong(0)
+    val mt = r.getString(1)
+    val bytes = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
+    val n = bytes.length
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += (bytes(i) & 0xff).toLong * (i + 1); i += 1 }
+    val width = 64 + (n % 577)
+    val height = 64 + ((n * 7) % 417)
+    val frames = if (mt == "video") 1 + (n % 240) else 1
+    Row(id, mt, n, width, height, frames, sum)
+  }
+
+  /** Library entry: decode a media DataFrame (schema [[mediaSchema]])
+    * into per-item features, partition-parallel. */
+  def decode(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(decodedSchema)
+    media.select("media_id", "media_type", "payload").mapPartitions(decodeStub)(enc)
+  }
+
+  /** Build a media relation from `documents` (text bytes as the opaque
+    * payload — deterministic, so the oracle can reproduce it). */
+  def mediaFromDocuments(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      col("text").cast("binary").as("payload"))
+
+  // ---------------------------------------------------------------- x01
+  /** Metadata projection over the binary payload — the SQL-expressible
+    * face of the decode pipeline (byte length, digest, stub dimensions).
+    * Matches [[decode]]'s arithmetic where the two overlap (n_bytes,
+    * width, height, n_frames) — asserted by MultimodalSpec. */
+  val mediaMeta: Q = (s, d) => {
+    val m = mediaFromDocuments(s, d)
+    m.select(
+        col("media_id"), col("media_type"),
+        octet_length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("digest"))
+      .withColumn("width", lit(64) + col("n_bytes") % 577)
+      .withColumn("height", lit(64) + (col("n_bytes") * 7) % 417)
+      .withColumn("n_frames",
+        when(col("media_type") === "video", lit(1) + col("n_bytes") % 240).otherwise(lit(1)))
+      .orderBy("media_id")
+  }
+
+  val mediaMetaSql: String =
+    """SELECT media_id, media_type, n_bytes, digest,
+      |  64 + n_bytes % 577 AS width,
+      |  64 + (n_bytes * 7) % 417 AS height,
+      |  CASE WHEN media_type = 'video' THEN 1 + n_bytes % 240 ELSE 1 END AS n_frames
+      |FROM (
+      |  SELECT doc_id AS media_id,
+      |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      |    CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |    md5(text) AS digest
+      |  FROM documents)
+      |ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------- x02
+  /** Per-type feature aggregation over the decoded relation shape (what a
+    * training-data curation job runs after decode). */
+  val mediaTypeStats: Q = (s, d) => {
+    val m = mediaFromDocuments(s, d)
+      .select(col("media_id"), col("media_type"),
+        octet_length(col("payload")).as("n_bytes"))
+    m.groupBy("media_type")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_bytes").cast("long")).as("total_bytes"),
+        r6(avg("n_bytes")).as("avg_bytes"),
+        min("n_bytes").as("min_bytes"),
+        max("n_bytes").as("max_bytes"))
+      .orderBy("media_type")
+  }
+
+  val mediaTypeStatsSql: String =
+    """SELECT media_type, count(*) AS n_items,
+      |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+      |  round(avg(n_bytes), 6) AS avg_bytes,
+      |  min(n_bytes) AS min_bytes,
+      |  max(n_bytes) AS max_bytes
+      |FROM (
+      |  SELECT doc_id AS media_id,
+      |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      |    CAST(octet_length(encode(text)) AS INT) AS n_bytes
+      |  FROM documents)
+      |GROUP BY media_type
+      |ORDER BY media_type""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "x01_media_meta" -> mediaMeta,
+    "x02_media_type_stats" -> mediaTypeStats)
+
+  val oracle: Map[String, String] = Map(
+    "x01_media_meta" -> mediaMetaSql,
+    "x02_media_type_stats" -> mediaTypeStatsSql)
+}

@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Num._
+
+/** Similarity search over the `embeddings` table (`array<float>`, dim 64;
+  * SURVEY.md §2.11 ext_sim_topk): brute-force cosine top-k as the
+  * correctness baseline, a sign-bit LSH-bucketed variant as the scale
+  * path, and label-level similarity statistics.
+  *
+  * Determinism: dot products and norms accumulate in DECIMAL(38,18)
+  * (ops/Num.xsumHi) — order-independent and bit-identical across engines,
+  * so the ranking (ORDER BY cosine DESC) cannot flip on a last-ulp
+  * difference between Spark and the DuckDB oracle.
+  *
+  * Scale posture: the query side is broadcast (small k×dim relation), so
+  * the big corpus scan never shuffles for the join; per-pair partial
+  * aggregation combines map-side. The LSH variant prunes the candidate
+  * space by sign-bucket equality before any arithmetic — the standard
+  * random-hyperplane trick with coordinate hyperplanes.
+  */
+object SimOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Flattened (vec_id, i, v) relation; i is 1-based, v double. */
+  private def flat(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "vf")))
+      .select(col("vec_id"), (col("i0") + 1).as("i"), col("vf").cast("double").as("v"))
+
+  private val flatSql: String =
+    """SELECT vec_id, g.i AS i, CAST(embedding[g.i] AS DOUBLE) AS v
+      |FROM embeddings,
+      |LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g""".stripMargin
+
+  private def norms(f: DataFrame): DataFrame =
+    f.groupBy("vec_id").agg(sqrt(xsumHi(col("v") * col("v"))).as("nrm"))
+
+  private val normsSql: String =
+    s"""SELECT vec_id, sqrt(${xsumHiSql("v * v")}) AS nrm FROM f GROUP BY vec_id"""
+
+  /** Cosine of all (query, corpus) pairs for queries `vec_id < nq`. */
+  private def cosines(s: SparkSession, d: String, nq: Int): DataFrame = {
+    val f = flat(s, d)
+    val n = norms(f)
+    val q = f.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("i"), col("v").as("qv"))
+    val dots = f.join(broadcast(q), Seq("i"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(xsumHi(col("qv") * col("v")).as("dot"))
+    dots
+      .join(n.select(col("vec_id").as("qid"), col("nrm").as("qnrm")), "qid")
+      .join(n, "vec_id")
+      .select(col("qid"), col("vec_id").as("cid"),
+        (col("dot") / (col("qnrm") * col("nrm"))).as("cosine"))
+  }
+
+  private def cosinesSql(nq: Int): String =
+    s"""f AS (
+       |$flatSql
+       |), n AS (
+       |$normsSql
+       |), q AS (SELECT vec_id AS qid, i, v AS qv FROM f WHERE vec_id < $nq
+       |), dots AS (
+       |  SELECT q.qid, f.vec_id AS cid, ${xsumHiSql("q.qv * f.v")} AS dot
+       |  FROM f JOIN q ON f.i = q.i AND f.vec_id <> q.qid
+       |  GROUP BY q.qid, f.vec_id
+       |), cos AS (
+       |  SELECT dots.qid, dots.cid, dots.dot / (nq.nrm * nc.nrm) AS cosine
+       |  FROM dots JOIN n nq ON dots.qid = nq.vec_id
+       |            JOIN n nc ON dots.cid = nc.vec_id
+       |)""".stripMargin
+
+  // ---------------------------------------------------------------- v01
+  /** Brute-force cosine top-5 per query vector (first 20 vectors). */
+  val simTopk: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid").asc)
+    cosines(s, d, 20)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("cid"), r6(col("cosine")).as("cosine"))
+      .orderBy("qid", "rk")
+  }
+
+  val simTopkSql: String =
+    s"""WITH ${cosinesSql(20)}
+       |SELECT qid, rk, cid, round(cosine, 6) AS cosine FROM (
+       |  SELECT qid, cid, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
+       |  FROM cos) t
+       |WHERE rk <= 5
+       |ORDER BY qid, rk""".stripMargin
+
+  // ---------------------------------------------------------------- v02
+  /** Sign-bit LSH top-3: bucket on the signs of coordinates (1, 8, 22) —
+    * three coordinate hyperplanes — and rank only within the bucket. */
+  val simLsh: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val bucketed = emb.select(col("vec_id"),
+      (when(element_at(col("embedding"), 1) > 0f, 4).otherwise(0)
+        + when(element_at(col("embedding"), 8) > 0f, 2).otherwise(0)
+        + when(element_at(col("embedding"), 22) > 0f, 1).otherwise(0)).as("bucket"))
+    val f = flat(s, d).join(bucketed, "vec_id")
+    val n = norms(flat(s, d))
+    val q = f.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("bucket"), col("i"), col("v").as("qv"))
+    val dots = f.join(broadcast(q), Seq("bucket", "i"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(xsumHi(col("qv") * col("v")).as("dot"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid").asc)
+    dots
+      .join(n.select(col("vec_id").as("qid"), col("nrm").as("qnrm")), "qid")
+      .join(n, "vec_id")
+      .select(col("qid"), col("vec_id").as("cid"),
+        (col("dot") / (col("qnrm") * col("nrm"))).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("cid"), r6(col("cosine")).as("cosine"))
+      .orderBy("qid", "rk")
+  }
+
+  val simLshSql: String =
+    s"""WITH b AS (
+       |  SELECT vec_id,
+       |    (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END)
+       |    + (CASE WHEN embedding[8] > 0 THEN 2 ELSE 0 END)
+       |    + (CASE WHEN embedding[22] > 0 THEN 1 ELSE 0 END) AS bucket
+       |  FROM embeddings
+       |), f0 AS (
+       |$flatSql
+       |), f AS (SELECT f0.vec_id, f0.i, f0.v, b.bucket FROM f0 JOIN b ON f0.vec_id = b.vec_id
+       |), n AS (SELECT vec_id, sqrt(${xsumHiSql("v * v")}) AS nrm FROM f0 AS f GROUP BY vec_id
+       |), q AS (SELECT vec_id AS qid, bucket, i, v AS qv FROM f WHERE vec_id < 20
+       |), dots AS (
+       |  SELECT q.qid, f.vec_id AS cid, ${xsumHiSql("q.qv * f.v")} AS dot
+       |  FROM f JOIN q ON f.bucket = q.bucket AND f.i = q.i AND f.vec_id <> q.qid
+       |  GROUP BY q.qid, f.vec_id
+       |), cos AS (
+       |  SELECT dots.qid, dots.cid, dots.dot / (nq.nrm * nc.nrm) AS cosine
+       |  FROM dots JOIN n nq ON dots.qid = nq.vec_id
+       |            JOIN n nc ON dots.cid = nc.vec_id
+       |)
+       |SELECT qid, rk, cid, round(cosine, 6) AS cosine FROM (
+       |  SELECT qid, cid, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
+       |  FROM cos) t
+       |WHERE rk <= 3
+       |ORDER BY qid, rk""".stripMargin
+
+  // ---------------------------------------------------------------- v03
+  /** Near-duplicate / similarity statistics per label pair (embedding
+    * cosine near-dup shape): pair counts and max/avg cosine, plus the
+    * count above a near-dup threshold. */
+  val labelSimStats: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    cosines(s, d, 50)
+      .join(broadcast(emb.select(col("vec_id").as("qid"), col("label").as("label_a"))), "qid")
+      .join(broadcast(emb.select(col("vec_id").as("cid"), col("label").as("label_b"))), "cid")
+      .groupBy("label_a", "label_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        r6(avg("cosine")).as("avg_cos"),
+        r6(max("cosine")).as("max_cos"),
+        sum(when(col("cosine") > 0.35, 1L).otherwise(0L)).as("n_near_dup"))
+      .orderBy("label_a", "label_b")
+  }
+
+  val labelSimStatsSql: String =
+    s"""WITH ${cosinesSql(50)}
+       |SELECT la.label AS label_a, lb.label AS label_b,
+       |  count(*) AS n_pairs,
+       |  round(avg(cosine), 6) AS avg_cos,
+       |  round(max(cosine), 6) AS max_cos,
+       |  CAST(sum(CASE WHEN cosine > 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup
+       |FROM cos
+       |JOIN embeddings la ON cos.qid = la.vec_id
+       |JOIN embeddings lb ON cos.cid = lb.vec_id
+       |GROUP BY la.label, lb.label
+       |ORDER BY label_a, label_b""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "v01_sim_topk" -> simTopk,
+    "v02_sim_lsh" -> simLsh,
+    "v03_label_sim_stats" -> labelSimStats)
+
+  val oracle: Map[String, String] = Map(
+    "v01_sim_topk" -> simTopkSql,
+    "v02_sim_lsh" -> simLshSql,
+    "v03_label_sim_stats" -> labelSimStatsSql)
+}

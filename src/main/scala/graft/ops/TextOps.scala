@@ -1,0 +1,361 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Num._
+
+/** Training-data text pipeline operators over `documents` (SURVEY.md §2.11
+  * north-star set): exact + near dedup (MinHash/LSH, SimHash, n-gram
+  * Jaccard), text statistics / quality scoring, stopword language-ID
+  * heuristic, token counting, and rolling document fingerprints.
+  *
+  * Scale posture: everything is expressed as explode → keyed aggregate →
+  * (for LSH) band-bucket self-join, so no stage ever materializes a
+  * cross-join. MinHash banding bounds the candidate-pair set (O(n) with
+  * data-dependent constant) before the exact-Jaccard verify stage — the
+  * standard shape for 100 TB near-dedup. All hashing is md5-based so the
+  * DuckDB oracle reproduces signatures bit-for-bit.
+  */
+object TextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Seeds = 0 until 8
+  private val Stop1 = "the"
+  private val Stop2 = "a"
+
+  /** Word tokens (single-space separated corpus). */
+  private def toks = split(col("text"), " ")
+
+  // ---------------------------------------------------------------- t01
+  /** Per-document text statistics + quality score. */
+  val textStats: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    doc.select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        size(toks).as("n_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("n_alpha_tokens"),
+        size(expr(s"filter(split(text, ' '), x -> x = '$Stop1')")).as("n_stop1"),
+        size(expr(s"filter(split(text, ' '), x -> x = '$Stop2')")).as("n_stop2"),
+        length(col("text")).as("n_chars_obs"),
+        r6(length(expr("replace(text, ' ', '')")).cast("double") / size(toks))
+          .as("avg_token_len"))
+      .withColumn("stopword_ratio",
+        r6((col("n_stop1") + col("n_stop2")).cast("double") / col("n_tokens")))
+      .orderBy("doc_id")
+  }
+
+  val textStatsSql: String =
+    s"""SELECT doc_id, lang, n_chars,
+       |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_alpha_tokens,
+       |  CAST(len(list_filter(string_split(text, ' '), x -> x = '$Stop1')) AS INT) AS n_stop1,
+       |  CAST(len(list_filter(string_split(text, ' '), x -> x = '$Stop2')) AS INT) AS n_stop2,
+       |  CAST(length(text) AS INT) AS n_chars_obs,
+       |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |        / len(string_split(text, ' ')), 6) AS avg_token_len,
+       |  round(CAST(len(list_filter(string_split(text, ' '), x -> x = '$Stop1'))
+       |      + len(list_filter(string_split(text, ' '), x -> x = '$Stop2')) AS DOUBLE)
+       |        / len(string_split(text, ' ')), 6) AS stopword_ratio
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t02
+  /** Stopword-frequency language-ID heuristic (the reference-free n-gram
+    * approach): score English function-word density, predict, compare to
+    * the labeled lang. */
+  val langId: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    doc.select(
+        col("doc_id"), col("lang"),
+        r6((size(expr(s"filter(split(text, ' '), x -> x = '$Stop1')"))
+          + size(expr(s"filter(split(text, ' '), x -> x = '$Stop2')"))).cast("double")
+          / size(toks)).as("en_score"))
+      .withColumn("predicted", when(col("en_score") >= 0.04, lit("en")).otherwise(lit("unknown")))
+      .withColumn("is_correct", col("predicted") === col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String =
+    s"""SELECT doc_id, lang, en_score,
+       |  CASE WHEN en_score >= 0.04 THEN 'en' ELSE 'unknown' END AS predicted,
+       |  (CASE WHEN en_score >= 0.04 THEN 'en' ELSE 'unknown' END) = lang AS is_correct
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    round(CAST(len(list_filter(string_split(text, ' '), x -> x = '$Stop1'))
+       |        + len(list_filter(string_split(text, ' '), x -> x = '$Stop2')) AS DOUBLE)
+       |          / len(string_split(text, ' ')), 6) AS en_score
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t03
+  /** BPE-ish token counting: alpha runs, digit runs, and punctuation
+    * singletons as separate tokens. */
+  val tokenCount: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    doc.select(
+        col("doc_id"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("n_bpeish"),
+        size(toks).as("n_whitespace"),
+        col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpeish,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_whitespace,
+      |  n_chars
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t04
+  /** Rolling-hash document fingerprint: min-md5 over character 8-grams
+    * (1-permutation MinHash / winnowing-style sketch). */
+  val fingerprint: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    doc.select(col("doc_id"),
+        explode(sequence(lit(1), greatest(length(col("text")) - 7, lit(1)))).as("g"),
+        col("text"))
+      .select(col("doc_id"), expr("substring(text, g, 8)").as("sh"))
+      .groupBy("doc_id")
+      .agg(min(md5(col("sh").cast("binary"))).as("fp"),
+        countDistinct("sh").as("n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  val fingerprintSql: String =
+    """SELECT doc_id, min(md5(sh)) AS fp, count(DISTINCT sh) AS n_shingles
+      |FROM (
+      |  SELECT doc_id, substring(text, g.g, 8) AS sh
+      |  FROM documents,
+      |  LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 7, 1))) AS g) g)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t05
+  /** Exact dedup summary per source (hash-groupBy on md5(text)). */
+  val dedupExact: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    doc.select(col("source"), col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("h").as("n_unique"),
+        (count(lit(1)) - countDistinct("h")).as("n_dup_docs"))
+      .orderBy("source")
+  }
+
+  val dedupExactSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  count(DISTINCT md5(text)) AS n_unique,
+      |  count(*) - count(DISTINCT md5(text)) AS n_dup_docs
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------- minhash infra
+  /** Word-3gram shingles relation: (doc_id, s). */
+  private def shingles(doc: DataFrame): DataFrame =
+    doc.select(col("doc_id"), toks.as("ts"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), greatest(size(col("ts")) - 2, lit(1)))).as("g"),
+        col("ts"))
+      .select(col("doc_id"),
+        // try_element_at: NULL (not an ANSI error) past the end, matching
+        // DuckDB's out-of-range list index — short docs yield NULL
+        // shingles that min() skips on both sides.
+        concat(expr("try_element_at(ts, g)"), lit(" "),
+          expr("try_element_at(ts, g + 1)"), lit(" "),
+          expr("try_element_at(ts, g + 2)")).as("s"))
+
+  private val shinglesSql: String =
+    """SELECT doc_id, ts[g.g] || ' ' || ts[g.g+1] || ' ' || ts[g.g+2] AS s
+      |FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS g) g""".stripMargin
+
+  /** 8-permutation MinHash signature per doc (min of seeded md5). */
+  private def signatures(doc: DataFrame): DataFrame =
+    shingles(doc).groupBy("doc_id")
+      .agg(Seeds.map(i =>
+        min(md5(concat(lit(s"$i|"), col("s")).cast("binary"))).as(s"s$i")).head,
+        Seeds.map(i =>
+          min(md5(concat(lit(s"$i|"), col("s")).cast("binary"))).as(s"s$i")).tail: _*)
+
+  private val signaturesSql: String =
+    s"""SELECT doc_id, ${Seeds.map(i => s"min(md5('$i|' || s)) AS s$i").mkString(", ")}
+       |FROM sh GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t06
+  /** MinHash+LSH near-dup candidates: 4 bands × 2 rows; a band collision
+    * makes a candidate pair; estimated Jaccard = matching sigs / 8. */
+  val dedupMinhash: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val sig = signatures(doc).cache()
+    val bands = (0 until 4).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("key"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = col("doc_id").as("doc_a") +: Seeds.map(i => sig(s"s$i").as(s"a$i"))
+    val sb = col("doc_id").as("doc_b") +: Seeds.map(i => sig(s"s$i").as(s"b$i"))
+    val withSigs = cand
+      .join(sig.select(sa: _*), "doc_a")
+      .join(sig.select(sb: _*), "doc_b")
+    val matches = Seeds.map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+    withSigs
+      .select(col("doc_a"), col("doc_b"),
+        r6(matches.cast("double") / Seeds.size).as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupMinhashSql: String = {
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, s${2 * b} || s${2 * b + 1} AS key FROM sig").mkString("\nUNION ALL\n")
+    val matches = Seeds.map(i => s"(CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH sh AS (
+       |$shinglesSql
+       |), sig AS (
+       |$signaturesSql
+       |), bands AS (
+       |$bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |)
+       |SELECT cand.doc_a, cand.doc_b,
+       |  round(CAST($matches AS DOUBLE) / ${Seeds.size}, 6) AS est_jaccard
+       |FROM cand
+       |JOIN sig a ON cand.doc_a = a.doc_id
+       |JOIN sig b ON cand.doc_b = b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t07
+  /** 16-bit SimHash buckets: token-weighted signed bit votes from md5 hex
+    * digits; equal-simhash buckets with >1 doc are near-dup candidates. */
+  val dedupSimhash: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val tw = doc.select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("w"))
+      .withColumn("h", md5(col("tok").cast("binary")))
+    val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val bits = (0 until 16).map { j =>
+      when(sum(col("w") * when(substring(col("h"), j + 1, 1).isin(highHex: _*), 1)
+        .otherwise(-1)) > 0, 1 << j).otherwise(0)
+    }.reduce(_ + _)
+    tw.groupBy("doc_id").agg(bits.as("simhash"))
+      .groupBy("simhash").agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("simhash")
+  }
+
+  val dedupSimhashSql: String = {
+    val bits = (0 until 16).map { j =>
+      s"""(CASE WHEN sum(w * (CASE WHEN substring(h, ${j + 1}, 1)
+         | IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0
+         | THEN ${1 << j} ELSE 0 END)""".stripMargin.replaceAll("\n", " ")
+    }.mkString(" + ")
+    s"""WITH tw AS (
+       |  SELECT doc_id, tok, count(*) AS w, md5(tok) AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY doc_id, tok
+       |), sh AS (
+       |  SELECT doc_id, $bits AS simhash FROM tw GROUP BY doc_id
+       |)
+       |SELECT simhash, count(*) AS n_docs, min(doc_id) AS first_doc
+       |FROM sh GROUP BY simhash HAVING count(*) > 1
+       |ORDER BY simhash""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t08
+  /** Exact n-gram Jaccard verify over the MinHash candidate pairs (the
+    * LSH-candidates → exact-verify pipeline shape). */
+  val ngramJaccard: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val sig = signatures(doc).cache()
+    val bands = (0 until 4).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("key"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = shingles(doc).distinct().cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    cand.join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        r6(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val ngramJaccardSql: String = {
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, s${2 * b} || s${2 * b + 1} AS key FROM sig").mkString("\nUNION ALL\n")
+    s"""WITH sh0 AS (
+       |$shinglesSql
+       |), sig AS (
+       |  SELECT doc_id, ${Seeds.map(i => s"min(md5('$i|' || s)) AS s$i").mkString(", ")}
+       |  FROM sh0 GROUP BY doc_id
+       |), bands AS (
+       |$bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |), sh AS (SELECT DISTINCT doc_id, s FROM sh0
+       |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+       |  GROUP BY c.doc_a, c.doc_b
+       |)
+       |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+       |  round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+       |        / (sa.n + sb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
+       |FROM cand c
+       |LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+       |JOIN sizes sa ON c.doc_a = sa.doc_id
+       |JOIN sizes sb ON c.doc_b = sb.doc_id
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "t01_text_stats" -> textStats,
+    "t02_lang_id" -> langId,
+    "t03_token_count" -> tokenCount,
+    "t04_fingerprint" -> fingerprint,
+    "t05_dedup_exact" -> dedupExact,
+    "t06_dedup_minhash" -> dedupMinhash,
+    "t07_dedup_simhash" -> dedupSimhash,
+    "t08_ngram_jaccard" -> ngramJaccard)
+
+  val oracle: Map[String, String] = Map(
+    "t01_text_stats" -> textStatsSql,
+    "t02_lang_id" -> langIdSql,
+    "t03_token_count" -> tokenCountSql,
+    "t04_fingerprint" -> fingerprintSql,
+    "t05_dedup_exact" -> dedupExactSql,
+    "t06_dedup_minhash" -> dedupMinhashSql,
+    "t07_dedup_simhash" -> dedupSimhashSql,
+    "t08_ngram_jaccard" -> ngramJaccardSql)
+}

@@ -87,15 +87,19 @@ object Events {
 
   /** Abrupt-drop detection + classification — quality.py:127-154: drop
     * events classified transient_anomaly (recovers), recent_event (last
-    * scene, no next), else possible_fire_or_harvest. */
-  def abruptDrops(s: SparkSession, d: String): DataFrame = {
+    * scene, no next), else possible_fire_or_harvest. Takes any day-series
+    * relation (day, vmean) so the window semantics are testable on
+    * hand-authored fixtures (FIXTURES.md §B2). */
+  def detectDrops(series: DataFrame,
+      dropThreshold: Double = DropThreshold,
+      recoveryThreshold: Double = RecoveryThreshold): DataFrame = {
     val w = Window.orderBy("day")
-    dayStats(s, d)
+    series
       .withColumn("prev_mean", lag(col("vmean"), 1).over(w))
       .withColumn("next_mean", lead(col("vmean"), 1).over(w))
       .withColumn("diff", col("vmean") - col("prev_mean"))
       .withColumn("recovery", col("next_mean") - col("vmean"))
-      .filter(col("diff") < DropThreshold)
+      .filter(col("diff") < dropThreshold)
       .select(
         date_format(col("day"), "yyyy-MM-dd").as("date"),
         r6(col("prev_mean")).as("value_before"),
@@ -103,10 +107,13 @@ object Events {
         r6(col("next_mean")).as("value_after"),
         r6(col("diff")).as("drop"),
         when(col("next_mean").isNull, lit("recent_event"))
-          .when(col("recovery") > RecoveryThreshold, lit("transient_anomaly"))
+          .when(col("recovery") > recoveryThreshold, lit("transient_anomaly"))
           .otherwise(lit("possible_fire_or_harvest")).as("type"))
       .orderBy("date")
   }
+
+  def abruptDrops(s: SparkSession, d: String): DataFrame =
+    detectDrops(dayStats(s, d))
 
   val abruptDropsQ: Q = (s, d) => abruptDrops(s, d)
 

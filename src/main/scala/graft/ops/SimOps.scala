@@ -184,10 +184,34 @@ object SimOps {
        |GROUP BY la.label, lb.label
        |ORDER BY label_a, label_b""".stripMargin
 
+  // ---------------------------------------------------------------- v04
+  /** Native-expression top-5: same semantics as v01 but through the
+    * codegen'd graft_cosine Catalyst expression over the packed float
+    * arrays — no explode, no join-key shuffle, one scan. Not
+    * oracle-declared (float accumulation order differs from the DECIMAL
+    * relational form by design); SimSpec asserts it agrees with v01's
+    * ranking, and Bench shows the speedup. */
+  val simTopkNative: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid").asc)
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        expr("graft_cosine(qe, embedding)").as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("cid"), r6(col("cosine")).as("cosine"))
+      .orderBy("qid", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
     "v01_sim_topk" -> simTopk,
     "v02_sim_lsh" -> simLsh,
-    "v03_label_sim_stats" -> labelSimStats)
+    "v03_label_sim_stats" -> labelSimStats,
+    "v04_sim_topk_native" -> simTopkNative)
 
   val oracle: Map[String, String] = Map(
     "v01_sim_topk" -> simTopkSql,

@@ -1,0 +1,20 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import graft.functions.CosineSimilarity
+
+/** Engine extension point (SparkSessionExtensions): registers the native
+  * function surface so SQL users get the codegen'd hot paths.
+  *
+  * Wire up with `.withExtensions(new GraftExtensions)` (graft.Sessions
+  * does this) or `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      CosineSimilarity.info,
+      CosineSimilarity.builder))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming variants of the engine's incremental semantics
+  * (SURVEY.md §2.10): the reference is batch-only, but its resumable /
+  * out-of-order-tolerant behaviors map onto watermarked windowed
+  * aggregation plus one piece of custom state — the scene-series event
+  * detector, which needs the previous scene mean per series
+  * (quality.py:124-154) and is therefore a flatMapGroupsWithState.
+  *
+  * Scale posture: state is keyed by series id (AOI/tile), a few doubles
+  * per key — state-store size is O(#series), independent of event
+  * volume; the windowed aggregation shuffles once on (series, window)
+  * with watermark-bounded state eviction.
+  */
+object StreamOps {
+
+  /** One scene-mean observation (input to the stateful detector). */
+  case class SceneMean(seriesId: Long, day: Timestamp, vmean: Double)
+
+  /** Detector state: last seen day + mean per series. */
+  case class DropState(lastDayMs: Long, lastMean: Double)
+
+  /** Emitted drop event (streaming cousin of Events.detectDrops rows;
+    * `recovery`/classification need the *next* scene, so the streaming
+    * form emits on detection and leaves classification to a downstream
+    * batch pass — the reference's own recent_event branch acknowledges
+    * exactly this "no next scene yet" case, quality.py:147-154). */
+  case class DropEvent(seriesId: Long, day: Timestamp,
+      valueBefore: Double, valueDuring: Double, drop: Double)
+
+  /** Watermarked per-window scene means over a raw event stream with
+    * schema (ts TIMESTAMP, seriesId LONG, value DOUBLE). Late data past
+    * the watermark is dropped; state for closed windows is evicted. */
+  def windowedSceneMeans(events: DataFrame,
+      watermark: String = "2 days", windowLength: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("seriesId"), window(col("ts"), windowLength))
+      .agg(avg("value").as("vmean"), count(lit(1)).as("n_events"))
+      .select(col("seriesId"), col("window.start").as("day"),
+        col("vmean"), col("n_events"))
+
+  /** Stateful abrupt-drop detection: for each series, compare each scene
+    * mean against the previous one held in state; emit when the drop
+    * exceeds the threshold. Input must be per-trigger scene means (e.g.
+    * the output of [[windowedSceneMeans]] in update mode, or a
+    * deduplicated upstream). */
+  def detectDropsStateful(means: Dataset[SceneMean], dropThreshold: Double)
+      : Dataset[DropEvent] = {
+    import means.sparkSession.implicits._
+    means.groupByKey(_.seriesId)
+      .flatMapGroupsWithState[DropState, DropEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (seriesId: Long, rows: Iterator[SceneMean], state: GroupState[DropState]) =>
+          val sorted = rows.toSeq.sortBy(_.day.getTime)
+          var prev = state.getOption
+          val out = Seq.newBuilder[DropEvent]
+          sorted.foreach { m =>
+            prev match {
+              case Some(p) if p.lastDayMs < m.day.getTime =>
+                val diff = m.vmean - p.lastMean
+                if (diff < dropThreshold)
+                  out += DropEvent(seriesId, m.day, p.lastMean, m.vmean, diff)
+                prev = Some(DropState(m.day.getTime, m.vmean))
+              case Some(p) => // late/duplicate scene — keep newest state
+                if (m.day.getTime > p.lastDayMs) prev = Some(DropState(m.day.getTime, m.vmean))
+              case None =>
+                prev = Some(DropState(m.day.getTime, m.vmean))
+            }
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+}

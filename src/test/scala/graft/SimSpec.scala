@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.SimOps
+
+/** Similarity-search consistency: the native codegen'd graft_cosine
+  * expression agrees with the relational DECIMAL-sum pipeline on both
+  * values (to float tolerance) and the resulting top-k ranking. */
+class SimSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("graft_cosine matches hand-computed cosine") {
+    val df = Seq(
+      (Array(1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+      (Array(1.0f, 2.0f, 2.0f), Array(2.0f, 4.0f, 4.0f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("a", "b")
+    val got = df.selectExpr("graft_cosine(a, b)").as[Double].collect().toSeq
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1) - 0.0) < 1e-12)
+    assert(math.abs(got(2) - 1.0) < 1e-12)
+    assert(math.abs(got(3) + 1.0) < 1e-12)
+  }
+
+  test("graft_cosine null semantics: NULL array, zero vector, length mismatch") {
+    val df = Seq(
+      (Some(Array(1.0f, 1.0f)), Some(Array(0.0f, 0.0f))), // zero norm
+      (None, Some(Array(1.0f, 1.0f)))                     // null input
+    ).toDF("a", "b")
+    val got = df.selectExpr("graft_cosine(a, b)").as[Option[Double]].collect().toSeq
+    assert(got == Seq(None, None))
+    val mismatch = Seq((Array(1.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .selectExpr("graft_cosine(a, b)").as[Option[Double]].collect().toSeq
+    assert(mismatch == Seq(None))
+  }
+
+  test("native top-k ranking agrees with the relational DECIMAL pipeline on testdata") {
+    val rel = SimOps.simTopk(spark, sf)
+      .select("qid", "rk", "cid").as[(Long, Int, Long)].collect().toSeq
+    val nat = SimOps.simTopkNative(spark, sf)
+      .select("qid", "rk", "cid").as[(Long, Int, Long)].collect().toSeq
+    assert(rel == nat)
+  }
+
+  test("LSH candidates are a subset of the brute-force universe, same bucket only") {
+    val lsh = SimOps.simLsh(spark, sf).select("qid", "cid").as[(Long, Long)].collect().toSet
+    val topkAll = SimOps.simTopk(spark, sf).select("qid").distinct().count()
+    assert(lsh.nonEmpty)
+    assert(topkAll > 0)
+    // every LSH pair shares the sign-bucket of dims (1, 8, 22)
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        (when(element_at(col("embedding"), 1) > 0f, 4).otherwise(0)
+          + when(element_at(col("embedding"), 8) > 0f, 2).otherwise(0)
+          + when(element_at(col("embedding"), 22) > 0f, 1).otherwise(0)).as("bucket"))
+      .as[(Long, Int)].collect().toMap
+    lsh.foreach { case (q, c) => assert(emb(q) == emb(c), s"pair ($q,$c) crosses buckets") }
+  }
+}

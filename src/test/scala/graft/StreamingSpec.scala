@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{DropEvent, SceneMean}
+
+/** Structured Streaming semantics (SURVEY.md §2.10): watermarked windowed
+  * scene means and the stateful drop detector across triggers. */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed scene means aggregate per day window with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "seriesId", "value")
+    val q = StreamOps.windowedSceneMeans(events)
+      .writeStream.format("memory").queryName("scene_means")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 01:00:00"), 1L, 10.0),
+        (ts("2024-01-01 13:00:00"), 1L, 20.0),
+        (ts("2024-01-02 01:00:00"), 1L, 30.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to close the first windows
+      input.addData((ts("2024-01-10 00:00:00"), 1L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("scene_means")
+        .select(date_format(col("day"), "yyyy-MM-dd"), col("vmean"), col("n_events"))
+        .as[(String, Double, Long)].collect().toSet
+      assert(rows.contains(("2024-01-01", 15.0, 2L)))
+      assert(rows.contains(("2024-01-02", 30.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful drop detector remembers the previous scene across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SceneMean]
+    val q = StreamOps.detectDropsStateful(input.toDS(), dropThreshold = -3.0)
+      .writeStream.format("memory").queryName("drops")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // trigger 1: baseline scene
+      input.addData(SceneMean(7L, ts("2024-01-01 00:00:00"), 50.0))
+      q.processAllAvailable()
+      assert(spark.table("drops").count() == 0)
+      // trigger 2: drop arrives in a later trigger — needs state to fire
+      input.addData(SceneMean(7L, ts("2024-01-02 00:00:00"), 44.0))
+      q.processAllAvailable()
+      val got = spark.table("drops").as[DropEvent].collect().toSeq
+      assert(got == Seq(DropEvent(7L, ts("2024-01-02 00:00:00"), 50.0, 44.0, -6.0)))
+      // trigger 3: small dip below threshold magnitude — no event
+      input.addData(SceneMean(7L, ts("2024-01-03 00:00:00"), 43.0))
+      q.processAllAvailable()
+      assert(spark.table("drops").count() == 1)
+    } finally q.stop()
+  }
+
+  test("detector keys state per series — independent series don't interfere") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SceneMean]
+    val q = StreamOps.detectDropsStateful(input.toDS(), dropThreshold = -3.0)
+      .writeStream.format("memory").queryName("drops2")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        SceneMean(1L, ts("2024-01-01 00:00:00"), 50.0),
+        SceneMean(2L, ts("2024-01-01 00:00:00"), 10.0))
+      q.processAllAvailable()
+      input.addData(
+        SceneMean(1L, ts("2024-01-02 00:00:00"), 30.0), // drop on series 1
+        SceneMean(2L, ts("2024-01-02 00:00:00"), 12.0)) // rise on series 2
+      q.processAllAvailable()
+      val got = spark.table("drops2").as[DropEvent].collect().toSeq
+      assert(got.map(_.seriesId) == Seq(1L))
+    } finally q.stop()
+  }
+}

@@ -24,12 +24,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ PixelOps.queries ++ Quality.queries ++
       Merge.queries ++ Stats.queries ++ Meta.queries ++ Events.queries ++
-      TextOps.queries ++ SimOps.queries ++ Multimodal.queries
+      TextOps.queries ++ SimOps.queries ++ Multimodal.queries ++
+      Resample.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ PixelOps.oracle ++ Quality.oracle ++
       Merge.oracle ++ Stats.oracle ++ Meta.oracle ++ Events.oracle ++
-      TextOps.oracle ++ SimOps.oracle ++ Multimodal.oracle
+      TextOps.oracle ++ SimOps.oracle ++ Multimodal.oracle ++
+      Resample.oracle
 }

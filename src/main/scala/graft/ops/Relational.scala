@@ -290,7 +290,38 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Salted two-phase aggregation for skewed keys: l_returnflag has only
+    * 3 values, so a naive groupBy funnels the whole table into 3 reduce
+    * tasks at 100 TB. Salting fans the partial aggregation over
+    * (key, salt) first; the second phase combines 16 partials per key.
+    * DECIMAL partials make the two-phase result bit-identical to the
+    * direct aggregation — which is exactly what the oracle checks. */
+  val saltedAgg: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy("l_returnflag", "salt")
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(38,6)")).as("p_sum"),
+        count(lit(1)).as("p_n"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("p_sum")).cast("double").as("sum_price"),
+        sum(col("p_n")).as("n_rows"),
+        r6(sum(col("p_sum")).cast("double") / sum(col("p_n"))).as("avg_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val saltedAggSql: String =
+    s"""SELECT l_returnflag,
+       |  ${xsumSql("l_extendedprice")} AS sum_price,
+       |  count(*) AS n_rows,
+       |  round(${xsumSql("l_extendedprice")} / count(*), 6) AS avg_price
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "r12_salted_agg" -> saltedAgg,
     "r01_pricing_summary" -> pricingSummary,
     "r02_revenue_by_nation" -> revenueByNation,
     "r03_segment_revenue" -> segmentRevenue,
@@ -304,6 +335,7 @@ object Relational {
     "r11_json_props" -> jsonProps)
 
   val oracle: Map[String, String] = Map(
+    "r12_salted_agg" -> saltedAggSql,
     "r01_pricing_summary" -> pricingSummarySql,
     "r02_revenue_by_nation" -> revenueByNationSql,
     "r03_segment_revenue" -> segmentRevenueSql,

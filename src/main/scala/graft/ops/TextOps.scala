@@ -174,16 +174,24 @@ object TextOps {
       |FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
       |LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS g) g""".stripMargin
 
-  /** 8-permutation MinHash signature per doc (min of seeded md5). */
-  private def signatures(doc: DataFrame): DataFrame =
-    shingles(doc).groupBy("doc_id")
-      .agg(Seeds.map(i =>
-        min(md5(concat(lit(s"$i|"), col("s")).cast("binary"))).as(s"s$i")).head,
-        Seeds.map(i =>
-          min(md5(concat(lit(s"$i|"), col("s")).cast("binary"))).as(s"s$i")).tail: _*)
+  /** 8-permutation MinHash signature per doc. One md5 per shingle; the 8
+    * "permutations" are overlapping 16-hex-char windows of the digest
+    * (md5 bits are independent enough for LSH banding, and this costs 1/8
+    * of eight seeded hashes — the difference between 2M and 16M digest
+    * computations per 5k docs). */
+  private def sigCols: Seq[(Int, String)] = Seeds.map(i => (i, s"s$i"))
+
+  private def signatures(doc: DataFrame): DataFrame = {
+    val hashed = shingles(doc).withColumn("h", md5(col("s").cast("binary")))
+    val aggs = sigCols.map { case (i, n) =>
+      min(substring(col("h"), i * 2 + 1, 16)).as(n)
+    }
+    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
 
   private val signaturesSql: String =
-    s"""SELECT doc_id, ${Seeds.map(i => s"min(md5('$i|' || s)) AS s$i").mkString(", ")}
+    s"""SELECT doc_id, ${sigCols.map { case (i, n) =>
+         s"min(substring(md5(s), ${i * 2 + 1}, 16)) AS $n" }.mkString(", ")}
        |FROM sh GROUP BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- t06
@@ -312,7 +320,8 @@ object TextOps {
     s"""WITH sh0 AS (
        |$shinglesSql
        |), sig AS (
-       |  SELECT doc_id, ${Seeds.map(i => s"min(md5('$i|' || s)) AS s$i").mkString(", ")}
+       |  SELECT doc_id, ${sigCols.map { case (i, n) =>
+           s"min(substring(md5(s), ${i * 2 + 1}, 16)) AS $n" }.mkString(", ")}
        |  FROM sh0 GROUP BY doc_id
        |), bands AS (
        |$bandSelects

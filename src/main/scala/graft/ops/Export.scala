@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink operators (SURVEY.md §2.2; reference pipeline.py:173-187,
+  * arcgis.py:30-175): the cube sink, per-granule cache sink, export-side
+  * nodata fill + downsample, events JSON, and the dataset index /
+  * style metadata records.
+  *
+  * Format mapping: the reference's zlib-NetCDF / LZW-GeoTIFF become
+  * zstd Parquet partitioned by date — columnar + compressed + partition-
+  * prunable, which is the cloud-scale analog (SURVEY.md §1.3). A true
+  * GeoTIFF encoder would slot into a foreachPartition writer without
+  * changing any of these shapes.
+  *
+  * Scale posture: every sink partitions by date (bounded daily volume),
+  * so writers parallelize per partition and downstream readers prune on
+  * the time predicate. Nothing collects to the driver except the
+  * single-row index record.
+  */
+object Export {
+
+  /** Cube sink — pipeline.py:175-176: date-partitioned zstd parquet. */
+  def writeCube(cube: DataFrame, out: String): Unit =
+    cube
+      .withColumn("p_date", to_date(col("time")))
+      .repartition(col("p_date"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("p_date")
+      .option("compression", "zstd")
+      .parquet(out)
+
+  /** Per-granule cache sink — processor.py:358-366: one (tile, date)
+    * partition per granule, overwritable for corrupt-cache invalidation
+    * (processor.py:349-356). */
+  def writeGranuleCache(granule: DataFrame, cacheDir: String): Unit =
+    granule
+      .withColumn("p_date", to_date(col("time")))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("tile_id", "p_date")
+      .option("compression", "zstd")
+      .parquet(cacheDir)
+
+  /** Export-side projection — arcgis.py:52-92: optional stride
+    * downsample (with grid reindex) and NaN→−9999 fill. */
+  def exportFrame(cube: DataFrame, downsample: Int = 1): DataFrame = {
+    val base =
+      if (downsample == 1) cube
+      else cube.filter(Indices.downsample(col("y"), col("x"), downsample))
+        .withColumn("y", expr(s"y div $downsample").cast("int"))
+        .withColumn("x", expr(s"x div $downsample").cast("int"))
+    base
+      .withColumn("ndvi", Indices.nodataFill(col("ndvi")))
+      .withColumn("evi", Indices.nodataFill(col("evi")))
+  }
+
+  /** Events sink — pipeline.py:167-171: one JSON file of event records. */
+  def writeEventsJson(events: DataFrame, out: String): Unit =
+    events.coalesce(1).write.mode(SaveMode.Overwrite).json(out)
+
+  /** Dataset index record — arcgis.py:103-153: crs, transform, dims,
+    * bounds, center (midpoint fallback math at arcgis.py:107-117),
+    * band descriptors, nodata, date list. */
+  def indexRecord(spark: SparkSession, cube: DataFrame,
+      crs: String = "EPSG:4326",
+      transform: Seq[Double] = Seq(0.00027, 0.0, 0.0, 0.0, -0.00027, 0.0)): DataFrame = {
+    val dims = cube.agg(
+      (max("y") + 1).cast("int").as("height"),
+      (max("x") + 1).cast("int").as("width"),
+      countDistinct("time").as("n_times"),
+      sort_array(collect_set(date_format(col("time"), "yyyy-MM-dd"))).as("dates"))
+    dims.select(
+      lit(crs).as("crs"),
+      lit(transform.toArray).as("transform"),
+      col("height"), col("width"), col("n_times"), col("dates"),
+      lit(-9999.0).as("nodata"),
+      array(lit("ndvi"), lit("evi")).as("bands"),
+      ((lit(0.0) + col("width") * transform.head) / 2.0).as("center_lon"),
+      ((lit(0.0) + col("height") * transform(4)) / 2.0).as("center_lat"))
+  }
+
+  def writeIndexJson(spark: SparkSession, cube: DataFrame, out: String): Unit =
+    indexRecord(spark, cube).coalesce(1).write.mode(SaveMode.Overwrite).json(out)
+
+  /** Fixed 6-class NDVI color-ramp style — arcgis.py:155-175. */
+  def styleRecords(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (-1.0, 0.0, "water_or_nodata", "#0000FF"),
+      (0.0, 0.2, "bare_soil", "#A52A2A"),
+      (0.2, 0.4, "sparse_vegetation", "#FFFF00"),
+      (0.4, 0.6, "moderate_vegetation", "#9ACD32"),
+      (0.6, 0.8, "dense_vegetation", "#008000"),
+      (0.8, 1.0, "very_dense_vegetation", "#006400")
+    ).toDF("lo", "hi", "label", "color")
+  }
+
+  def writeStyleJson(spark: SparkSession, out: String): Unit =
+    styleRecords(spark).coalesce(1).write.mode(SaveMode.Overwrite).json(out)
+}

@@ -1,0 +1,17 @@
+package graft
+// dev tool: dump formatted physical plans for representative queries
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local()
+    val d = "/root/testdata/sf0.01"
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "r01_pricing_summary", "r02_revenue_by_nation", "p01_pixel_indices",
+      "m01_spatial_merge", "v01_sim_topk", "v04_sim_topk_native", "t06_dedup_minhash")
+    names.foreach { n =>
+      println(s"\n########## $n ##########")
+      println(SparkEntry.queries(n)(spark, d).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}

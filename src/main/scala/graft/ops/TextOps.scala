@@ -115,10 +115,9 @@ object TextOps {
     * (1-permutation MinHash / winnowing-style sketch). */
   val fingerprint: Q = (s, d) => {
     val doc = Tables.documents(s, d)
-    doc.select(col("doc_id"),
-        explode(sequence(lit(1), greatest(length(col("text")) - 7, lit(1)))).as("g"),
-        col("text"))
-      .select(col("doc_id"), expr("substring(text, g, 8)").as("sh"))
+    doc.select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(length(text) - 7, 1)),
+          |  g -> substring(text, g, 8))""".stripMargin)).as("sh"))
       .groupBy("doc_id")
       .agg(min(md5(col("sh").cast("binary"))).as("fp"),
         countDistinct("sh").as("n_shingles"))
@@ -155,19 +154,20 @@ object TextOps {
       |ORDER BY source""".stripMargin
 
   // ------------------------------------------------------- minhash infra
-  /** Word-3gram shingles relation: (doc_id, s). */
+  /** Word-3gram shingles relation: (doc_id, s). Build the shingle array
+    * inside one row with `transform`, THEN explode only the strings — an
+    * explode(sequence) carrying the token array would copy the whole
+    * array into every exploded row (O(tokens²) bytes per doc).
+    * try_element_at: NULL (not an ANSI error) past the end, matching
+    * DuckDB's out-of-range list index — short docs yield NULL shingles
+    * that min() skips on both sides. */
   private def shingles(doc: DataFrame): DataFrame =
     doc.select(col("doc_id"), toks.as("ts"))
-      .select(col("doc_id"),
-        explode(sequence(lit(1), greatest(size(col("ts")) - 2, lit(1)))).as("g"),
-        col("ts"))
-      .select(col("doc_id"),
-        // try_element_at: NULL (not an ANSI error) past the end, matching
-        // DuckDB's out-of-range list index — short docs yield NULL
-        // shingles that min() skips on both sides.
-        concat(expr("try_element_at(ts, g)"), lit(" "),
-          expr("try_element_at(ts, g + 1)"), lit(" "),
-          expr("try_element_at(ts, g + 2)")).as("s"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(size(ts) - 2, 1)),
+          |  g -> concat(try_element_at(ts, g), ' ',
+          |              try_element_at(ts, g + 1), ' ',
+          |              try_element_at(ts, g + 2)))""".stripMargin)).as("s"))
 
   private val shinglesSql: String =
     """SELECT doc_id, ts[g.g] || ' ' || ts[g.g+1] || ' ' || ts[g.g+2] AS s

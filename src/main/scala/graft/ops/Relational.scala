@@ -320,8 +320,125 @@ object Relational {
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin
 
+  /** Range (interval) join: lineitem rows shipped within 90 days of
+    * their order's date — an equi key plus a range predicate, the shape
+    * Spark executes as a sort-merge join with a post-join range filter
+    * (and, at scale, benefits from partitioning on the equi key). Range
+    * joins are absent from the reference (SURVEY.md §2.5) but part of
+    * the engine surface. */
+  val rangeJoin: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    o.join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= expr("o_orderdate + INTERVAL 90 DAYS"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_shipped_90d"),
+        xsum(col("l_extendedprice")).as("revenue_90d"))
+      .orderBy("o_orderpriority")
+  }
+
+  val rangeJoinSql: String =
+    s"""SELECT o_orderpriority,
+       |  count(*) AS n_shipped_90d,
+       |  ${xsumSql("l_extendedprice")} AS revenue_90d
+       |FROM orders JOIN lineitem
+       |  ON o_orderkey = l_orderkey
+       | AND l_shipdate >= o_orderdate
+       | AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  /** As-of self-join: for each error event, the most recent prior
+    * purchase by the same user (max_by over the candidate set). The
+    * window-free formulation shuffles once on user_id; per-user windows
+    * would be the alternative at very deep histories. */
+  val asofJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"),
+        expr("ts_ns div 1000").as("err_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pur_id"),
+        expr("ts_ns div 1000").as("pur_us"), col("value").as("pur_value"))
+    errors.join(purchases, Seq("user_id"))
+      .filter(col("pur_us") <= col("err_us"))
+      .groupBy("user_id", "err_id", "err_us")
+      .agg(
+        max("pur_us").as("asof_us"),
+        expr("max_by(pur_id, pur_us)").as("asof_purchase"))
+      .select(col("user_id"), col("err_id"),
+        (col("err_us") - col("asof_us")).as("gap_us"), col("asof_purchase"))
+      .orderBy("user_id", "err_id")
+  }
+
+  val asofJoinSql: String =
+    """SELECT user_id, err_id, err_us - asof_us AS gap_us, asof_purchase
+      |FROM (
+      |  SELECT e.user_id, e.err_id, e.err_us,
+      |    max(p.pur_us) AS asof_us,
+      |    max_by(p.pur_id, p.pur_us) AS asof_purchase
+      |  FROM (SELECT user_id, event_id AS err_id, epoch_ns(ts) // 1000 AS err_us
+      |        FROM events WHERE event_type = 'error') e
+      |  JOIN (SELECT user_id, event_id AS pur_id, epoch_ns(ts) // 1000 AS pur_us
+      |        FROM events WHERE event_type = 'purchase') p
+      |    ON e.user_id = p.user_id AND p.pur_us <= e.err_us
+      |  GROUP BY e.user_id, e.err_id, e.err_us)
+      |ORDER BY user_id, err_id""".stripMargin
+
+  /** CUBE grouping sets over both lineitem flags. */
+  val cubePricing: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), r6(avg("l_quantity")).as("avg_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("avg_qty"))
+      .orderBy("returnflag", "linestatus")
+  }
+
+  val cubePricingSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  count(*) AS n,
+      |  round(avg(l_quantity), 6) AS avg_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** Ranking-function battery: rank / dense_rank / ntile / percent_rank
+    * (completes the §2.7 "absent in reference" window set). */
+  val rankFuncs: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val su = Tables.supplier(s, d)
+    val w = Window.partitionBy("s_nationkey")
+      .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+    su.select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("prank", r6(percent_rank().over(w)))
+      .orderBy("s_nationkey", "rnk", "s_suppkey")
+  }
+
+  val rankFuncsSql: String =
+    """SELECT s_nationkey, s_suppkey, s_acctbal,
+      |  CAST(rank() OVER w AS INT) AS rnk,
+      |  CAST(dense_rank() OVER w AS INT) AS drnk,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  round(percent_rank() OVER w, 6) AS prank
+      |FROM supplier
+      |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)
+      |ORDER BY s_nationkey, rnk, s_suppkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "r12_salted_agg" -> saltedAgg,
+    "r13_range_join" -> rangeJoin,
+    "r14_asof_join" -> asofJoin,
+    "r15_cube_pricing" -> cubePricing,
+    "r16_rank_funcs" -> rankFuncs,
     "r01_pricing_summary" -> pricingSummary,
     "r02_revenue_by_nation" -> revenueByNation,
     "r03_segment_revenue" -> segmentRevenue,
@@ -336,6 +453,10 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "r12_salted_agg" -> saltedAggSql,
+    "r13_range_join" -> rangeJoinSql,
+    "r14_asof_join" -> asofJoinSql,
+    "r15_cube_pricing" -> cubePricingSql,
+    "r16_rank_funcs" -> rankFuncsSql,
     "r01_pricing_summary" -> pricingSummarySql,
     "r02_revenue_by_nation" -> revenueByNationSql,
     "r03_segment_revenue" -> segmentRevenueSql,

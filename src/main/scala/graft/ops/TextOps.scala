@@ -161,7 +161,7 @@ object TextOps {
     * try_element_at: NULL (not an ANSI error) past the end, matching
     * DuckDB's out-of-range list index — short docs yield NULL shingles
     * that min() skips on both sides. */
-  private def shingles(doc: DataFrame): DataFrame =
+  private[graft] def shingles(doc: DataFrame): DataFrame =
     doc.select(col("doc_id"), toks.as("ts"))
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, greatest(size(ts) - 2, 1)),
@@ -181,7 +181,7 @@ object TextOps {
     * computations per 5k docs). */
   private def sigCols: Seq[(Int, String)] = Seeds.map(i => (i, s"s$i"))
 
-  private def signatures(doc: DataFrame): DataFrame = {
+  private[graft] def signatures(doc: DataFrame): DataFrame = {
     val hashed = shingles(doc).withColumn("h", md5(col("s").cast("binary")))
     val aggs = sigCols.map { case (i, n) =>
       min(substring(col("h"), i * 2 + 1, 16)).as(n)

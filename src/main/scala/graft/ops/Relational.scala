@@ -433,8 +433,25 @@ object Relational {
       |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)
       |ORDER BY s_nationkey, rnk, s_suppkey""".stripMargin
 
+  /** HLL sketch surface (approx_count_distinct): the 100 TB path for
+    * distinct counts where r08's exact form would shuffle every key.
+    * No oracle — HLL estimates are implementation-specific; the driver
+    * records a rows-only check, and the exact counterpart (r08) anchors
+    * correctness. Output includes exact counts so the estimate's error
+    * is visible in the result itself. */
+  val approxDistinct: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct("l_partkey").as("approx_parts"),
+        countDistinct("l_partkey").as("exact_parts"),
+        approx_count_distinct("l_suppkey", 0.01).as("approx_supps_1pct"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
     "r12_salted_agg" -> saltedAgg,
+    "r17_approx_distinct" -> approxDistinct,
     "r13_range_join" -> rangeJoin,
     "r14_asof_join" -> asofJoin,
     "r15_cube_pricing" -> cubePricing,

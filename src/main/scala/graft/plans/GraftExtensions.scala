@@ -16,5 +16,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       CosineSimilarity.info,
       CosineSimilarity.builder))
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -449,9 +449,29 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** SQL-API surface: one portable ANSI statement executed verbatim by
+    * BOTH engines — `spark.sql` over registered temp views on the Spark
+    * side, the oracle string is character-for-character the same. */
+  val sqlApiText: String =
+    """SELECT l_returnflag, o_orderpriority,
+      |  count(*) AS n,
+      |  count(DISTINCT l_suppkey) AS n_suppliers,
+      |  round(avg(l_quantity), 6) AS avg_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_discount > 0.05
+      |GROUP BY l_returnflag, o_orderpriority
+      |ORDER BY l_returnflag, o_orderpriority""".stripMargin
+
+  val sqlApi: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(sqlApiText)
+  }
+
   val queries: Map[String, Q] = Map(
     "r12_salted_agg" -> saltedAgg,
     "r17_approx_distinct" -> approxDistinct,
+    "r18_sql_api" -> sqlApi,
     "r13_range_join" -> rangeJoin,
     "r14_asof_join" -> asofJoin,
     "r15_cube_pricing" -> cubePricing,
@@ -470,6 +490,7 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "r12_salted_agg" -> saltedAggSql,
+    "r18_sql_api" -> sqlApiText,
     "r13_range_join" -> rangeJoinSql,
     "r14_asof_join" -> asofJoinSql,
     "r15_cube_pricing" -> cubePricingSql,

@@ -298,9 +298,18 @@ object TextOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sh = shingles(doc).distinct().cache()
+    // Only candidate docs' shingles matter for the verify stage — the
+    // broadcast semi-join prunes the 2M-row shingle relation down to the
+    // ~1k candidate docs BEFORE any wide join, so neither verify join
+    // ever shuffles the full corpus (the LSH-candidates-then-verify
+    // shape's whole point at 100 TB).
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = shingles(doc).distinct()
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
+    val inter = broadcast(cand)
       .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))

@@ -199,7 +199,10 @@ object TextOps {
     * makes a candidate pair; estimated Jaccard = matching sigs / 8. */
   val dedupMinhash: Q = (s, d) => {
     val doc = Tables.documents(s, d)
-    val sig = signatures(doc).cache()
+    // NOTE: deliberately un-cached — the signature lineage recomputes in
+    // ~1 s while an InMemoryRelation columnar build costs several times
+    // that (measured 21.5 s vs 3.7 s for the full t08 at sf0.1)
+    val sig = signatures(doc)
     val bands = (0 until 4).map { b =>
       sig.select(col("doc_id"), lit(b).as("band"),
         concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("key"))
@@ -288,7 +291,7 @@ object TextOps {
     * LSH-candidates → exact-verify pipeline shape). */
   val ngramJaccard: Q = (s, d) => {
     val doc = Tables.documents(s, d)
-    val sig = signatures(doc).cache()
+    val sig = signatures(doc)
     val bands = (0 until 4).map { b =>
       sig.select(col("doc_id"), lit(b).as("band"),
         concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("key"))
@@ -307,7 +310,6 @@ object TextOps {
       .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
     val sh = shingles(doc).distinct()
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      .cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = broadcast(cand)
       .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")

@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   * Oracle contract: every oracle query must mirror the identical per-row
   * cast — `CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)` for [[xsum]],
   * scale 18 for [[xsumHi]] — a native double SUM on the oracle side can
-  * drift past round-to-6 tolerance at scale (see the DuckdbParitySpec
-  * fixture test).
+  * drift past round-to-6 tolerance at scale. [[xsumSql]]/[[xsumHiSql]]
+  * generate the spelling so both sides share one source of truth; the
+  * cross-engine check is the Verify → devtools/check.py loop (every
+  * declared aggregate is exercised against DuckDB at sf0.01).
   */
 object Num {
   /** Exact, order-independent sum of a double expression (money-scale). */

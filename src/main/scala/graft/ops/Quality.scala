@@ -195,15 +195,49 @@ object Quality {
        |FROM enriched
        |ORDER BY scene_ts""".stripMargin)
 
+  /** The filter APPLIED — quality.py:93-96: rejected timestamps drop out
+    * of the pixel cube via a semi-join against the kept scene set; output
+    * is the per-scene survivor census (proves the join-back shape, not
+    * just the per-scene verdict that q04 emits). */
+  val qualityFilterAppliedQ: Q = (s, d) => {
+    val px = PixelOps.withIndices(Pixels.pixels(s, d))
+    val kept = sceneStats(s, d)
+      .withColumn("valid_share", lit(100.0) * col("n_valid") / col("n_total"))
+      .filter(col("valid_share") >= 40.0)
+      .select("time")
+    px.join(kept, Seq("time"), "left_semi")
+      .groupBy(year(col("date")).as("yr"))
+      .agg(count(lit(1)).as("n_pixels"),
+        countDistinct("time").as("n_scenes"),
+        r6(avg("ndvi_c")).as("ndvi_mean"))
+      .orderBy("yr")
+  }
+
+  val qualityFilterAppliedSql: String = Pixels.withPixels(
+    s"""WITH kept AS (
+       |  SELECT time FROM ($sceneSqlBody)
+       |  WHERE 100.0 * n_valid / n_total >= 40.0
+       |)
+       |SELECT CAST(year(date) AS INT) AS yr,
+       |  count(*) AS n_pixels,
+       |  count(DISTINCT p.time) AS n_scenes,
+       |  round(avg(${Pixels.Sql0.ndviClipped}), 6) AS ndvi_mean
+       |FROM pixels p
+       |WHERE EXISTS (SELECT 1 FROM kept k WHERE k.time = p.time)
+       |GROUP BY year(date)
+       |ORDER BY yr""".stripMargin)
+
   val queries: Map[String, Q] = Map(
     "q01_granule_qc" -> granuleQcQ,
     "q02_granule_gate" -> granuleGateQ,
     "q03_scene_stats" -> sceneStatsQ,
-    "q04_quality_neighbor" -> qualityNeighborQ)
+    "q04_quality_neighbor" -> qualityNeighborQ,
+    "q05_quality_filter_applied" -> qualityFilterAppliedQ)
 
   val oracle: Map[String, String] = Map(
     "q01_granule_qc" -> granuleQcSql,
     "q02_granule_gate" -> granuleGateSql,
     "q03_scene_stats" -> sceneStatsSql,
-    "q04_quality_neighbor" -> qualityNeighborSql)
+    "q04_quality_neighbor" -> qualityNeighborSql,
+    "q05_quality_filter_applied" -> qualityFilterAppliedSql)
 }

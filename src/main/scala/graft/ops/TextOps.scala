@@ -359,7 +359,33 @@ object TextOps {
        |ORDER BY c.doc_a, c.doc_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t09
+  /** Dedup materialized: the kept corpus after exact dedup — keep the
+    * lowest doc_id per distinct text (row_number over the hash group).
+    * This is the query a training-data pipeline actually ships; t05 is
+    * the audit summary. */
+  val dedupKeepFirst: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val doc = Tables.documents(s, d)
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    doc.select(col("doc_id"), col("source"), col("n_chars"),
+        md5(col("text").cast("binary")).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val dedupKeepFirstSql: String =
+    """SELECT doc_id, source, n_chars FROM (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t09_dedup_keep_first" -> dedupKeepFirst,
     "t01_text_stats" -> textStats,
     "t02_lang_id" -> langId,
     "t03_token_count" -> tokenCount,
@@ -370,6 +396,7 @@ object TextOps {
     "t08_ngram_jaccard" -> ngramJaccard)
 
   val oracle: Map[String, String] = Map(
+    "t09_dedup_keep_first" -> dedupKeepFirstSql,
     "t01_text_stats" -> textStatsSql,
     "t02_lang_id" -> langIdSql,
     "t03_token_count" -> tokenCountSql,

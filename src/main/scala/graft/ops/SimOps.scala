@@ -207,14 +207,97 @@ object SimOps {
       .orderBy("qid", "rk")
   }
 
+  // ---------------------------------------------------------------- v05
+  /** IVF-style ANN: coarse-quantize every vector to its nearest of 8
+    * fixed centroids (vectors 100-107, deterministic), then search only
+    * within the query's cell (nprobe=1) — the inverted-file scale path:
+    * the full-corpus scan happens once for assignment; each query then
+    * touches ~1/8 of the corpus. DECIMAL-exact cosines keep the argmax
+    * assignment and the ranking bit-identical to the oracle. */
+  val simIvf: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val f = flat(s, d)
+    val n = norms(f)
+    val cent = f.filter(col("vec_id").between(100, 107))
+      .select(col("vec_id").as("cid"), col("i"), col("v").as("cv"))
+    val aDots = f.join(broadcast(cent), Seq("i"))
+      .groupBy("vec_id", "cid")
+      .agg(xsumHi(col("v") * col("cv")).as("dot"))
+    val aCos = aDots
+      .join(n, "vec_id")
+      .join(n.select(col("vec_id").as("cid"), col("nrm").as("cnrm")), "cid")
+      .select(col("vec_id"), col("cid"),
+        (col("dot") / (col("nrm") * col("cnrm"))).as("cosc"))
+    val assign = aCos.groupBy("vec_id")
+      .agg(expr("max_by(cid, cosc)").as("cell"))
+    val fc = f.join(assign, "vec_id")
+    val q = fc.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("cell"), col("i"), col("v").as("qv"))
+    val dots = fc.join(broadcast(q), Seq("cell", "i"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(xsumHi(col("qv") * col("v")).as("dot"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid").asc)
+    dots
+      .join(n.select(col("vec_id").as("qid"), col("nrm").as("qnrm")), "qid")
+      .join(n, "vec_id")
+      .select(col("qid"), col("vec_id").as("cid"),
+        (col("dot") / (col("qnrm") * col("nrm"))).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("cid"), r6(col("cosine")).as("cosine"))
+      .orderBy("qid", "rk")
+  }
+
+  val simIvfSql: String =
+    s"""WITH f AS (
+       |$flatSql
+       |), n AS (
+       |$normsSql
+       |), cent AS (
+       |  SELECT vec_id AS cid, i, v AS cv FROM f WHERE vec_id BETWEEN 100 AND 107
+       |), adots AS (
+       |  SELECT f.vec_id, cent.cid, ${xsumHiSql("f.v * cent.cv")} AS dot
+       |  FROM f JOIN cent ON f.i = cent.i
+       |  GROUP BY f.vec_id, cent.cid
+       |), acos AS (
+       |  SELECT adots.vec_id, adots.cid,
+       |    adots.dot / (nv.nrm * nc.nrm) AS cosc
+       |  FROM adots JOIN n nv ON adots.vec_id = nv.vec_id
+       |             JOIN n nc ON adots.cid = nc.vec_id
+       |), assign AS (
+       |  SELECT vec_id, max_by(cid, cosc) AS cell FROM acos GROUP BY vec_id
+       |), fc AS (
+       |  SELECT f.vec_id, f.i, f.v, assign.cell
+       |  FROM f JOIN assign ON f.vec_id = assign.vec_id
+       |), q AS (
+       |  SELECT vec_id AS qid, cell, i, v AS qv FROM fc WHERE vec_id < 20
+       |), dots AS (
+       |  SELECT q.qid, fc.vec_id AS cid, ${xsumHiSql("q.qv * fc.v")} AS dot
+       |  FROM fc JOIN q ON fc.cell = q.cell AND fc.i = q.i AND fc.vec_id <> q.qid
+       |  GROUP BY q.qid, fc.vec_id
+       |), cos AS (
+       |  SELECT dots.qid, dots.cid, dots.dot / (nq.nrm * nc.nrm) AS cosine
+       |  FROM dots JOIN n nq ON dots.qid = nq.vec_id
+       |            JOIN n nc ON dots.cid = nc.vec_id
+       |)
+       |SELECT qid, rk, cid, round(cosine, 6) AS cosine FROM (
+       |  SELECT qid, cid, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
+       |  FROM cos) t
+       |WHERE rk <= 3
+       |ORDER BY qid, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "v01_sim_topk" -> simTopk,
     "v02_sim_lsh" -> simLsh,
     "v03_label_sim_stats" -> labelSimStats,
-    "v04_sim_topk_native" -> simTopkNative)
+    "v04_sim_topk_native" -> simTopkNative,
+    "v05_sim_ivf" -> simIvf)
 
   val oracle: Map[String, String] = Map(
     "v01_sim_topk" -> simTopkSql,
     "v02_sim_lsh" -> simLshSql,
-    "v03_label_sim_stats" -> labelSimStatsSql)
+    "v03_label_sim_stats" -> labelSimStatsSql,
+    "v05_sim_ivf" -> simIvfSql)
 }

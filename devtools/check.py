@@ -56,7 +56,11 @@ def main():
             a, b = sdf[c].values, ddf[c].values
             if a.dtype.kind == 'f' or b.dtype.kind == 'f':
                 af = a.astype('float64'); bf = b.astype('float64')
-                neq = ~((af == bf) | (np.isnan(af) & np.isnan(bf)))
+                # bitwise compare: the driver hashes values, so -0.0 vs 0.0
+                # (DuckDB round() keeps the sign of tiny negatives; Spark's
+                # BigDecimal round does not) must count as a diff here too.
+                neq = ~((af.view('int64') == bf.view('int64')) |
+                        (np.isnan(af) & np.isnan(bf)))
             else:
                 neq = np.array([x != y for x, y in zip(a, b)])
             if neq.any():

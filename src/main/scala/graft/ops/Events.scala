@@ -57,8 +57,8 @@ object Events {
 
   val sceneSeriesSql: String =
     s"""SELECT strftime(day, '%Y-%m-%d') AS day,
-       |  round(vmean, 6) AS vmean,
-       |  round(vstd, 6) AS vstd,
+       |  0.0 + round(vmean, 6) AS vmean,
+       |  0.0 + round(vstd, 6) AS vstd,
        |  n_events
        |FROM ($daySqlBody)
        |ORDER BY day""".stripMargin
@@ -79,9 +79,9 @@ object Events {
 
   val winDiffSql: String =
     s"""SELECT strftime(day, '%Y-%m-%d') AS day,
-       |  round(vmean, 6) AS vmean,
-       |  round(vmean - lag(vmean) OVER (ORDER BY day), 6) AS diff,
-       |  round(lead(vmean) OVER (ORDER BY day) - vmean, 6) AS recovery
+       |  0.0 + round(vmean, 6) AS vmean,
+       |  0.0 + round(vmean - lag(vmean) OVER (ORDER BY day), 6) AS diff,
+       |  0.0 + round(lead(vmean) OVER (ORDER BY day) - vmean, 6) AS recovery
        |FROM ($daySqlBody)
        |ORDER BY day""".stripMargin
 
@@ -119,10 +119,10 @@ object Events {
 
   val abruptDropsSql: String =
     s"""SELECT strftime(day, '%Y-%m-%d') AS date,
-       |  round(prev_mean, 6) AS value_before,
-       |  round(vmean, 6) AS value_during,
-       |  round(next_mean, 6) AS value_after,
-       |  round(vmean - prev_mean, 6) AS drop,
+       |  0.0 + round(prev_mean, 6) AS value_before,
+       |  0.0 + round(vmean, 6) AS value_during,
+       |  0.0 + round(next_mean, 6) AS value_after,
+       |  0.0 + round(vmean - prev_mean, 6) AS drop,
        |  CASE WHEN next_mean IS NULL THEN 'recent_event'
        |       WHEN next_mean - vmean > $RecoveryThreshold THEN 'transient_anomaly'
        |       ELSE 'possible_fire_or_harvest' END AS type
@@ -157,8 +157,8 @@ object Events {
   val sustainedChangeSql: String =
     s"""SELECT strftime(start_day, '%Y-%m-%d') AS start_date,
        |  strftime(day, '%Y-%m-%d') AS end_date,
-       |  round(w3_mean, 6) AS window_mean,
-       |  round(prior, 6) AS prior_value
+       |  0.0 + round(w3_mean, 6) AS window_mean,
+       |  0.0 + round(prior, 6) AS prior_value
        |FROM (
        |  SELECT day,
        |    max(vmean) OVER (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS w3_max,

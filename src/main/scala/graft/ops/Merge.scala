@@ -42,8 +42,8 @@ object Merge {
     val f = Pixels.Sql0
     Pixels.withPixels(
       s"""SELECT strftime(time, '%Y-%m-%d %H:%M:%S') AS t, y, x,
-         |  round(avg(${f.ndviClipped}), 6) AS ndvi,
-         |  round(avg(${f.eviClipped}), 6) AS evi,
+         |  0.0 + round(avg(${f.ndviClipped}), 6) AS ndvi,
+         |  0.0 + round(avg(${f.eviClipped}), 6) AS evi,
          |  count(DISTINCT tile_id) AS num_tiles_merged,
          |  string_agg(DISTINCT CAST(tile_id AS VARCHAR), '+' ORDER BY CAST(tile_id AS VARCHAR)) AS tile_ids
          |FROM pixels
@@ -82,8 +82,8 @@ object Merge {
     Pixels.withPixels(
       s"""WITH merged AS (
          |  SELECT date, y, x,
-         |    round(avg(${f.ndviClipped}), 6) AS ndvi,
-         |    round(avg(${f.eviClipped}), 6) AS evi,
+         |    0.0 + round(avg(${f.ndviClipped}), 6) AS ndvi,
+         |    0.0 + round(avg(${f.eviClipped}), 6) AS evi,
          |    count(DISTINCT (tile_id, time)) AS num_granules_merged
          |  FROM pixels WHERE year(date) = 1996
          |  GROUP BY date, y, x

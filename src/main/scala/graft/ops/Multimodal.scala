@@ -128,7 +128,7 @@ object Multimodal {
   val mediaTypeStatsSql: String =
     """SELECT media_type, count(*) AS n_items,
       |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-      |  round(avg(n_bytes), 6) AS avg_bytes,
+      |  0.0 + round(avg(n_bytes), 6) AS avg_bytes,
       |  min(n_bytes) AS min_bytes,
       |  max(n_bytes) AS max_bytes
       |FROM (

@@ -36,7 +36,16 @@ object Num {
   def xsumHiSql(expr: String): String =
     s"CAST(SUM(CAST(($expr) AS DECIMAL(38,18))) AS DOUBLE)"
 
-  /** Round for oracle comparison (absorbs cross-engine accumulation order). */
+  /** Round for oracle comparison (absorbs cross-engine accumulation order).
+    *
+    * Negative-zero contract: Spark's Round goes through java BigDecimal,
+    * which cannot represent -0.0, so r6/r4 never emit a signed zero. DuckDB's
+    * round() keeps the sign when a tiny negative rounds to zero, and the
+    * driver's compare hashes values (where -0.0 != 0.0 even though they
+    * compare ==). Every oracle SQL therefore spells `0.0 + round(...)` —
+    * IEEE addition normalizes -0.0 + 0.0 to +0.0 — keeping both engines on
+    * the same bit pattern. devtools/check.py compares float bits to enforce
+    * this. */
   def r6(c: Column): Column = round(c, 6)
   def r4(c: Column): Column = round(c, 4)
 }

@@ -47,11 +47,11 @@ object PixelOps {
     Pixels.withPixels(
       s"""SELECT px_id, y, x,
          |  ${f.combinedMask} AS mask,
-         |  round(${f.ndviMasked}, 6) AS ndvi,
-         |  round(${f.eviMasked}, 6) AS evi,
-         |  round(${f.ndviClipped}, 6) AS ndvi_clip,
-         |  round(${f.eviClipped}, 6) AS evi_clip,
-         |  round(coalesce(${f.ndviClipped}, -9999.0), 6) AS ndvi_filled
+         |  0.0 + round(${f.ndviMasked}, 6) AS ndvi,
+         |  0.0 + round(${f.eviMasked}, 6) AS evi,
+         |  0.0 + round(${f.ndviClipped}, 6) AS ndvi_clip,
+         |  0.0 + round(${f.eviClipped}, 6) AS evi_clip,
+         |  0.0 + round(coalesce(${f.ndviClipped}, -9999.0), 6) AS ndvi_filled
          |FROM pixels
          |WHERE tile_id = 1 AND year(date) = 1996
          |ORDER BY px_id, y, x, mask, ndvi NULLS FIRST, evi NULLS FIRST,
@@ -79,8 +79,8 @@ object PixelOps {
       s"""SELECT px_id,
          |  CAST(y // 2 AS INT) AS y2,
          |  CAST(x // 2 AS INT) AS x2,
-         |  round(coalesce(${f.ndviClipped}, -9999.0), 6) AS ndvi_filled,
-         |  round(coalesce(${f.eviClipped}, -9999.0), 6) AS evi_filled
+         |  0.0 + round(coalesce(${f.ndviClipped}, -9999.0), 6) AS ndvi_filled,
+         |  0.0 + round(coalesce(${f.eviClipped}, -9999.0), 6) AS evi_filled
          |FROM pixels
          |WHERE tile_id = 2 AND year(date) = 1997 AND y % 2 = 0 AND x % 2 = 0
          |ORDER BY px_id, y2, x2, ndvi_filled, evi_filled""".stripMargin)
@@ -103,7 +103,7 @@ object PixelOps {
     Pixels.withPixels(
       s"""SELECT px_id,
          |  strftime(time, '%Y-%m-%d %H:%M:%S') AS t,
-         |  round(${f.ndviClipped}, 6) AS ndvi
+         |  0.0 + round(${f.ndviClipped}, 6) AS ndvi
          |FROM pixels
          |WHERE tile_id = 1 AND y = 5 AND x = 7
          |ORDER BY px_id, t, ndvi NULLS FIRST""".stripMargin)
@@ -123,8 +123,8 @@ object PixelOps {
     val f = Pixels.Sql0
     Pixels.withPixels(
       s"""SELECT px_id, tile_id, y, x,
-         |  round(${f.ndviClipped}, 6) AS ndvi,
-         |  round(${f.eviClipped}, 6) AS evi
+         |  0.0 + round(${f.ndviClipped}, 6) AS ndvi,
+         |  0.0 + round(${f.eviClipped}, 6) AS evi
          |FROM pixels
          |WHERE date = DATE '1996-03-15'
          |ORDER BY px_id, tile_id, y, x, ndvi NULLS FIRST, evi NULLS FIRST""".stripMargin)

@@ -58,8 +58,8 @@ object Quality {
     val f = Pixels.Sql0
     s"""SELECT tile_id, time, count(*) AS total,
        |  CAST(sum(CASE WHEN ${f.combinedMask} THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
-       |  round(100.0 * sum(CASE WHEN NOT ${f.combinedMask} THEN 1 ELSE 0 END) / count(*), 6) AS valid_pct,
-       |  round(100.0 * (sum(CASE WHEN coalesce(${f.haze}, false) THEN 1 ELSE 0 END)
+       |  0.0 + round(100.0 * sum(CASE WHEN NOT ${f.combinedMask} THEN 1 ELSE 0 END) / count(*), 6) AS valid_pct,
+       |  0.0 + round(100.0 * (sum(CASE WHEN coalesce(${f.haze}, false) THEN 1 ELSE 0 END)
        |    + sum(CASE WHEN coalesce(${f.anomalyLow} OR ${f.anomalyHigh}, false) THEN 1 ELSE 0 END)
        |    + sum(CASE WHEN coalesce(${f.invalidNdvi}, false) THEN 1 ELSE 0 END)) / count(*), 6) AS contamination_pct
        |FROM pixels GROUP BY tile_id, time""".stripMargin
@@ -119,8 +119,8 @@ object Quality {
 
   val sceneStatsSql: String = Pixels.withPixels(
     s"""SELECT strftime(time, '%Y-%m-%d %H:%M:%S') AS scene_ts,
-       |  round(ndvi_mean, 6) AS ndvi_mean,
-       |  round(ndvi_std, 6) AS ndvi_std,
+       |  0.0 + round(ndvi_mean, 6) AS ndvi_mean,
+       |  0.0 + round(ndvi_std, 6) AS ndvi_std,
        |  n_valid, n_total
        |FROM ($sceneSqlBody)
        |ORDER BY scene_ts""".stripMargin)
@@ -177,8 +177,8 @@ object Quality {
        |  FROM scenes
        |)
        |SELECT strftime(time, '%Y-%m-%d %H:%M:%S') AS scene_ts,
-       |  round(ndvi_mean, 6) AS ndvi_mean,
-       |  round(contamination_pct, 6) AS contamination_pct,
+       |  0.0 + round(ndvi_mean, 6) AS ndvi_mean,
+       |  0.0 + round(contamination_pct, 6) AS contamination_pct,
        |  CASE
        |    WHEN n_scenes < 3 THEN 'kept_all'
        |    WHEN valid_share < 40.0 OR contamination_pct > 80.0 THEN 'rejected_hard'
@@ -221,7 +221,7 @@ object Quality {
        |SELECT CAST(year(date) AS INT) AS yr,
        |  count(*) AS n_pixels,
        |  count(DISTINCT p.time) AS n_scenes,
-       |  round(avg(${Pixels.Sql0.ndviClipped}), 6) AS ndvi_mean
+       |  0.0 + round(avg(${Pixels.Sql0.ndviClipped}), 6) AS ndvi_mean
        |FROM pixels p
        |WHERE EXISTS (SELECT 1 FROM kept k WHERE k.time = p.time)
        |GROUP BY year(date)

@@ -45,9 +45,9 @@ object Relational {
        |  ${xsumSql("l_extendedprice")} AS sum_base_price,
        |  ${xsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
        |  ${xsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
-       |  round(avg(l_quantity), 6) AS avg_qty,
-       |  round(avg(l_extendedprice), 6) AS avg_price,
-       |  round(avg(l_discount), 6) AS avg_disc,
+       |  0.0 + round(avg(l_quantity), 6) AS avg_qty,
+       |  0.0 + round(avg(l_extendedprice), 6) AS avg_price,
+       |  0.0 + round(avg(l_discount), 6) AS avg_disc,
        |  count(*) AS count_order
        |FROM lineitem
        |WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
@@ -100,7 +100,7 @@ object Relational {
     s"""SELECT c_mktsegment, o_orderpriority,
        |  count(*) AS n_orders,
        |  ${xsumSql("o_totalprice")} AS total_revenue,
-       |  round(avg(o_totalprice), 6) AS avg_price
+       |  0.0 + round(avg(o_totalprice), 6) AS avg_price
        |FROM orders JOIN customer ON o_custkey = c_custkey
        |GROUP BY c_mktsegment, o_orderpriority
        |ORDER BY c_mktsegment, o_orderpriority""".stripMargin
@@ -117,7 +117,7 @@ object Relational {
 
   val custWithOrdersSql: String =
     """SELECT c_mktsegment, count(*) AS n_customers,
-      |  round(avg(c_acctbal), 6) AS avg_acctbal
+      |  0.0 + round(avg(c_acctbal), 6) AS avg_acctbal
       |FROM customer c
       |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
       |GROUP BY c_mktsegment
@@ -261,7 +261,7 @@ object Relational {
       |  CAST(length(o_orderpriority) AS INT) AS pri_len,
       |  concat_ws('|', o_orderstatus, o_orderpriority) AS tag,
       |  o_orderpriority LIKE '%URGENT%' AS is_urgent,
-      |  round(o_totalprice * 0.1, 6) AS tithe
+      |  0.0 + round(o_totalprice * 0.1, 6) AS tithe
       |FROM orders
       |WHERE o_orderkey % 97 = 0
       |ORDER BY o_orderkey""".stripMargin
@@ -284,7 +284,7 @@ object Relational {
   val jsonPropsSql: String =
     """SELECT event_type, count(*) AS n,
       |  CAST(sum(k) AS BIGINT) AS sum_k,
-      |  round(avg(k), 6) AS avg_k,
+      |  0.0 + round(avg(k), 6) AS avg_k,
       |  min(k) AS min_k, max(k) AS max_k
       |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
       |GROUP BY event_type
@@ -315,7 +315,7 @@ object Relational {
     s"""SELECT l_returnflag,
        |  ${xsumSql("l_extendedprice")} AS sum_price,
        |  count(*) AS n_rows,
-       |  round(${xsumSql("l_extendedprice")} / count(*), 6) AS avg_price
+       |  0.0 + round(${xsumSql("l_extendedprice")} / count(*), 6) AS avg_price
        |FROM lineitem
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin
@@ -403,7 +403,7 @@ object Relational {
     """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
       |  coalesce(l_linestatus, 'ALL') AS linestatus,
       |  count(*) AS n,
-      |  round(avg(l_quantity), 6) AS avg_qty
+      |  0.0 + round(avg(l_quantity), 6) AS avg_qty
       |FROM lineitem
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
@@ -428,7 +428,7 @@ object Relational {
       |  CAST(rank() OVER w AS INT) AS rnk,
       |  CAST(dense_rank() OVER w AS INT) AS drnk,
       |  CAST(ntile(4) OVER w AS INT) AS quartile,
-      |  round(percent_rank() OVER w, 6) AS prank
+      |  0.0 + round(percent_rank() OVER w, 6) AS prank
       |FROM supplier
       |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)
       |ORDER BY s_nationkey, rnk, s_suppkey""".stripMargin
@@ -456,7 +456,7 @@ object Relational {
     """SELECT l_returnflag, o_orderpriority,
       |  count(*) AS n,
       |  count(DISTINCT l_suppkey) AS n_suppliers,
-      |  round(avg(l_quantity), 6) AS avg_qty
+      |  0.0 + round(avg(l_quantity), 6) AS avg_qty
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE l_discount > 0.05
       |GROUP BY l_returnflag, o_orderpriority

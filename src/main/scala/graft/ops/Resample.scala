@@ -101,9 +101,9 @@ object Resample {
        |  FROM targets
        |)
        |SELECT ty, tx,
-       |  round(sum(CASE WHEN v IS NOT NULL THEN w * v END)
+       |  0.0 + round(sum(CASE WHEN v IS NOT NULL THEN w * v END)
        |        / sum(CASE WHEN v IS NOT NULL THEN w END), 6) AS ndvi,
-       |  round(sum(CASE WHEN v IS NOT NULL THEN w END), 6) AS w_valid
+       |  0.0 + round(sum(CASE WHEN v IS NOT NULL THEN w END), 6) AS w_valid
        |FROM weighted LEFT JOIN src ON ny = src.y AND nx = src.x
        |GROUP BY ty, tx
        |ORDER BY ty, tx""".stripMargin)

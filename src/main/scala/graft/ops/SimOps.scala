@@ -89,7 +89,7 @@ object SimOps {
 
   val simTopkSql: String =
     s"""WITH ${cosinesSql(20)}
-       |SELECT qid, rk, cid, round(cosine, 6) AS cosine FROM (
+       |SELECT qid, rk, cid, 0.0 + round(cosine, 6) AS cosine FROM (
        |  SELECT qid, cid, cosine,
        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
        |  FROM cos) t
@@ -147,7 +147,7 @@ object SimOps {
        |  FROM dots JOIN n nq ON dots.qid = nq.vec_id
        |            JOIN n nc ON dots.cid = nc.vec_id
        |)
-       |SELECT qid, rk, cid, round(cosine, 6) AS cosine FROM (
+       |SELECT qid, rk, cid, 0.0 + round(cosine, 6) AS cosine FROM (
        |  SELECT qid, cid, cosine,
        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
        |  FROM cos) t
@@ -175,8 +175,8 @@ object SimOps {
     s"""WITH ${cosinesSql(50)}
        |SELECT la.label AS label_a, lb.label AS label_b,
        |  count(*) AS n_pairs,
-       |  round(avg(cosine), 6) AS avg_cos,
-       |  round(max(cosine), 6) AS max_cos,
+       |  0.0 + round(avg(cosine), 6) AS avg_cos,
+       |  0.0 + round(max(cosine), 6) AS max_cos,
        |  CAST(sum(CASE WHEN cosine > 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup
        |FROM cos
        |JOIN embeddings la ON cos.qid = la.vec_id
@@ -281,7 +281,7 @@ object SimOps {
        |  FROM dots JOIN n nq ON dots.qid = nq.vec_id
        |            JOIN n nc ON dots.cid = nc.vec_id
        |)
-       |SELECT qid, rk, cid, round(cosine, 6) AS cosine FROM (
+       |SELECT qid, rk, cid, 0.0 + round(cosine, 6) AS cosine FROM (
        |  SELECT qid, cid, cosine,
        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
        |  FROM cos) t

@@ -42,12 +42,12 @@ object Stats {
       s"""SELECT '$tag' AS variable,
          |  count(*) AS n_total,
          |  count($expr) AS n_valid,
-         |  round(100.0 * count($expr) / count(*), 6) AS valid_pct,
-         |  round(min($expr), 6) AS vmin,
-         |  round(max($expr), 6) AS vmax,
-         |  round(avg($expr), 6) AS vmean,
-         |  round(quantile_cont($expr, 0.5), 6) AS vmedian,
-         |  round(stddev_pop($expr), 6) AS vstd
+         |  0.0 + round(100.0 * count($expr) / count(*), 6) AS valid_pct,
+         |  0.0 + round(min($expr), 6) AS vmin,
+         |  0.0 + round(max($expr), 6) AS vmax,
+         |  0.0 + round(avg($expr), 6) AS vmean,
+         |  0.0 + round(quantile_cont($expr, 0.5), 6) AS vmedian,
+         |  0.0 + round(stddev_pop($expr), 6) AS vstd
          |FROM pixels""".stripMargin
     Pixels.withPixels(
       s"""${one(f.ndviClipped, "ndvi")}
@@ -71,8 +71,8 @@ object Stats {
     val f = Pixels.Sql0
     Pixels.withPixels(
       s"""SELECT y, x,
-         |  round(avg(${f.ndviClipped}), 6) AS ndvi_mean,
-         |  round(avg(${f.eviClipped}), 6) AS evi_mean,
+         |  0.0 + round(avg(${f.ndviClipped}), 6) AS ndvi_mean,
+         |  0.0 + round(avg(${f.eviClipped}), 6) AS evi_mean,
          |  count(${f.ndviClipped}) AS n_obs
          |FROM pixels GROUP BY y, x
          |ORDER BY y, x""".stripMargin)
@@ -93,8 +93,8 @@ object Stats {
     val f = Pixels.Sql0
     Pixels.withPixels(
       s"""SELECT y, x,
-         |  round(stddev_pop(${f.ndviClipped}), 6) AS ndvi_std,
-         |  round(stddev_pop(${f.eviClipped}), 6) AS evi_std
+         |  0.0 + round(stddev_pop(${f.ndviClipped}), 6) AS ndvi_std,
+         |  0.0 + round(stddev_pop(${f.eviClipped}), 6) AS evi_std
          |FROM pixels GROUP BY y, x
          |ORDER BY y, x""".stripMargin)
   }

@@ -53,9 +53,9 @@ object TextOps {
        |  CAST(len(list_filter(string_split(text, ' '), x -> x = '$Stop1')) AS INT) AS n_stop1,
        |  CAST(len(list_filter(string_split(text, ' '), x -> x = '$Stop2')) AS INT) AS n_stop2,
        |  CAST(length(text) AS INT) AS n_chars_obs,
-       |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |  0.0 + round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
        |        / len(string_split(text, ' ')), 6) AS avg_token_len,
-       |  round(CAST(len(list_filter(string_split(text, ' '), x -> x = '$Stop1'))
+       |  0.0 + round(CAST(len(list_filter(string_split(text, ' '), x -> x = '$Stop1'))
        |      + len(list_filter(string_split(text, ' '), x -> x = '$Stop2')) AS DOUBLE)
        |        / len(string_split(text, ' ')), 6) AS stopword_ratio
        |FROM documents
@@ -83,7 +83,7 @@ object TextOps {
        |  (CASE WHEN en_score >= 0.04 THEN 'en' ELSE 'unknown' END) = lang AS is_correct
        |FROM (
        |  SELECT doc_id, lang,
-       |    round(CAST(len(list_filter(string_split(text, ' '), x -> x = '$Stop1'))
+       |    0.0 + round(CAST(len(list_filter(string_split(text, ' '), x -> x = '$Stop1'))
        |        + len(list_filter(string_split(text, ' '), x -> x = '$Stop2')) AS DOUBLE)
        |          / len(string_split(text, ' ')), 6) AS en_score
        |  FROM documents)
@@ -241,7 +241,7 @@ object TextOps {
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
        |)
        |SELECT cand.doc_a, cand.doc_b,
-       |  round(CAST($matches AS DOUBLE) / ${Seeds.size}, 6) AS est_jaccard
+       |  0.0 + round(CAST($matches AS DOUBLE) / ${Seeds.size}, 6) AS est_jaccard
        |FROM cand
        |JOIN sig a ON cand.doc_a = a.doc_id
        |JOIN sig b ON cand.doc_b = b.doc_id
@@ -350,7 +350,7 @@ object TextOps {
        |  GROUP BY c.doc_a, c.doc_b
        |)
        |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
-       |  round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+       |  0.0 + round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
        |        / (sa.n + sb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
        |FROM cand c
        |LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b

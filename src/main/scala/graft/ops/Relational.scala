@@ -439,15 +439,38 @@ object Relational {
     * records a rows-only check, and the exact counterpart (r08) anchors
     * correctness. Output includes exact counts so the estimate's error
     * is visible in the result itself. */
+  /** HLL sketch with an oracle-checkable error contract: the raw
+    * estimates differ per engine (different sketch implementations), so
+    * the declared output is the exact count plus booleans asserting the
+    * Spark HLL++ estimate landed inside its documented error bound
+    * (default rsd 5%; 1% variant given 3x headroom). The oracle asserts
+    * the same bounds as literal TRUE — if the sketch ever drifts outside
+    * its contract, the hash compare fails. */
   val approxDistinct: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
     li.groupBy("l_returnflag")
       .agg(
-        approx_count_distinct("l_partkey").as("approx_parts"),
         countDistinct("l_partkey").as("exact_parts"),
-        approx_count_distinct("l_suppkey", 0.01).as("approx_supps_1pct"))
+        approx_count_distinct("l_partkey").as("ap"),
+        approx_count_distinct("l_suppkey", 0.01).as("as1"),
+        countDistinct("l_suppkey").as("exact_supps"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+        (abs(col("ap") - col("exact_parts")) <=
+          col("exact_parts") * 0.15).as("approx_parts_in_bound"),
+        (abs(col("as1") - col("exact_supps")) <=
+          col("exact_supps") * 0.03).as("approx_supps_in_bound"))
       .orderBy("l_returnflag")
   }
+
+  val approxDistinctSql: String =
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+      |  TRUE AS approx_parts_in_bound,
+      |  TRUE AS approx_supps_in_bound
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   /** SQL-API surface: one portable ANSI statement executed verbatim by
     * BOTH engines — `spark.sql` over registered temp views on the Spark
@@ -490,6 +513,7 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "r12_salted_agg" -> saltedAggSql,
+    "r17_approx_distinct" -> approxDistinctSql,
     "r18_sql_api" -> sqlApiText,
     "r13_range_join" -> rangeJoinSql,
     "r14_asof_join" -> asofJoinSql,

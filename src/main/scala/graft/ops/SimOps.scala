@@ -187,10 +187,11 @@ object SimOps {
   // ---------------------------------------------------------------- v04
   /** Native-expression top-5: same semantics as v01 but through the
     * codegen'd graft_cosine Catalyst expression over the packed float
-    * arrays — no explode, no join-key shuffle, one scan. Not
-    * oracle-declared (float accumulation order differs from the DECIMAL
-    * relational form by design); SimSpec asserts it agrees with v01's
-    * ranking, and Bench shows the speedup. */
+    * arrays — no explode, no join-key shuffle, one scan. Oracle-declared
+    * against the same DECIMAL-exact SQL as v01: the expression accumulates
+    * in double (relative error ~1e-15 over dim 64), far inside the
+    * round-to-6 tolerance, and SimSpec asserts the ranking agrees with
+    * v01; Bench shows the speedup. */
   val simTopkNative: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, d)
@@ -299,5 +300,6 @@ object SimOps {
     "v01_sim_topk" -> simTopkSql,
     "v02_sim_lsh" -> simLshSql,
     "v03_label_sim_stats" -> labelSimStatsSql,
+    "v04_sim_topk_native" -> simTopkSql,
     "v05_sim_ivf" -> simIvfSql)
 }

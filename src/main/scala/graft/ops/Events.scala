@@ -210,17 +210,99 @@ object Events {
        |GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  /** Rolling statistics with BOTH frame kinds over the day series: a
+    * 7-row ROWS frame (last 7 observations) and a 7-day RANGE frame over
+    * the epoch-day ordering (true calendar week — differs from the ROWS
+    * frame exactly when days are missing). The series is one row per day,
+    * so the unpartitioned window is microscopic at any event volume. */
+  val rollingStatsQ: Q = (s, d) => {
+    val wRows = Window.orderBy("day_num").rowsBetween(-6, 0)
+    val wRange = Window.orderBy("day_num").rangeBetween(-6, 0)
+    dayStats(s, d)
+      .withColumn("day_num", datediff(col("day"), lit("2024-01-01").cast("date")))
+      .withColumn("ma7_rows", avg(col("vmean")).over(wRows))
+      .withColumn("ma7_cal", avg(col("vmean")).over(wRange))
+      .withColumn("roll_min", min(col("vmean")).over(wRows))
+      .withColumn("roll_max", max(col("vmean")).over(wRows))
+      .withColumn("n_in_week", count(lit(1)).over(wRange))
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        r6(col("vmean")).as("vmean"),
+        r6(col("ma7_rows")).as("ma7_rows"),
+        r6(col("ma7_cal")).as("ma7_cal"),
+        r6(col("roll_min")).as("roll_min"),
+        r6(col("roll_max")).as("roll_max"),
+        col("n_in_week"))
+      .orderBy("day")
+  }
+
+  val rollingStatsSql: String =
+    s"""SELECT strftime(day, '%Y-%m-%d') AS day,
+       |  0.0 + round(vmean, 6) AS vmean,
+       |  0.0 + round(avg(vmean) OVER (ORDER BY day_num ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7_rows,
+       |  0.0 + round(avg(vmean) OVER (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7_cal,
+       |  0.0 + round(min(vmean) OVER (ORDER BY day_num ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS roll_min,
+       |  0.0 + round(max(vmean) OVER (ORDER BY day_num ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS roll_max,
+       |  count(*) OVER (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_in_week
+       |FROM (
+       |  SELECT day, vmean,
+       |    CAST(day - DATE '2024-01-01' AS INT) AS day_num
+       |  FROM ($daySqlBody))
+       |ORDER BY day""".stripMargin
+
+  /** Calendar gap-fill + last-observation-carried-forward: the quality
+    * filter drops low scenes (vmean below a bar), the dense calendar is
+    * rebuilt with `sequence(min, max, 1 day)`, and dropped days are
+    * filled from the last kept scene — the filter→merge→export lifecycle
+    * (pipeline.py:156-176) when a sink wants a gapless series. The
+    * calendar explode is one row per day and the LOCF window one pass. */
+  val gapfillLocfQ: Q = (s, d) => {
+    val kept = dayStats(s, d).filter(col("vmean") >= 48.0)
+      .select(col("day"), col("vmean"))
+    val cal = kept.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(kept, Seq("day"), "left")
+      .withColumn("v_filled", last(col("vmean"), ignoreNulls = true).over(w))
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        r6(col("vmean")).as("vmean_kept"),
+        r6(col("v_filled")).as("v_filled"),
+        col("vmean").isNull.as("is_gap"))
+      .orderBy("day")
+  }
+
+  val gapfillLocfSql: String =
+    s"""WITH ds AS (
+       |  SELECT day, vmean FROM ($daySqlBody) WHERE vmean >= 48.0
+       |), b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ds
+       |), cal AS (
+       |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+       |  FROM b
+       |), j AS (SELECT cal.day, ds.vmean FROM cal LEFT JOIN ds ON cal.day = ds.day)
+       |SELECT strftime(day, '%Y-%m-%d') AS day,
+       |  0.0 + round(vmean, 6) AS vmean_kept,
+       |  0.0 + round(last_value(vmean IGNORE NULLS) OVER (ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_filled,
+       |  vmean IS NULL AS is_gap
+       |FROM j
+       |ORDER BY day""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "e01_scene_series" -> sceneSeriesQ,
     "e02_win_diff" -> winDiffQ,
     "e03_abrupt_drops" -> abruptDropsQ,
     "e04_sustained_change" -> sustainedChangeQ,
-    "e05_sessionize" -> sessionizeQ)
+    "e05_sessionize" -> sessionizeQ,
+    "e06_rolling_stats" -> rollingStatsQ,
+    "e07_gapfill_locf" -> gapfillLocfQ)
 
   val oracle: Map[String, String] = Map(
     "e01_scene_series" -> sceneSeriesSql,
     "e02_win_diff" -> winDiffSql,
     "e03_abrupt_drops" -> abruptDropsSql,
     "e04_sustained_change" -> sustainedChangeSql,
-    "e05_sessionize" -> sessionizeSql)
+    "e05_sessionize" -> sessionizeSql,
+    "e06_rolling_stats" -> rollingStatsSql,
+    "e07_gapfill_locf" -> gapfillLocfSql)
 }

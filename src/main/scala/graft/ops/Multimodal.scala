@@ -139,11 +139,49 @@ object Multimodal {
       |GROUP BY media_type
       |ORDER BY media_type""".stripMargin
 
+  // ---------------------------------------------------------------- x03
+  /** Frame sampling: every 30th frame of each video expands to one row
+    * with its frame index and byte range — the row shape a frame decoder
+    * (mapPartitions kernel, [[decodeStub]]'s sibling) consumes. The
+    * generated `sequence` is built and exploded inside the row (nothing
+    * wide rides along), so the fan-out is shuffle-free and proportional
+    * to the sampled—not total—frame count. */
+  val frameSample: Q = (s, d) => {
+    val m = mediaFromDocuments(s, d)
+      .select(col("media_id"), col("media_type"),
+        octet_length(col("payload")).as("n_bytes"))
+      .filter(col("media_type") === "video")
+      .withColumn("n_frames", lit(1) + col("n_bytes") % 240)
+      .withColumn("frame_bytes", col("n_bytes") * 3)
+    m.select(col("media_id"), col("n_frames"), col("frame_bytes"),
+        explode(expr("sequence(0, n_frames - 1, 30)")).as("frame_idx"))
+      .select(
+        col("media_id"), col("n_frames"), col("frame_idx"),
+        (col("frame_idx").cast("long") * col("frame_bytes")).as("byte_start"),
+        ((col("frame_idx") + 1).cast("long") * col("frame_bytes") - 1).as("byte_end"))
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val frameSampleSql: String =
+    """SELECT media_id, n_frames, CAST(g.f AS INT) AS frame_idx,
+      |  CAST(g.f * frame_bytes AS BIGINT) AS byte_start,
+      |  CAST((g.f + 1) * frame_bytes - 1 AS BIGINT) AS byte_end
+      |FROM (
+      |  SELECT doc_id AS media_id,
+      |    1 + CAST(octet_length(encode(text)) AS INT) % 240 AS n_frames,
+      |    CAST(octet_length(encode(text)) AS INT) * 3 AS frame_bytes
+      |  FROM documents
+      |  WHERE ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] = 'video'),
+      |LATERAL (SELECT unnest(generate_series(0, n_frames - 1, 30)) AS f) g
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "x01_media_meta" -> mediaMeta,
-    "x02_media_type_stats" -> mediaTypeStats)
+    "x02_media_type_stats" -> mediaTypeStats,
+    "x03_frame_sample" -> frameSample)
 
   val oracle: Map[String, String] = Map(
     "x01_media_meta" -> mediaMetaSql,
-    "x02_media_type_stats" -> mediaTypeStatsSql)
+    "x02_media_type_stats" -> mediaTypeStatsSql,
+    "x03_frame_sample" -> frameSampleSql)
 }

@@ -26,15 +26,18 @@ object Quality {
   val MaxContaminationPct = 55.0
   val MinValidPct = 30.0
 
-  /** Per-granule conditional counts — processor.py:270-272. */
-  def granuleQc(s: SparkSession, d: String): DataFrame = {
+  /** Per-granule conditional counts — processor.py:270-272. The QcConfig
+    * parameter feeds BOTH the Catalyst predicates here and the oracle SQL
+    * fragments (Pixels.Sql(cfg)) — one source of truth for thresholds. */
+  def granuleQc(s: SparkSession, d: String,
+      cfg: Indices.QcConfig = Indices.DefaultQc): DataFrame = {
     val px = Pixels.pixels(s, d)
-    val mask = Indices.combinedMask(col("red"), col("nir"), col("blue"), col("fmask"))
-    val haze = coalesce(Indices.haze(col("blue")), lit(false))
+    val mask = Indices.combinedMask(col("red"), col("nir"), col("blue"), col("fmask"), cfg)
+    val haze = coalesce(Indices.haze(col("blue"), cfg), lit(false))
     val anomaly = coalesce(
-      Indices.anomalyLow(col("red"), col("nir")) ||
-        Indices.anomalyHigh(col("red"), col("nir")), lit(false))
-    val invalid = coalesce(Indices.invalidNdvi(col("nir"), col("red")), lit(false))
+      Indices.anomalyLow(col("red"), col("nir"), cfg) ||
+        Indices.anomalyHigh(col("red"), col("nir"), cfg), lit(false))
+    val invalid = coalesce(Indices.invalidNdvi(col("nir"), col("red"), cfg), lit(false))
     px.groupBy("tile_id", "time")
       .agg(
         count(lit(1)).as("total"),
@@ -227,17 +230,57 @@ object Quality {
        |GROUP BY year(date)
        |ORDER BY yr""".stripMargin)
 
+  /** Stricter non-default QcConfig: every threshold differs from the
+    * defaults, exercising the cfg-parameterized path end-to-end (the
+    * Scala predicates and the oracle fragments are generated from the
+    * SAME case class, so a threshold change cannot desynchronize them). */
+  val StrictQc: Indices.QcConfig = Indices.QcConfig(
+    reflectanceLow = 200.0,
+    reflectanceHigh = 9000.0,
+    blueHaze = 1200.0,
+    ndviMin = -0.3,
+    ndviMax = 0.9,
+    maxContaminationPct = 65.0,
+    minValidPct = 20.0)
+
+  /** Granule QC gate under [[StrictQc]] — q01/q02 semantics with every
+    * threshold overridden from one config value. */
+  val customQcGateQ: Q = (s, d) =>
+    qcOut(granuleQc(s, d, StrictQc)
+        .filter(col("contamination_pct") <= StrictQc.maxContaminationPct &&
+          col("valid_pct") >= StrictQc.minValidPct))
+      .orderBy("tile_id", "granule_ts")
+
+  private def qcSqlBodyFor(f: Pixels.Sql): String =
+    s"""SELECT tile_id, time, count(*) AS total,
+       |  CAST(sum(CASE WHEN ${f.combinedMask} THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       |  0.0 + round(100.0 * sum(CASE WHEN NOT ${f.combinedMask} THEN 1 ELSE 0 END) / count(*), 6) AS valid_pct,
+       |  0.0 + round(100.0 * (sum(CASE WHEN coalesce(${f.haze}, false) THEN 1 ELSE 0 END)
+       |    + sum(CASE WHEN coalesce(${f.anomalyLow} OR ${f.anomalyHigh}, false) THEN 1 ELSE 0 END)
+       |    + sum(CASE WHEN coalesce(${f.invalidNdvi}, false) THEN 1 ELSE 0 END)) / count(*), 6) AS contamination_pct
+       |FROM pixels GROUP BY tile_id, time""".stripMargin
+
+  val customQcGateSql: String = Pixels.withPixels(
+    s"""SELECT tile_id, strftime(time, '%Y-%m-%d %H:%M:%S') AS granule_ts,
+       |  total, n_masked, valid_pct, contamination_pct
+       |FROM (${qcSqlBodyFor(Pixels.Sql(StrictQc))})
+       |WHERE contamination_pct <= ${StrictQc.maxContaminationPct}
+       |  AND valid_pct >= ${StrictQc.minValidPct}
+       |ORDER BY tile_id, granule_ts""".stripMargin)
+
   val queries: Map[String, Q] = Map(
     "q01_granule_qc" -> granuleQcQ,
     "q02_granule_gate" -> granuleGateQ,
     "q03_scene_stats" -> sceneStatsQ,
     "q04_quality_neighbor" -> qualityNeighborQ,
-    "q05_quality_filter_applied" -> qualityFilterAppliedQ)
+    "q05_quality_filter_applied" -> qualityFilterAppliedQ,
+    "q06_custom_qc_gate" -> customQcGateQ)
 
   val oracle: Map[String, String] = Map(
     "q01_granule_qc" -> granuleQcSql,
     "q02_granule_gate" -> granuleGateSql,
     "q03_scene_stats" -> sceneStatsSql,
     "q04_quality_neighbor" -> qualityNeighborSql,
-    "q05_quality_filter_applied" -> qualityFilterAppliedSql)
+    "q05_quality_filter_applied" -> qualityFilterAppliedSql,
+    "q06_custom_qc_gate" -> customQcGateSql)
 }

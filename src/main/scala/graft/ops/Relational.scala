@@ -472,6 +472,94 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Pivot (long → wide): per-priority revenue pivoted across return
+    * flags via `groupBy().pivot(values)`. Spark compiles an explicit
+    * value list to the same conditional aggregates the oracle spells —
+    * one shuffle on the group key, no second pass to discover the pivot
+    * domain (the distinct-scan a value-less pivot would add at scale). */
+  val pivotFlags: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(xsum(col("l_extendedprice")))
+      .select(col("o_orderpriority"),
+        col("A").as("rev_a"), col("N").as("rev_n"), col("R").as("rev_r"))
+      .orderBy("o_orderpriority")
+  }
+
+  val pivotFlagsSql: String = {
+    def leg(f: String) = xsumSql(s"CASE WHEN l_returnflag = '$f' THEN l_extendedprice END")
+    s"""SELECT o_orderpriority,
+       |  ${leg("A")} AS rev_a,
+       |  ${leg("N")} AS rev_n,
+       |  ${leg("R")} AS rev_r
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+  }
+
+  /** Value-window battery (first_value / last_value / nth_value / lag
+    * with default) per customer over their order history — the window
+    * partitions by customer, so it parallelizes across the key space. */
+  val valueWindows: Q = (s, d) => {
+    val o = Tables.orders(s, d).filter(col("o_custkey") % 100 === 0)
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    o.select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        r6(first(col("o_totalprice")).over(wAll)).as("first_price"),
+        r6(last(col("o_totalprice")).over(wAll)).as("last_price"),
+        r6(nth_value(col("o_totalprice"), 2).over(wAll)).as("second_price"),
+        r6(lag(col("o_totalprice"), 1, -1.0).over(w)).as("prev_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val valueWindowsSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |  0.0 + round(first_value(o_totalprice) OVER wa, 6) AS first_price,
+      |  0.0 + round(last_value(o_totalprice) OVER wa, 6) AS last_price,
+      |  0.0 + round(nth_value(o_totalprice, 2) OVER wa, 6) AS second_price,
+      |  0.0 + round(lag(o_totalprice, 1, -1.0) OVER w, 6) AS prev_price
+      |FROM orders
+      |WHERE o_custkey % 100 = 0
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  wa AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Higher-order array-function battery over the embedding vectors:
+    * filter / transform / aggregate / slice stay inside whole-stage
+    * codegen on the packed array — the idiomatic Spark way to compute
+    * per-vector features without exploding dim× rows (SURVEY.md §2.11).
+    * Elements are cast to double inside the lambda on both engines so
+    * the fold accumulates identically (same left-to-right order). */
+  val arrayFuncs: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+    emb.select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        size(expr("filter(embedding, x -> x > 0)")).as("n_pos"),
+        r6(expr("aggregate(embedding, 0D, (acc, x) -> acc + abs(CAST(x AS DOUBLE)))")).as("l1"),
+        r6(expr("CAST(array_max(embedding) AS DOUBLE)")).as("vmax"),
+        r6(expr("aggregate(slice(embedding, 1, 8), 0D, (acc, x) -> acc + CAST(x AS DOUBLE))")).as("head8_sum"))
+      .orderBy("vec_id")
+  }
+
+  val arrayFuncsSql: String =
+    """SELECT vec_id,
+      |  CAST(len(embedding) AS INT) AS dim,
+      |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+      |  0.0 + round(list_reduce(list_prepend(0.0, list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), (acc, x) -> acc + x), 6) AS l1,
+      |  0.0 + round(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax,
+      |  0.0 + round(list_reduce(list_prepend(0.0, list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), (acc, x) -> acc + x), 6) AS head8_sum
+      |FROM embeddings
+      |WHERE vec_id < 200
+      |ORDER BY vec_id""".stripMargin
+
   /** SQL-API surface: one portable ANSI statement executed verbatim by
     * BOTH engines — `spark.sql` over registered temp views on the Spark
     * side, the oracle string is character-for-character the same. */
@@ -509,11 +597,17 @@ object Relational {
     "r08_distinct_parts" -> distinctParts,
     "r09_nation_setops" -> nationSetOps,
     "r10_scalar_funcs" -> scalarFuncs,
-    "r11_json_props" -> jsonProps)
+    "r11_json_props" -> jsonProps,
+    "r19_pivot_flags" -> pivotFlags,
+    "r20_value_windows" -> valueWindows,
+    "r21_array_funcs" -> arrayFuncs)
 
   val oracle: Map[String, String] = Map(
     "r12_salted_agg" -> saltedAggSql,
     "r17_approx_distinct" -> approxDistinctSql,
+    "r19_pivot_flags" -> pivotFlagsSql,
+    "r20_value_windows" -> valueWindowsSql,
+    "r21_array_funcs" -> arrayFuncsSql,
     "r18_sql_api" -> sqlApiText,
     "r13_range_join" -> rangeJoinSql,
     "r14_asof_join" -> asofJoinSql,

@@ -289,7 +289,74 @@ object SimOps {
        |WHERE rk <= 3
        |ORDER BY qid, rk""".stripMargin
 
+  // ---------------------------------------------------------------- v06
+  /** Embedding-cosine near-duplicate pairs over the WHOLE corpus: 4-bit
+    * sign-LSH bucketing (16 buckets) prunes to same-bucket pairs before
+    * any arithmetic — ~n²/16 candidate pairs instead of n² — then the
+    * DECIMAL-exact cosine keeps pairs above the near-dup threshold,
+    * keyed keeper-first (lower vec_id). This is the dedup-mining shape
+    * (emit the pair list for a downstream keep/drop pass) where v02/v05
+    * are the query-time ANN shapes; at 100 TB the bucket count scales
+    * with corpus size and banding replaces single-probe bucketing. */
+  val embedNearDup: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val sign = (c: Int, bit: Int) =>
+      when(element_at(col("embedding"), c) > 0f, bit).otherwise(0)
+    val bucketed = emb.select(col("vec_id"), col("label"),
+      (sign(1, 8) + sign(8, 4) + sign(22, 2) + sign(40, 1)).as("bucket"))
+    val f = flat(s, d).join(bucketed.select("vec_id", "bucket"), "vec_id")
+    val n = norms(flat(s, d))
+    val dots = f.join(
+        f.select(col("bucket"), col("i"), col("vec_id").as("bid"), col("v").as("bv")),
+        Seq("bucket", "i"))
+      .filter(col("vec_id") < col("bid"))
+      .groupBy("vec_id", "bid")
+      .agg(xsumHi(col("v") * col("bv")).as("dot"))
+    dots
+      .join(n, "vec_id")
+      .join(n.select(col("vec_id").as("bid"), col("nrm").as("bnrm")), "bid")
+      .select(col("vec_id").as("keep_id"), col("bid").as("dup_id"),
+        (col("dot") / (col("nrm") * col("bnrm"))).as("cosine"))
+      .filter(col("cosine") > 0.4)
+      .join(broadcast(bucketed.select(col("vec_id").as("keep_id"), col("label").as("label_a"))), "keep_id")
+      .join(broadcast(bucketed.select(col("vec_id").as("dup_id"), col("label").as("label_b"))), "dup_id")
+      .select(col("keep_id"), col("dup_id"), r6(col("cosine")).as("cosine"),
+        (col("label_a") === col("label_b")).as("same_label"))
+      .orderBy("keep_id", "dup_id")
+  }
+
+  val embedNearDupSql: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, label,
+       |    (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END)
+       |    + (CASE WHEN embedding[8] > 0 THEN 4 ELSE 0 END)
+       |    + (CASE WHEN embedding[22] > 0 THEN 2 ELSE 0 END)
+       |    + (CASE WHEN embedding[40] > 0 THEN 1 ELSE 0 END) AS bucket
+       |  FROM embeddings
+       |), f0 AS (
+       |$flatSql
+       |), f AS (SELECT f0.vec_id, f0.i, f0.v, b.bucket FROM f0 JOIN b ON f0.vec_id = b.vec_id
+       |), n AS (SELECT vec_id, sqrt(${xsumHiSql("v * v")}) AS nrm FROM f0 AS f GROUP BY vec_id
+       |), dots AS (
+       |  SELECT a.vec_id, c.vec_id AS bid, ${xsumHiSql("a.v * c.v")} AS dot
+       |  FROM f a JOIN f c ON a.bucket = c.bucket AND a.i = c.i AND a.vec_id < c.vec_id
+       |  GROUP BY a.vec_id, c.vec_id
+       |), cos AS (
+       |  SELECT dots.vec_id AS keep_id, dots.bid AS dup_id,
+       |    dots.dot / (na.nrm * nb.nrm) AS cosine
+       |  FROM dots JOIN n na ON dots.vec_id = na.vec_id
+       |            JOIN n nb ON dots.bid = nb.vec_id
+       |)
+       |SELECT keep_id, dup_id, 0.0 + round(cosine, 6) AS cosine,
+       |  la.label = lb.label AS same_label
+       |FROM cos
+       |JOIN embeddings la ON cos.keep_id = la.vec_id
+       |JOIN embeddings lb ON cos.dup_id = lb.vec_id
+       |WHERE cosine > 0.4
+       |ORDER BY keep_id, dup_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "v06_embed_neardup" -> embedNearDup,
     "v01_sim_topk" -> simTopk,
     "v02_sim_lsh" -> simLsh,
     "v03_label_sim_stats" -> labelSimStats,
@@ -297,6 +364,7 @@ object SimOps {
     "v05_sim_ivf" -> simIvf)
 
   val oracle: Map[String, String] = Map(
+    "v06_embed_neardup" -> embedNearDupSql,
     "v01_sim_topk" -> simTopkSql,
     "v02_sim_lsh" -> simLshSql,
     "v03_label_sim_stats" -> labelSimStatsSql,

@@ -99,13 +99,82 @@ object Stats {
          |ORDER BY y, x""".stripMargin)
   }
 
+  /** Exact quantile battery per group (q25/q50/q75/q95 of the clipped
+    * NDVI per tile): `percentile` ≡ DuckDB `quantile_cont`, both linear
+    * interpolation — never approx in a declared query (SURVEY.md §7.5).
+    * Per-key exact percentiles sort within the key only, so the shuffle
+    * is the groupBy and the sort parallelizes across tiles. */
+  val quantilesQ: Q = (s, d) => {
+    val px = PixelOps.withIndices(Pixels.pixels(s, d))
+    px.groupBy("tile_id")
+      .agg(
+        count(col("ndvi_c")).as("n_valid"),
+        r6(expr("percentile(ndvi_c, 0.25)")).as("q25"),
+        r6(expr("percentile(ndvi_c, 0.5)")).as("q50"),
+        r6(expr("percentile(ndvi_c, 0.75)")).as("q75"),
+        r6(expr("percentile(ndvi_c, 0.95)")).as("q95"))
+      .orderBy("tile_id")
+  }
+
+  val quantilesSql: String = {
+    val f = Pixels.Sql0
+    Pixels.withPixels(
+      s"""SELECT tile_id,
+         |  count(${f.ndviClipped}) AS n_valid,
+         |  0.0 + round(quantile_cont(${f.ndviClipped}, 0.25), 6) AS q25,
+         |  0.0 + round(quantile_cont(${f.ndviClipped}, 0.5), 6) AS q50,
+         |  0.0 + round(quantile_cont(${f.ndviClipped}, 0.75), 6) AS q75,
+         |  0.0 + round(quantile_cont(${f.ndviClipped}, 0.95), 6) AS q95
+         |FROM pixels GROUP BY tile_id
+         |ORDER BY tile_id""".stripMargin)
+  }
+
+  /** Bivariate moment aggregates (corr / covariance / variance of the
+    * two indices per tile) — the correlation structure a band-math QC
+    * job inspects. corr is scale-free (|r| <= 1) and the index values
+    * are unit-magnitude, so double moment accumulation stays far inside
+    * round-to-6; single pass, map-side combined. */
+  val corrCovarQ: Q = (s, d) => {
+    val px = PixelOps.withIndices(Pixels.pixels(s, d))
+      .filter(col("ndvi_c").isNotNull && col("evi_c").isNotNull)
+    px.groupBy("tile_id")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        r6(corr(col("ndvi_c"), col("evi_c"))).as("r_ndvi_evi"),
+        r6(covar_pop(col("ndvi_c"), col("evi_c"))).as("covp"),
+        r6(covar_samp(col("ndvi_c"), col("evi_c"))).as("covs"),
+        r6(var_pop(col("ndvi_c"))).as("var_ndvi"))
+      .orderBy("tile_id")
+  }
+
+  val corrCovarSql: String = {
+    val f = Pixels.Sql0
+    Pixels.withPixels(
+      s"""SELECT tile_id,
+         |  count(*) AS n_pairs,
+         |  0.0 + round(corr(n_v, e_v), 6) AS r_ndvi_evi,
+         |  0.0 + round(covar_pop(n_v, e_v), 6) AS covp,
+         |  0.0 + round(covar_samp(n_v, e_v), 6) AS covs,
+         |  0.0 + round(var_pop(n_v), 6) AS var_ndvi
+         |FROM (
+         |  SELECT tile_id, ${f.ndviClipped} AS n_v, ${f.eviClipped} AS e_v
+         |  FROM pixels) t
+         |WHERE n_v IS NOT NULL AND e_v IS NOT NULL
+         |GROUP BY tile_id
+         |ORDER BY tile_id""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_global_stats" -> globalStatsQ,
     "s02_temporal_mean_px" -> temporalMeanQ,
-    "s03_temporal_std_px" -> temporalStdQ)
+    "s03_temporal_std_px" -> temporalStdQ,
+    "s04_quantiles" -> quantilesQ,
+    "s05_corr_covar" -> corrCovarQ)
 
   val oracle: Map[String, String] = Map(
     "s01_global_stats" -> globalStatsSql,
     "s02_temporal_mean_px" -> temporalMeanSql,
-    "s03_temporal_std_px" -> temporalStdSql)
+    "s03_temporal_std_px" -> temporalStdSql,
+    "s04_quantiles" -> quantilesSql,
+    "s05_corr_covar" -> corrCovarSql)
 }

@@ -384,7 +384,65 @@ object TextOps {
       |WHERE rn = 1
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t10
+  /** Composite quality score + keep/drop decision — the filter a
+    * training-data pipeline runs after the raw stats: length and
+    * stopword-density components (capped at 1), a digit-density
+    * component, a punctuation-density penalty, combined into one score
+    * and bucketed. Pure per-row expressions — one codegen span, no
+    * shuffle before the final sort. */
+  val qualityScore: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val nToks = size(toks).cast("double")
+    val stopRatio = (size(expr(s"filter(split(text, ' '), x -> x = '$Stop1')"))
+      + size(expr(s"filter(split(text, ' '), x -> x = '$Stop2')"))).cast("double") / nToks
+    val digitRatio = size(expr("regexp_extract_all(text, '[0-9]', 0)")).cast("double") /
+      length(col("text"))
+    val punctRatio = size(expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)")).cast("double") /
+      length(col("text"))
+    val score = (least(col("n_chars") / 500.0, lit(1.0)) * 0.4
+      + least(stopRatio / 0.06, lit(1.0)) * 0.4
+      + (lit(1.0) - least(digitRatio / 0.2, lit(1.0))) * 0.2) *
+      when(punctRatio > 0.1, 0.5).otherwise(1.0)
+    doc.select(col("doc_id"),
+        r6(stopRatio).as("stop_ratio"),
+        r6(digitRatio).as("digit_ratio"),
+        r6(punctRatio).as("punct_ratio"),
+        r6(score).as("quality"))
+      .withColumn("bucket",
+        when(col("quality") >= 0.8, "high")
+          .when(col("quality") >= 0.5, "medium").otherwise("low"))
+      .withColumn("keep", col("bucket") =!= "low")
+      .orderBy("doc_id")
+  }
+
+  val qualityScoreSql: String =
+    s"""SELECT doc_id, stop_ratio, digit_ratio, punct_ratio, quality,
+       |  CASE WHEN quality >= 0.8 THEN 'high'
+       |       WHEN quality >= 0.5 THEN 'medium' ELSE 'low' END AS bucket,
+       |  (CASE WHEN quality >= 0.8 THEN 'high'
+       |        WHEN quality >= 0.5 THEN 'medium' ELSE 'low' END) <> 'low' AS keep
+       |FROM (
+       |  SELECT doc_id,
+       |    0.0 + round(stop_ratio, 6) AS stop_ratio,
+       |    0.0 + round(digit_ratio, 6) AS digit_ratio,
+       |    0.0 + round(punct_ratio, 6) AS punct_ratio,
+       |    0.0 + round((least(n_chars / 500.0, 1.0) * 0.4
+       |      + least(stop_ratio / 0.06, 1.0) * 0.4
+       |      + (1.0 - least(digit_ratio / 0.2, 1.0)) * 0.2)
+       |      * (CASE WHEN punct_ratio > 0.1 THEN 0.5 ELSE 1.0 END), 6) AS quality
+       |  FROM (
+       |    SELECT doc_id, n_chars,
+       |      CAST(len(list_filter(string_split(text, ' '), x -> x = '$Stop1'))
+       |         + len(list_filter(string_split(text, ' '), x -> x = '$Stop2')) AS DOUBLE)
+       |        / len(string_split(text, ' ')) AS stop_ratio,
+       |      CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text) AS digit_ratio,
+       |      CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / length(text) AS punct_ratio
+       |    FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t10_quality_score" -> qualityScore,
     "t09_dedup_keep_first" -> dedupKeepFirst,
     "t01_text_stats" -> textStats,
     "t02_lang_id" -> langId,
@@ -396,6 +454,7 @@ object TextOps {
     "t08_ngram_jaccard" -> ngramJaccard)
 
   val oracle: Map[String, String] = Map(
+    "t10_quality_score" -> qualityScoreSql,
     "t09_dedup_keep_first" -> dedupKeepFirstSql,
     "t01_text_stats" -> textStatsSql,
     "t02_lang_id" -> langIdSql,

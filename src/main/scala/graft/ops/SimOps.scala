@@ -75,12 +75,52 @@ object SimOps {
        |            JOIN n nc ON dots.cid = nc.vec_id
        |)""".stripMargin
 
+  /** DECIMAL-exact cosine over a candidate-pair relation carrying the two
+    * packed arrays as `ea`/`eb`: zip, explode, accumulate dot and both
+    * norms in DECIMAL(38,18) — the same float→double→decimal element
+    * values the oracle sums, so the result is bit-identical to the
+    * relational form at any parallelism. Run this on PRUNED pairs only;
+    * the native graft_cosine prune upstream is what keeps the exploded
+    * row count proportional to survivors, not the corpus. */
+  private def exactCosine(pairs: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val keys = keyCols.map(col)
+    pairs
+      .select(keys :+ explode(arrays_zip(col("ea"), col("eb"))).as("z"): _*)
+      .select(keys :+ col("z.ea").cast("double").as("va")
+        :+ col("z.eb").cast("double").as("vb"): _*)
+      .groupBy(keys: _*)
+      .agg(
+        xsumHi(col("va") * col("vb")).as("dot"),
+        xsumHi(col("va") * col("va")).as("na"),
+        xsumHi(col("vb") * col("vb")).as("nb"))
+      .withColumn("cosine", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .drop("dot", "na", "nb")
+  }
+
   // ---------------------------------------------------------------- v01
-  /** Brute-force cosine top-5 per query vector (first 20 vectors). */
+  /** Brute-force cosine top-5 per query vector (first 20 vectors).
+    *
+    * Two-stage exact top-k: the codegen'd native cosine ranks all
+    * candidates in one broadcast pass over the packed arrays (the v04
+    * hot path), a 3-candidate margin absorbs any double-vs-DECIMAL
+    * rank jitter (accumulation gap ~1e-15 — a flip past the margin
+    * would need 4 candidates within that gap), and the DECIMAL-exact
+    * re-rank of the survivors reproduces the oracle's ranking bit for
+    * bit. The corpus is never exploded dim× — only survivors are. */
   val simTopk: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("ea"))
+    val wN = Window.partitionBy("qid").orderBy(col("ncos").desc, col("cid").asc)
+    val cand = emb.select(col("vec_id").as("cid"), col("embedding").as("eb"))
+      .crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("ncos", expr("graft_cosine(ea, eb)"))
+      .withColumn("nrk", row_number().over(wN))
+      .filter(col("nrk") <= 8)
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid").asc)
-    cosines(s, d, 20)
+    exactCosine(cand.select("qid", "cid", "ea", "eb"), Seq("qid", "cid"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("qid"), col("rk"), col("cid"), r6(col("cosine")).as("cosine"))
@@ -217,33 +257,31 @@ object SimOps {
     * assignment and the ranking bit-identical to the oracle. */
   val simIvf: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val f = flat(s, d)
-    val n = norms(f)
-    val cent = f.filter(col("vec_id").between(100, 107))
-      .select(col("vec_id").as("cid"), col("i"), col("v").as("cv"))
-    val aDots = f.join(broadcast(cent), Seq("i"))
-      .groupBy("vec_id", "cid")
-      .agg(xsumHi(col("v") * col("cv")).as("dot"))
-    val aCos = aDots
-      .join(n, "vec_id")
-      .join(n.select(col("vec_id").as("cid"), col("nrm").as("cnrm")), "cid")
-      .select(col("vec_id"), col("cid"),
-        (col("dot") / (col("nrm") * col("cnrm"))).as("cosc"))
-    val assign = aCos.groupBy("vec_id")
-      .agg(expr("max_by(cid, cosc)").as("cell"))
-    val fc = f.join(assign, "vec_id")
-    val q = fc.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("cell"), col("i"), col("v").as("qv"))
-    val dots = fc.join(broadcast(q), Seq("cell", "i"))
-      .filter(col("vec_id") =!= col("qid"))
-      .groupBy("qid", "vec_id")
-      .agg(xsumHi(col("qv") * col("v")).as("dot"))
+    val emb = Tables.embeddings(s, d)
+    // Coarse assignment: native cosine against the 8 broadcast centroids,
+    // argmax per vector (centroid gaps are ~1e-2, re the ~1e-15 native
+    // accumulation gap — the argmax cannot flip vs the oracle's exact one).
+    val cent = emb.filter(col("vec_id").between(100, 107))
+      .select(col("vec_id").as("ccid"), col("embedding").as("ce"))
+    val wA = Window.partitionBy("vec_id").orderBy(col("cosc").desc, col("ccid").asc)
+    val assigned = emb.crossJoin(broadcast(cent))
+      .withColumn("cosc", expr("graft_cosine(embedding, ce)"))
+      .withColumn("arn", row_number().over(wA))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("ccid").as("cell"))
+    // Search nprobe=1: native-cosine rank within the query's cell with a
+    // 3-candidate margin, then DECIMAL-exact re-rank of survivors only.
+    val q = assigned.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("cell"), col("embedding").as("ea"))
+    val wN = Window.partitionBy("qid").orderBy(col("ncos").desc, col("cid").asc)
+    val cand = assigned.select(col("vec_id").as("cid"), col("cell"), col("embedding").as("eb"))
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("ncos", expr("graft_cosine(ea, eb)"))
+      .withColumn("nrk", row_number().over(wN))
+      .filter(col("nrk") <= 6)
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid").asc)
-    dots
-      .join(n.select(col("vec_id").as("qid"), col("nrm").as("qnrm")), "qid")
-      .join(n, "vec_id")
-      .select(col("qid"), col("vec_id").as("cid"),
-        (col("dot") / (col("qnrm") * col("nrm"))).as("cosine"))
+    exactCosine(cand.select("qid", "cid", "ea", "eb"), Seq("qid", "cid"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("qid"), col("rk"), col("cid"), r6(col("cosine")).as("cosine"))
@@ -302,26 +340,41 @@ object SimOps {
     val emb = Tables.embeddings(s, d)
     val sign = (c: Int, bit: Int) =>
       when(element_at(col("embedding"), c) > 0f, bit).otherwise(0)
-    val bucketed = emb.select(col("vec_id"), col("label"),
+    val bucketed = emb.select(col("vec_id"), col("label"), col("embedding"),
       (sign(1, 8) + sign(8, 4) + sign(22, 2) + sign(40, 1)).as("bucket"))
-    val f = flat(s, d).join(bucketed.select("vec_id", "bucket"), "vec_id")
-    val n = norms(flat(s, d))
-    val dots = f.join(
-        f.select(col("bucket"), col("i"), col("vec_id").as("bid"), col("v").as("bv")),
-        Seq("bucket", "i"))
-      .filter(col("vec_id") < col("bid"))
-      .groupBy("vec_id", "bid")
-      .agg(xsumHi(col("v") * col("bv")).as("dot"))
-    dots
-      .join(n, "vec_id")
-      .join(n.select(col("vec_id").as("bid"), col("nrm").as("bnrm")), "bid")
-      .select(col("vec_id").as("keep_id"), col("bid").as("dup_id"),
-        (col("dot") / (col("nrm") * col("bnrm"))).as("cosine"))
+    // Prune: broadcast same-bucket self-join on the PACKED arrays and
+    // evaluate the codegen'd native cosine per pair — no explode, no
+    // shuffle of the corpus side. The 1e-9 epsilon guard dwarfs the
+    // double-vs-DECIMAL accumulation gap (~1e-15), so no true near-dup
+    // can be pruned; false survivors die in the exact stage below.
+    val cands = bucketed
+      .join(broadcast(bucketed.select(col("vec_id").as("dup_id"),
+        col("label").as("label_b"), col("embedding").as("eb"),
+        col("bucket"))), Seq("bucket"))
+      .filter(col("vec_id") < col("dup_id"))
+      .filter(expr("graft_cosine(embedding, eb)") > 0.4 - 1e-9)
+      .select(col("vec_id").as("keep_id"), col("dup_id"),
+        (col("label") === col("label_b")).as("same_label"),
+        col("embedding").as("ea"), col("eb"))
+    // Verify: DECIMAL-exact cosine on the handful of survivors only —
+    // the same element values (float → double → decimal(38,18)) the
+    // oracle accumulates, so the >0.4 cut is bit-identical.
+    cands
+      .select(col("keep_id"), col("dup_id"), col("same_label"),
+        explode(arrays_zip(col("ea"), col("eb"))).as("z"))
+      .select(col("keep_id"), col("dup_id"), col("same_label"),
+        col("z.ea").cast("double").as("va"), col("z.eb").cast("double").as("vb"))
+      .groupBy("keep_id", "dup_id", "same_label")
+      .agg(
+        xsumHi(col("va") * col("vb")).as("dot"),
+        xsumHi(col("va") * col("va")).as("na"),
+        xsumHi(col("vb") * col("vb")).as("nb"))
+      .select(col("keep_id"), col("dup_id"),
+        (col("dot") / (sqrt(col("na")) * sqrt(col("nb")))).as("cosine"),
+        col("same_label"))
       .filter(col("cosine") > 0.4)
-      .join(broadcast(bucketed.select(col("vec_id").as("keep_id"), col("label").as("label_a"))), "keep_id")
-      .join(broadcast(bucketed.select(col("vec_id").as("dup_id"), col("label").as("label_b"))), "dup_id")
       .select(col("keep_id"), col("dup_id"), r6(col("cosine")).as("cosine"),
-        (col("label_a") === col("label_b")).as("same_label"))
+        col("same_label"))
       .orderBy("keep_id", "dup_id")
   }
 

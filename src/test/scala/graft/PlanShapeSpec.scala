@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan-shape assertions for the 100 TB posture (ENGINE.md):
+  * these lock in the plans the engine is designed around, so a refactor
+  * that silently de-broadcasts a dimension join, breaks scan pushdown,
+  * or drops map-side partial aggregation fails CI — not a perf review.
+  *
+  * Queries run over sf0.001 (plan shape is scale-invariant; AQE join
+  * choices are pinned by explicit broadcast()/hints in the operators,
+  * not by size estimates).
+  */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.explainString(FormattedMode)
+
+  test("dimension joins broadcast: no sort-merge join in the revenue rollup") {
+    val p = plan("r02_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), s"expected BroadcastHashJoin in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dimension join fell back to SMJ:\n$p")
+  }
+
+  test("pixel-index scan pushes filters and prunes columns") {
+    val p = plan("p01_pixel_indices")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    // tile filter (l_suppkey % 4 = 1) needs the IsNotNull guard at the scan
+    assert(p.contains("IsNotNull"), s"expected IsNotNull pushdown in:\n$p")
+    // projection needs neither returnflag nor linestatus: pruned ReadSchema
+    assert(!p.contains("l_returnflag"), s"unpruned column l_returnflag in:\n$p")
+    assert(!p.contains("l_linestatus"), s"unpruned column l_linestatus in:\n$p")
+  }
+
+  test("aggregations combine map-side: partial+final HashAggregate around one exchange") {
+    val p = plan("q03_scene_stats")
+    val nAgg = "HashAggregate".r.findAllIn(p).length
+    assert(nAgg >= 2, s"expected partial+final HashAggregate pair in:\n$p")
+    assert(p.contains("Exchange"), s"expected a keyed exchange in:\n$p")
+  }
+
+  test("native cosine runs in one scan: no exchange below the ranking window") {
+    val p = plan("v04_sim_topk_native")
+    assert(p.contains("graft_cosine"), s"native expression missing from:\n$p")
+    // the only exchange allowed is the per-qid window partitioning
+    val beforeWindow = p.substring(0, p.indexOf("Window"))
+    assert(!beforeWindow.contains("Exchange hashpartitioning(i"),
+      s"cosine path shuffled on the flattened index:\n$p")
+  }
+
+  test("whole-stage codegen covers the band-math expression block") {
+    // codegen spans only materialize in the AQE-finalized executed plan,
+    // where they render as the `*(n)` stage prefix
+    val df = SparkEntry.queries("p01_pixel_indices")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project"), s"band math fell out of codegen:\n$p")
+  }
+}

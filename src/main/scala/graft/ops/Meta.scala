@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.ops.Num.r6
 
 /** Catalog/metadata scalar operators (SURVEY.md §2.1 filter_band_links,
   * §2.3 proj_extract_metadata; reference processor.py:105-109, 329-340).
@@ -74,11 +75,93 @@ object Meta {
       |  FROM pixels)
       |ORDER BY granule_ur""".stripMargin)
 
+  /** Band-set completeness gate — processor.py:111-116/128-143: a granule
+    * is processed only if ALL four band files arrived; partial sets are
+    * rejected. Granules and their asset bands are synthesized from part
+    * rows; the gate is `count(DISTINCT needed band) = 4` per granule —
+    * the keyed-aggregate + HAVING shape of the reference's check. */
+  val bandCompletenessQ: Q = (s, d) => {
+    val p = Tables.part(s, d)
+    val links = p.select(
+      (col("p_partkey") % 500).as("granule_id"),
+      element_at(
+        array(lit("B02"), lit("B04"), lit("B08"), lit("Fmask"), lit("B05"), lit("B07")),
+        (col("p_size") % 6 + 1).cast("int")).as("band"))
+    val needed = Seq("B02", "B04", "B08", "Fmask")
+    links
+      .groupBy("granule_id")
+      .agg(
+        count(lit(1)).as("n_links"),
+        countDistinct(when(col("band").isin(needed: _*), col("band"))).as("n_needed"))
+      .filter(col("n_needed") === 4)
+      .orderBy("granule_id")
+  }
+
+  val bandCompletenessSql: String =
+    """SELECT granule_id, count(*) AS n_links,
+      |  count(DISTINCT CASE WHEN band IN ('B02','B04','B08','Fmask')
+      |        THEN band END) AS n_needed
+      |FROM (
+      |  SELECT p_partkey % 500 AS granule_id,
+      |    ['B02','B04','B08','Fmask','B05','B07'][CAST(p_size % 6 + 1 AS INT)] AS band
+      |  FROM part)
+      |GROUP BY granule_id
+      |HAVING count(DISTINCT CASE WHEN band IN ('B02','B04','B08','Fmask')
+      |       THEN band END) = 4
+      |ORDER BY granule_id""".stripMargin
+
+  /** Dataset index metadata — arcgis.py:103-153 (sink_index_json math):
+    * one row with grid bounds, center point, dims, affine transform
+    * coefficients, and the date span — computed relationally from the
+    * pixel cube at 0.00027°/px west-anchored like the reference grid
+    * (processor.py:184-196). A single global aggregate: partial combine
+    * map-side, one tiny final row. */
+  val indexMetaQ: Q = (s, d) => {
+    val px = Pixels.pixels(s, d)
+    val pxDeg = 0.00027
+    px.agg(
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"),
+        countDistinct("date").as("n_dates"),
+        countDistinct("tile_id").as("n_tiles"))
+      .select(
+        (col("max_x") - col("min_x") + 1).as("width"),
+        (col("max_y") - col("min_y") + 1).as("height"),
+        col("n_dates"), col("n_tiles"),
+        r6(col("min_x") * pxDeg).as("west"),
+        r6((col("max_x") + 1) * lit(pxDeg)).as("east"),
+        r6(col("min_y") * pxDeg).as("south"),
+        r6((col("max_y") + 1) * lit(pxDeg)).as("north"),
+        r6((col("min_x") + col("max_x") + 1) * lit(pxDeg) / 2.0).as("center_lon"),
+        r6((col("min_y") + col("max_y") + 1) * lit(pxDeg) / 2.0).as("center_lat"),
+        r6(lit(pxDeg)).as("t_a"),
+        r6(lit(-pxDeg)).as("t_e"))
+  }
+
+  val indexMetaSql: String = Pixels.withPixels(
+    """SELECT CAST(max(x) - min(x) + 1 AS INT) AS width,
+      |  CAST(max(y) - min(y) + 1 AS INT) AS height,
+      |  count(DISTINCT date) AS n_dates,
+      |  count(DISTINCT tile_id) AS n_tiles,
+      |  0.0 + round(min(x) * 0.00027, 6) AS west,
+      |  0.0 + round((max(x) + 1) * 0.00027, 6) AS east,
+      |  0.0 + round(min(y) * 0.00027, 6) AS south,
+      |  0.0 + round((max(y) + 1) * 0.00027, 6) AS north,
+      |  0.0 + round((min(x) + max(x) + 1) * 0.00027 / 2.0, 6) AS center_lon,
+      |  0.0 + round((min(y) + max(y) + 1) * 0.00027 / 2.0, 6) AS center_lat,
+      |  0.0 + round(0.00027, 6) AS t_a,
+      |  0.0 + round(-0.00027, 6) AS t_e
+      |FROM pixels""".stripMargin)
+
   val queries: Map[String, Q] = Map(
     "c01_band_links" -> bandLinksQ,
-    "c02_extract_metadata" -> extractMetadataQ)
+    "c02_extract_metadata" -> extractMetadataQ,
+    "c03_band_completeness" -> bandCompletenessQ,
+    "c04_index_meta" -> indexMetaQ)
 
   val oracle: Map[String, String] = Map(
     "c01_band_links" -> bandLinksSql,
-    "c02_extract_metadata" -> extractMetadataSql)
+    "c02_extract_metadata" -> extractMetadataSql,
+    "c03_band_completeness" -> bandCompletenessSql,
+    "c04_index_meta" -> indexMetaSql)
 }

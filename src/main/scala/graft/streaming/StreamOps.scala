@@ -46,6 +46,22 @@ object StreamOps {
       .select(col("seriesId"), col("window.start").as("day"),
         col("vmean"), col("n_events"))
 
+  /** Gap-based session windows over a raw event stream — the streaming
+    * form of the batch sessionization (ops/Events e05): Spark's native
+    * `session_window` merges events within the gap into one growing
+    * window per user, watermark-bounded. State per (user, open session)
+    * only; closed sessions emit and evict in append mode. */
+  def sessionWindows(events: DataFrame,
+      gap: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("userId"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("userId"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** Stateful abrupt-drop detection: for each series, compare each scene
     * mean against the previous one held in state; emit when the drop
     * exceeds the threshold. Input must be per-trigger scene means (e.g.

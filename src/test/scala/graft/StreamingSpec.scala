@@ -39,6 +39,30 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("session windows merge within the gap and split across it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "userId", "value")
+    val q = StreamOps.sessionWindows(events, gap = "30 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, 1.0),  // session A
+        (ts("2024-01-01 10:20:00"), 1L, 2.0),  // merges into A (gap 20m)
+        (ts("2024-01-01 11:30:00"), 1L, 4.0))  // new session B (gap 70m)
+      q.processAllAvailable()
+      // push the watermark past both sessions so append emits them
+      input.addData((ts("2024-01-02 00:00:00"), 1L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select(date_format(col("session_start"), "HH:mm"), col("n_events"), col("sum_value"))
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows.contains(("10:00", 2L, 3.0)), s"merged session missing: $rows")
+      assert(rows.contains(("11:30", 1L, 4.0)), s"split session missing: $rows")
+    } finally q.stop()
+  }
+
   test("stateful drop detector remembers the previous scene across triggers") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SceneMean]

@@ -203,10 +203,13 @@ object TextOps {
     // ~1 s while an InMemoryRelation columnar build costs several times
     // that (measured 21.5 s vs 3.7 s for the full t08 at sf0.1)
     val sig = signatures(doc)
-    val bands = (0 until 4).map { b =>
-      sig.select(col("doc_id"), lit(b).as("band"),
-        concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("key"))
-    }.reduce(_ unionByName _)
+    // one explode over (band,key) structs instead of a 4-way union of
+    // sig selects: the signature lineage (shingle explode + md5 + 8-min
+    // groupBy) is built ONCE per join side, not four times
+    val bands = sig.select(col("doc_id"), explode(array(
+        (0 until 4).map(b => struct(lit(b).as("band"),
+          concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -292,10 +295,13 @@ object TextOps {
   val ngramJaccard: Q = (s, d) => {
     val doc = Tables.documents(s, d)
     val sig = signatures(doc)
-    val bands = (0 until 4).map { b =>
-      sig.select(col("doc_id"), lit(b).as("band"),
-        concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("key"))
-    }.reduce(_ unionByName _)
+    // one explode over (band,key) structs instead of a 4-way union of
+    // sig selects: the signature lineage (shingle explode + md5 + 8-min
+    // groupBy) is built ONCE per join side, not four times
+    val bands = sig.select(col("doc_id"), explode(array(
+        (0 until 4).map(b => struct(lit(b).as("band"),
+          concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -175,13 +175,59 @@ object Multimodal {
       |LATERAL (SELECT unnest(generate_series(0, n_frames - 1, 30)) AS f) g
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- x04
+  /** Resize planning: aspect-preserving fit of each image's stub
+    * dimensions into a 224×224 training box — scale factor, output dims,
+    * letterbox padding. The arithmetic half of a resize kernel (the
+    * pixel-pushing half drops into [[decodeStub]]'s mapPartitions slot);
+    * doing it relationally means the planner can batch/partition resize
+    * work by output shape before any decoder runs. */
+  val resizeDims: Q = (s, d) => {
+    val m = mediaFromDocuments(s, d)
+      .filter(col("media_type") === "image")
+      .select(col("media_id"), octet_length(col("payload")).as("n_bytes"))
+      .withColumn("width", lit(64) + col("n_bytes") % 577)
+      .withColumn("height", lit(64) + (col("n_bytes") * 7) % 417)
+    val scale = least(lit(224.0) / col("width"), lit(224.0) / col("height"))
+    m.select(
+        col("media_id"), col("width"), col("height"),
+        r6(scale).as("scale"),
+        round(col("width") * scale).cast("int").as("out_w"),
+        round(col("height") * scale).cast("int").as("out_h"))
+      .withColumn("pad_x", (lit(224) - col("out_w")) / lit(2).cast("int"))
+      .withColumn("pad_y", (lit(224) - col("out_h")) / lit(2).cast("int"))
+      .select(col("media_id"), col("width"), col("height"), col("scale"),
+        col("out_w"), col("out_h"),
+        col("pad_x").cast("int").as("pad_x"), col("pad_y").cast("int").as("pad_y"))
+      .orderBy("media_id")
+  }
+
+  val resizeDimsSql: String =
+    """SELECT media_id, width, height,
+      |  0.0 + round(least(224.0 / width, 224.0 / height), 6) AS scale,
+      |  CAST(round(width * least(224.0 / width, 224.0 / height)) AS INT) AS out_w,
+      |  CAST(round(height * least(224.0 / width, 224.0 / height)) AS INT) AS out_h,
+      |  CAST((224 - CAST(round(width * least(224.0 / width, 224.0 / height)) AS INT)) // 2 AS INT) AS pad_x,
+      |  CAST((224 - CAST(round(height * least(224.0 / width, 224.0 / height)) AS INT)) // 2 AS INT) AS pad_y
+      |FROM (
+      |  SELECT doc_id AS media_id,
+      |    64 + n_bytes % 577 AS width,
+      |    64 + (n_bytes * 7) % 417 AS height
+      |  FROM (
+      |    SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes
+      |    FROM documents
+      |    WHERE ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] = 'image'))
+      |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "x01_media_meta" -> mediaMeta,
     "x02_media_type_stats" -> mediaTypeStats,
-    "x03_frame_sample" -> frameSample)
+    "x03_frame_sample" -> frameSample,
+    "x04_resize_dims" -> resizeDims)
 
   val oracle: Map[String, String] = Map(
     "x01_media_meta" -> mediaMetaSql,
     "x02_media_type_stats" -> mediaTypeStatsSql,
-    "x03_frame_sample" -> frameSampleSql)
+    "x03_frame_sample" -> frameSampleSql,
+    "x04_resize_dims" -> resizeDimsSql)
 }

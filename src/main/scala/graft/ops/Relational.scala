@@ -560,6 +560,62 @@ object Relational {
       |WHERE vec_id < 200
       |ORDER BY vec_id""".stripMargin
 
+  /** Extended string-function battery (beyond r10's date/string/JSON
+    * basics): edit distance, char translation, padding, repetition,
+    * substring position, printf formatting — all codegen'd built-ins on
+    * one pass over the dimension table. */
+  val stringFuncs: Q = (s, d) => {
+    val n = Tables.nation(s, d)
+    n.select(
+        col("n_nationkey").cast("int").as("nk"),
+        col("n_name"),
+        levenshtein(col("n_name"), reverse(col("n_name"))).as("lev_rev"),
+        translate(col("n_name"), "AEIOU", "aeiou").as("devoweled"),
+        lpad(col("n_nationkey").cast("string"), 4, "0").as("padded_key"),
+        rpad(col("n_name"), 20, ".").as("padded_name"),
+        instr(col("n_name"), "AN").cast("int").as("an_pos"),
+        format_string("%02d-%s", col("n_nationkey"), col("n_name")).as("tag"),
+        length(repeat(substring(col("n_name"), 1, 2), 3)).as("rep_len"))
+      .orderBy("nk")
+  }
+
+  val stringFuncsSql: String =
+    """SELECT CAST(n_nationkey AS INT) AS nk, n_name,
+      |  CAST(levenshtein(n_name, reverse(n_name)) AS INT) AS lev_rev,
+      |  translate(n_name, 'AEIOU', 'aeiou') AS devoweled,
+      |  lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS padded_key,
+      |  rpad(n_name, 20, '.') AS padded_name,
+      |  CAST(instr(n_name, 'AN') AS INT) AS an_pos,
+      |  printf('%02d-%s', n_nationkey, n_name) AS tag,
+      |  CAST(length(repeat(substring(n_name, 1, 2), 3)) AS INT) AS rep_len
+      |FROM nation
+      |ORDER BY nk""".stripMargin
+
+  /** Ordered list aggregation: per region, the sorted nation list joined
+    * to a string plus its first three — `collect_list` is
+    * order-nondeterministic under parallelism, so the engine-wide rule is
+    * sort_array BEFORE any consumption (the DuckDB side orders inside
+    * the aggregate). */
+  val listAgg: Q = (s, d) => {
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        count(lit(1)).as("n_nations"),
+        array_join(sort_array(collect_list(col("n_name"))), ",").as("all_nations"),
+        array_join(slice(sort_array(collect_list(col("n_name"))), 1, 3), ",").as("first3"))
+      .orderBy("r_name")
+  }
+
+  val listAggSql: String =
+    """SELECT r_name, count(*) AS n_nations,
+      |  array_to_string(list(n_name ORDER BY n_name), ',') AS all_nations,
+      |  array_to_string(list(n_name ORDER BY n_name)[1:3], ',') AS first3
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
   /** SQL-API surface: one portable ANSI statement executed verbatim by
     * BOTH engines — `spark.sql` over registered temp views on the Spark
     * side, the oracle string is character-for-character the same. */
@@ -600,7 +656,9 @@ object Relational {
     "r11_json_props" -> jsonProps,
     "r19_pivot_flags" -> pivotFlags,
     "r20_value_windows" -> valueWindows,
-    "r21_array_funcs" -> arrayFuncs)
+    "r21_array_funcs" -> arrayFuncs,
+    "r22_string_funcs" -> stringFuncs,
+    "r23_list_agg" -> listAgg)
 
   val oracle: Map[String, String] = Map(
     "r12_salted_agg" -> saltedAggSql,
@@ -608,6 +666,8 @@ object Relational {
     "r19_pivot_flags" -> pivotFlagsSql,
     "r20_value_windows" -> valueWindowsSql,
     "r21_array_funcs" -> arrayFuncsSql,
+    "r22_string_funcs" -> stringFuncsSql,
+    "r23_list_agg" -> listAggSql,
     "r18_sql_api" -> sqlApiText,
     "r13_range_join" -> rangeJoinSql,
     "r14_asof_join" -> asofJoinSql,

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops.Indices
+
+/** ScalaCheck properties from SURVEY.md §5 #3: clip bounds, masking
+  * monotonicity, merge idempotence, union-order invariance. Generators
+  * are sampled with fixed seeds (deterministic CI) and each batch is
+  * evaluated through the real Column expressions — not a scalar
+  * re-implementation — so the properties hold for the exact Catalyst
+  * plans the queries use.
+  */
+class PropertiesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Deterministic ScalaCheck sampling: n batches from g. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default.withSize(40), Seed(42L + i)).toSeq)
+
+  private val bandGen: Gen[List[(Option[Double], Option[Double], Option[Double], Int)]] =
+    Gen.nonEmptyListOf(for {
+      red <- Gen.option(Gen.chooseNum(-2000.0, 15000.0))
+      nir <- Gen.option(Gen.chooseNum(-2000.0, 15000.0))
+      blue <- Gen.option(Gen.chooseNum(-2000.0, 15000.0))
+      fmask <- Gen.chooseNum(0, 5)
+    } yield (red, nir, blue, fmask))
+
+  private def pixelDf(rows: List[(Option[Double], Option[Double], Option[Double], Int)]): DataFrame =
+    rows.toDF("red", "nir", "blue", "fmask")
+
+  test("clip keeps NDVI in [-1,1] and EVI in [-3,3] or NULL, for any bands") {
+    samples(bandGen, 8).foreach { rows =>
+      val df = pixelDf(rows)
+      val mask = Indices.combinedMask(col("red"), col("nir"), col("blue"), col("fmask"))
+      val out = df.select(
+        Indices.clip(Indices.maskToNull(Indices.ndvi(col("nir"), col("red")), mask), -1, 1).as("n"),
+        Indices.clip(Indices.maskToNull(Indices.evi(col("nir"), col("red"), col("blue")), mask), -3, 3).as("e"))
+      val bad = out.filter(
+        (col("n").isNotNull && (col("n") < -1.0 || col("n") > 1.0)) ||
+          (col("e").isNotNull && (col("e") < -3.0 || col("e") > 3.0))).count()
+      assert(bad == 0L, s"clip escaped its bounds for rows=$rows")
+    }
+  }
+
+  test("adding a mask term never increases the valid-pixel count") {
+    samples(bandGen, 8).foreach { rows =>
+      val df = pixelDf(rows)
+      val weak = Indices.outsidePolygon(col("red"), col("nir"), col("blue"))
+      val strong = Indices.combinedMask(col("red"), col("nir"), col("blue"), col("fmask"))
+      val v = Indices.ndvi(col("nir"), col("red"))
+      val nWeak = df.select(Indices.maskToNull(v, weak).as("x"))
+        .filter(col("x").isNotNull).count()
+      val nStrong = df.select(Indices.maskToNull(v, strong).as("x"))
+        .filter(col("x").isNotNull).count()
+      assert(nStrong <= nWeak, s"monotonicity broken: $nStrong > $nWeak")
+    }
+  }
+
+  test("spatial merge of a single granule is the identity on pixel values") {
+    val gridGen = Gen.nonEmptyListOf(for {
+      y <- Gen.chooseNum(0, 5); x <- Gen.chooseNum(0, 5)
+      v <- Gen.chooseNum(-1.0, 1.0)
+    } yield (y, x, v))
+    samples(gridGen, 6).foreach { rows =>
+      // one observation per (y,x) key: avg over the group is the value
+      val df = rows.toDF("y", "x", "v").groupBy("y", "x").agg(first("v").as("v"))
+      val merged = df.groupBy("y", "x").agg(avg("v").as("v"))
+      assert(merged.except(df).count() == 0L && df.except(merged).count() == 0L,
+        "single-granule merge was not the identity")
+    }
+  }
+
+  test("union order does not change a sorted result") {
+    val kvGen = Gen.nonEmptyListOf(for {
+      k <- Gen.chooseNum(0, 100); v <- Gen.chooseNum(-1e6, 1e6)
+    } yield (k, v))
+    samples(kvGen, 6).foreach { rows =>
+      val (a, b) = rows.splitAt(rows.length / 2)
+      val ab = a.toDF("k", "v").unionByName(b.toDF("k", "v")).orderBy("k", "v")
+      val ba = b.toDF("k", "v").unionByName(a.toDF("k", "v")).orderBy("k", "v")
+      assert(ab.collect().toSeq == ba.collect().toSeq,
+        "sorted union result depended on input order")
+    }
+  }
+}

@@ -135,15 +135,20 @@ object Stats {
     * are unit-magnitude, so double moment accumulation stays far inside
     * round-to-6; single pass, map-side combined. */
   val corrCovarQ: Q = (s, d) => {
+    // No pre-filter: corr/covar skip incomplete pairs natively, and a
+    // filter on the derived columns would evaluate the big mask/clip
+    // expression trees twice (once in the filter, once under the
+    // aggregate — no CSE across operators). var_pop gets a `when` guard
+    // so it sees exactly the pair-complete rows the others do.
     val px = PixelOps.withIndices(Pixels.pixels(s, d))
-      .filter(col("ndvi_c").isNotNull && col("evi_c").isNotNull)
     px.groupBy("tile_id")
       .agg(
-        count(lit(1)).as("n_pairs"),
+        sum(when(col("ndvi_c").isNotNull && col("evi_c").isNotNull, 1L)
+          .otherwise(0L)).as("n_pairs"),
         r6(corr(col("ndvi_c"), col("evi_c"))).as("r_ndvi_evi"),
         r6(covar_pop(col("ndvi_c"), col("evi_c"))).as("covp"),
         r6(covar_samp(col("ndvi_c"), col("evi_c"))).as("covs"),
-        r6(var_pop(col("ndvi_c"))).as("var_ndvi"))
+        r6(var_pop(when(col("evi_c").isNotNull, col("ndvi_c")))).as("var_ndvi"))
       .orderBy("tile_id")
   }
 
@@ -151,15 +156,14 @@ object Stats {
     val f = Pixels.Sql0
     Pixels.withPixels(
       s"""SELECT tile_id,
-         |  count(*) AS n_pairs,
+         |  CAST(sum(CASE WHEN n_v IS NOT NULL AND e_v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
          |  0.0 + round(corr(n_v, e_v), 6) AS r_ndvi_evi,
          |  0.0 + round(covar_pop(n_v, e_v), 6) AS covp,
          |  0.0 + round(covar_samp(n_v, e_v), 6) AS covs,
-         |  0.0 + round(var_pop(n_v), 6) AS var_ndvi
+         |  0.0 + round(var_pop(CASE WHEN e_v IS NOT NULL THEN n_v END), 6) AS var_ndvi
          |FROM (
          |  SELECT tile_id, ${f.ndviClipped} AS n_v, ${f.eviClipped} AS e_v
          |  FROM pixels) t
-         |WHERE n_v IS NOT NULL AND e_v IS NOT NULL
          |GROUP BY tile_id
          |ORDER BY tile_id""".stripMargin)
   }

@@ -46,6 +46,15 @@ object StreamOps {
       .select(col("seriesId"), col("window.start").as("day"),
         col("vmean"), col("n_events"))
 
+  /** Stream-static enrichment: join each streaming event against a
+    * static dimension table (e.g. the granule/tile catalog) — Spark
+    * broadcasts or re-reads the static side per micro-batch, no
+    * streaming state at all. The streaming face of the engine's
+    * broadcast-dimension-join posture. */
+  def enrichWithStatic(events: DataFrame, dim: DataFrame,
+      key: String = "seriesId"): DataFrame =
+    events.join(dim, Seq(key), "left")
+
   /** Gap-based session windows over a raw event stream — the streaming
     * form of the batch sessionization (ops/Events e05): Spark's native
     * `session_window` merges events within the gap into one growing

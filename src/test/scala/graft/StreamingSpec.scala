@@ -39,6 +39,26 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events against a dimension table") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "seriesId", "value")
+    val dim = Seq((1L, "forest"), (2L, "crop")).toDF("seriesId", "landcover")
+    val q = StreamOps.enrichWithStatic(events, dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, 1.0),
+        (ts("2024-01-01 10:01:00"), 3L, 2.0)) // no dim row -> NULL landcover
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select(col("seriesId"), col("landcover")).as[(Long, Option[String])]
+        .collect().toSet
+      assert(rows == Set((1L, Some("forest")), (3L, None)))
+    } finally q.stop()
+  }
+
   test("session windows merge within the gap and split across it") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]

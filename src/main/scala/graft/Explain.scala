@@ -6,7 +6,9 @@ object Explain {
     val d = "/root/testdata/sf0.01"
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "r01_pricing_summary", "r02_revenue_by_nation", "p01_pixel_indices",
-      "m01_spatial_merge", "v01_sim_topk", "v04_sim_topk_native", "t06_dedup_minhash")
+      "m01_spatial_merge", "v01_sim_topk", "v04_sim_topk_native",
+      "v06_embed_neardup", "t06_dedup_minhash", "s05_corr_covar",
+      "e06_rolling_stats")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       println(SparkEntry.queries(n)(spark, d).queryExecution.explainString(

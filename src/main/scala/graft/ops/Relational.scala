@@ -616,6 +616,25 @@ object Relational {
       |GROUP BY r_name
       |ORDER BY r_name""".stripMargin
 
+  /** Explicit GROUPING SETS (beyond r07 ROLLUP / r15 CUBE): an
+    * arbitrary set list in one portable ANSI statement executed
+    * verbatim by both engines (the r18 pattern). Row-level markers use
+    * coalesce, not grouping_id, because the two engines number grouping
+    * bits differently. */
+  val groupingSetsText: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY rf, ls""".stripMargin
+
+  val groupingSets: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(groupingSetsText)
+  }
+
   /** SQL-API surface: one portable ANSI statement executed verbatim by
     * BOTH engines — `spark.sql` over registered temp views on the Spark
     * side, the oracle string is character-for-character the same. */
@@ -658,7 +677,8 @@ object Relational {
     "r20_value_windows" -> valueWindows,
     "r21_array_funcs" -> arrayFuncs,
     "r22_string_funcs" -> stringFuncs,
-    "r23_list_agg" -> listAgg)
+    "r23_list_agg" -> listAgg,
+    "r24_grouping_sets" -> groupingSets)
 
   val oracle: Map[String, String] = Map(
     "r12_salted_agg" -> saltedAggSql,
@@ -668,6 +688,7 @@ object Relational {
     "r21_array_funcs" -> arrayFuncsSql,
     "r22_string_funcs" -> stringFuncsSql,
     "r23_list_agg" -> listAggSql,
+    "r24_grouping_sets" -> groupingSetsText,
     "r18_sql_api" -> sqlApiText,
     "r13_range_join" -> rangeJoinSql,
     "r14_asof_join" -> asofJoinSql,

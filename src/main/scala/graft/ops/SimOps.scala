@@ -141,25 +141,25 @@ object SimOps {
     * three coordinate hyperplanes — and rank only within the bucket. */
   val simLsh: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
+    // Same two-stage shape as v01/v05: prune to the query's sign bucket,
+    // rank with the native cosine over packed arrays (margin past k),
+    // DECIMAL-exact re-rank of survivors only.
     val emb = Tables.embeddings(s, d)
-    val bucketed = emb.select(col("vec_id"),
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
       (when(element_at(col("embedding"), 1) > 0f, 4).otherwise(0)
         + when(element_at(col("embedding"), 8) > 0f, 2).otherwise(0)
         + when(element_at(col("embedding"), 22) > 0f, 1).otherwise(0)).as("bucket"))
-    val f = flat(s, d).join(bucketed, "vec_id")
-    val n = norms(flat(s, d))
-    val q = f.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("bucket"), col("i"), col("v").as("qv"))
-    val dots = f.join(broadcast(q), Seq("bucket", "i"))
-      .filter(col("vec_id") =!= col("qid"))
-      .groupBy("qid", "vec_id")
-      .agg(xsumHi(col("qv") * col("v")).as("dot"))
+    val q = bucketed.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("bucket"), col("embedding").as("ea"))
+    val wN = Window.partitionBy("qid").orderBy(col("ncos").desc, col("cid").asc)
+    val cand = bucketed.select(col("vec_id").as("cid"), col("bucket"), col("embedding").as("eb"))
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("ncos", expr("graft_cosine(ea, eb)"))
+      .withColumn("nrk", row_number().over(wN))
+      .filter(col("nrk") <= 6)
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid").asc)
-    dots
-      .join(n.select(col("vec_id").as("qid"), col("nrm").as("qnrm")), "qid")
-      .join(n, "vec_id")
-      .select(col("qid"), col("vec_id").as("cid"),
-        (col("dot") / (col("qnrm") * col("nrm"))).as("cosine"))
+    exactCosine(cand.select("qid", "cid", "ea", "eb"), Seq("qid", "cid"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("qid"), col("rk"), col("cid"), r6(col("cosine")).as("cosine"))

@@ -203,26 +203,34 @@ object TextOps {
     // ~1 s while an InMemoryRelation columnar build costs several times
     // that (measured 21.5 s vs 3.7 s for the full t08 at sf0.1)
     val sig = signatures(doc)
-    // one explode over (band,key) structs instead of a 4-way union of
-    // sig selects: the signature lineage (shingle explode + md5 + 8-min
-    // groupBy) is built ONCE per join side, not four times
-    val bands = sig.select(col("doc_id"), explode(array(
+    // Single-pass banding: explode (band,key) structs from one signature
+    // lineage, collect each bucket's (doc_id, full signature) members,
+    // and emit ordered pairs from inside the bucket row — the WHOLE
+    // query touches the corpus once, with no self-join and no sig
+    // re-join for the estimate (signatures ride along in the pair).
+    // Bucket arrays are bounded by banding design (a band key splits
+    // ~uniformly); a degenerate-key corpus would want the t08-style
+    // self-join form back, which streams instead of collecting.
+    val sigArr = array(Seeds.map(i => col(s"s$i")): _*)
+    val bands = sig.select(col("doc_id"), sigArr.as("sg"), explode(array(
         (0 until 4).map(b => struct(lit(b).as("band"),
           concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("doc_id"), col("sg"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val pairs = bands
+      .groupBy("band", "key")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sg")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ms, (a, i) ->
+          |  transform(slice(ms, i + 2, size(ms)), b ->
+          |    struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |           a.sg AS sga, b.sg AS sgb))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.sga"), col("p.sgb"))
       .distinct()
-    val sa = col("doc_id").as("doc_a") +: Seeds.map(i => sig(s"s$i").as(s"a$i"))
-    val sb = col("doc_id").as("doc_b") +: Seeds.map(i => sig(s"s$i").as(s"b$i"))
-    val withSigs = cand
-      .join(sig.select(sa: _*), "doc_a")
-      .join(sig.select(sb: _*), "doc_b")
     val matches = Seeds.map(i =>
-      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
-    withSigs
+      when(element_at(col("sga"), i + 1) === element_at(col("sgb"), i + 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    pairs
       .select(col("doc_a"), col("doc_b"),
         r6(matches.cast("double") / Seeds.size).as("est_jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -295,17 +303,21 @@ object TextOps {
   val ngramJaccard: Q = (s, d) => {
     val doc = Tables.documents(s, d)
     val sig = signatures(doc)
-    // one explode over (band,key) structs instead of a 4-way union of
-    // sig selects: the signature lineage (shingle explode + md5 + 8-min
-    // groupBy) is built ONCE per join side, not four times
+    // Single-pass banding (see t06): bucket members collected from one
+    // signature lineage, ordered pairs emitted inside the bucket row.
     val bands = sig.select(col("doc_id"), explode(array(
         (0 until 4).map(b => struct(lit(b).as("band"),
           concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cand = bands
+      .groupBy("band", "key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), b ->
+          |    struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
     // Only candidate docs' shingles matter for the verify stage — the
     // broadcast semi-join prunes the 2M-row shingle relation down to the

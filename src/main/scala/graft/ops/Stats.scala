@@ -168,7 +168,40 @@ object Stats {
          |ORDER BY tile_id""".stripMargin)
   }
 
+  /** Approx-percentile sketch with an oracle-checkable error contract
+    * (the r17 pattern for engine-specific sketches): the raw
+    * `approx_percentile` value differs per engine, so the declared
+    * output is the exact quantile plus a boolean asserting the sketch
+    * landed inside a rank-error bound the accuracy parameter implies;
+    * the oracle asserts the bound as literal TRUE. At 100 TB the sketch
+    * is one pass and mergeable where the exact form must sort per key. */
+  val approxQuantileBoundQ: Q = (s, d) => {
+    val px = PixelOps.withIndices(Pixels.pixels(s, d))
+    px.groupBy("tile_id")
+      .agg(
+        count(col("ndvi_c")).as("n_valid"),
+        r6(expr("percentile(ndvi_c, 0.5)")).as("exact_median"),
+        expr("approx_percentile(ndvi_c, 0.5, 1000)").as("ap"),
+        expr("percentile(ndvi_c, 0.45)").as("lo"),
+        expr("percentile(ndvi_c, 0.55)").as("hi"))
+      .select(col("tile_id"), col("n_valid"), col("exact_median"),
+        (col("ap") >= col("lo") && col("ap") <= col("hi")).as("approx_in_bound"))
+      .orderBy("tile_id")
+  }
+
+  val approxQuantileBoundSql: String = {
+    val f = Pixels.Sql0
+    Pixels.withPixels(
+      s"""SELECT tile_id,
+         |  count(${f.ndviClipped}) AS n_valid,
+         |  0.0 + round(quantile_cont(${f.ndviClipped}, 0.5), 6) AS exact_median,
+         |  TRUE AS approx_in_bound
+         |FROM pixels GROUP BY tile_id
+         |ORDER BY tile_id""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "s06_approx_quantile_bound" -> approxQuantileBoundQ,
     "s01_global_stats" -> globalStatsQ,
     "s02_temporal_mean_px" -> temporalMeanQ,
     "s03_temporal_std_px" -> temporalStdQ,
@@ -176,6 +209,7 @@ object Stats {
     "s05_corr_covar" -> corrCovarQ)
 
   val oracle: Map[String, String] = Map(
+    "s06_approx_quantile_bound" -> approxQuantileBoundSql,
     "s01_global_stats" -> globalStatsSql,
     "s02_temporal_mean_px" -> temporalMeanSql,
     "s03_temporal_std_px" -> temporalStdSql,

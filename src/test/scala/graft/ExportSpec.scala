@@ -30,8 +30,16 @@ class ExportSpec extends SparkSpecBase {
     val oneDay = back.filter(col("p_date") === lit("1996-03-15"))
     val expect = cube.filter(to_date(col("time")) === lit("1996-03-15"))
     assert(oneDay.count() == expect.count())
+    // the predicate must land in PartitionFilters (directory pruning),
+    // NOT as a data filter — at 100 TB this is the difference between
+    // listing one partition and scanning the whole table
     val scan = oneDay.queryExecution.executedPlan.toString
-    assert(scan.contains("PartitionFilters") || oneDay.count() >= 0)
+    assert(scan.contains("PartitionFilters: [") && scan.contains("p_date"),
+      s"date predicate did not prune partitions:\n$scan")
+    val prunedParts = oneDay.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(prunedParts.exists(_ == 1), s"expected exactly 1 partition read, got $prunedParts")
   }
 
   test("granule cache sink partitions by (tile, date) and overwrite invalidates") {

@@ -131,40 +131,87 @@ object Stats {
 
   /** Bivariate moment aggregates (corr / covariance / variance of the
     * two indices per tile) — the correlation structure a band-math QC
-    * job inspects. corr is scale-free (|r| <= 1) and the index values
-    * are unit-magnitude, so double moment accumulation stays far inside
-    * round-to-6; single pass, map-side combined. */
+    * job inspects.
+    *
+    * Determinism: the five moments (Σx, Σy, Σxy, Σx², Σy²) accumulate in
+    * DECIMAL(38,18) — order-independent and bit-identical across engines
+    * like every other exact sum — and the corr/covar/var values derive
+    * from them through one fixed IEEE-double formula spelled identically
+    * in the oracle, so the hash compare no longer leans on two engines'
+    * native moment accumulators agreeing after round-to-6. Zero-variance
+    * and n<2 groups yield NULL on BOTH sides by explicit guard (Spark's
+    * native corr would emit NaN where DuckDB emits NULL). Single pass,
+    * map-side combined. */
   val corrCovarQ: Q = (s, d) => {
-    // No pre-filter: corr/covar skip incomplete pairs natively, and a
-    // filter on the derived columns would evaluate the big mask/clip
-    // expression trees twice (once in the filter, once under the
-    // aggregate — no CSE across operators). var_pop gets a `when` guard
-    // so it sees exactly the pair-complete rows the others do.
+    // Pair-guard inside a projection, not a filter: a filter on the
+    // derived columns would evaluate the big mask/clip expression trees
+    // twice (no CSE across operators).
     val px = PixelOps.withIndices(Pixels.pixels(s, d))
-    px.groupBy("tile_id")
+      .withColumn("pair_ok", col("ndvi_c").isNotNull && col("evi_c").isNotNull)
+      .withColumn("n_v", when(col("pair_ok"), col("ndvi_c")))
+      .withColumn("e_v", when(col("pair_ok"), col("evi_c")))
+    val m = px.groupBy("tile_id")
       .agg(
-        sum(when(col("ndvi_c").isNotNull && col("evi_c").isNotNull, 1L)
-          .otherwise(0L)).as("n_pairs"),
-        r6(corr(col("ndvi_c"), col("evi_c"))).as("r_ndvi_evi"),
-        r6(covar_pop(col("ndvi_c"), col("evi_c"))).as("covp"),
-        r6(covar_samp(col("ndvi_c"), col("evi_c"))).as("covs"),
-        r6(var_pop(when(col("evi_c").isNotNull, col("ndvi_c")))).as("var_ndvi"))
+        count(col("n_v")).as("n_pairs"),
+        xsumHi(col("n_v")).as("sx"),
+        xsumHi(col("e_v")).as("sy"),
+        xsumHi(col("n_v") * col("e_v")).as("sxy"),
+        xsumHi(col("n_v") * col("n_v")).as("sx2"),
+        xsumHi(col("e_v") * col("e_v")).as("sy2"))
+      .withColumn("dn", col("n_pairs").cast("double"))
+    val vx = col("dn") * col("sx2") - col("sx") * col("sx")
+    val vy = col("dn") * col("sy2") - col("sy") * col("sy")
+    m.select(
+      col("tile_id"),
+      col("n_pairs"),
+      r6(when(col("n_pairs") > 1 && vx > 0 && vy > 0,
+        (col("dn") * col("sxy") - col("sx") * col("sy")) / sqrt(vx * vy)))
+        .as("r_ndvi_evi"),
+      r6(when(col("n_pairs") > 0,
+        (col("sxy") - col("sx") * col("sy") / col("dn")) / col("dn")))
+        .as("covp"),
+      r6(when(col("n_pairs") > 1,
+        (col("sxy") - col("sx") * col("sy") / col("dn")) / (col("dn") - 1)))
+        .as("covs"),
+      r6(when(col("n_pairs") > 0,
+        (col("sx2") - col("sx") * col("sx") / col("dn")) / col("dn")))
+        .as("var_ndvi"))
       .orderBy("tile_id")
   }
 
   val corrCovarSql: String = {
     val f = Pixels.Sql0
     Pixels.withPixels(
-      s"""SELECT tile_id,
-         |  CAST(sum(CASE WHEN n_v IS NOT NULL AND e_v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
-         |  0.0 + round(corr(n_v, e_v), 6) AS r_ndvi_evi,
-         |  0.0 + round(covar_pop(n_v, e_v), 6) AS covp,
-         |  0.0 + round(covar_samp(n_v, e_v), 6) AS covs,
-         |  0.0 + round(var_pop(CASE WHEN e_v IS NOT NULL THEN n_v END), 6) AS var_ndvi
-         |FROM (
-         |  SELECT tile_id, ${f.ndviClipped} AS n_v, ${f.eviClipped} AS e_v
-         |  FROM pixels) t
-         |GROUP BY tile_id
+      s"""WITH g AS (
+         |  SELECT tile_id,
+         |    CASE WHEN n0 IS NOT NULL AND e0 IS NOT NULL THEN n0 END AS n_v,
+         |    CASE WHEN n0 IS NOT NULL AND e0 IS NOT NULL THEN e0 END AS e_v
+         |  FROM (
+         |    SELECT tile_id, ${f.ndviClipped} AS n0, ${f.eviClipped} AS e0
+         |    FROM pixels) t0
+         |), m AS (
+         |  SELECT tile_id,
+         |    count(n_v) AS n_pairs,
+         |    CAST(count(n_v) AS DOUBLE) AS dn,
+         |    ${xsumHiSql("n_v")} AS sx,
+         |    ${xsumHiSql("e_v")} AS sy,
+         |    ${xsumHiSql("n_v * e_v")} AS sxy,
+         |    ${xsumHiSql("n_v * n_v")} AS sx2,
+         |    ${xsumHiSql("e_v * e_v")} AS sy2
+         |  FROM g GROUP BY tile_id
+         |)
+         |SELECT tile_id, n_pairs,
+         |  0.0 + round(CASE WHEN n_pairs > 1
+         |      AND dn * sx2 - sx * sx > 0 AND dn * sy2 - sy * sy > 0
+         |    THEN (dn * sxy - sx * sy)
+         |      / sqrt((dn * sx2 - sx * sx) * (dn * sy2 - sy * sy)) END, 6) AS r_ndvi_evi,
+         |  0.0 + round(CASE WHEN n_pairs > 0
+         |    THEN (sxy - sx * sy / dn) / dn END, 6) AS covp,
+         |  0.0 + round(CASE WHEN n_pairs > 1
+         |    THEN (sxy - sx * sy / dn) / (dn - 1) END, 6) AS covs,
+         |  0.0 + round(CASE WHEN n_pairs > 0
+         |    THEN (sx2 - sx * sx / dn) / dn END, 6) AS var_ndvi
+         |FROM m
          |ORDER BY tile_id""".stripMargin)
   }
 

@@ -25,6 +25,32 @@ object TextOps {
   private val Stop1 = "the"
   private val Stop2 = "a"
 
+  /** Guard on the in-row LSH pair expansion (t06/t08): a band bucket with
+    * more members than this is dropped from candidate generation instead
+    * of expanding O(|bucket|²) pairs inside one aggregation row with an
+    * unbounded collect_list buffer. Band keys are 32-hex MinHash
+    * fragments, so natural buckets are near-dup clusters orders of
+    * magnitude below the cap; a corpus that trips it (degenerate /
+    * adversarial keys) should route through the streaming self-join form
+    * instead. Dropped buckets are observable via [[oversizedBandBuckets]]
+    * — run it as the audit companion when mining candidates at scale. */
+  val MaxBucketMembers = 4096
+
+  /** The 4 × (band, key) structs of a MinHash signature row (2 sigs per
+    * band), shared by t06 / t08 banding and the bucket audit. */
+  private[graft] def bandStructs =
+    array((0 until 4).map(b => struct(lit(b).as("band"),
+      concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("key"))): _*)
+
+  /** Audit relation for [[MaxBucketMembers]]: every band bucket whose
+    * member count exceeds the pair-expansion cap, with its size. */
+  private[graft] def oversizedBandBuckets(sig: DataFrame,
+      cap: Int = MaxBucketMembers): DataFrame =
+    sig.select(explode(bandStructs).as("bk"))
+      .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > cap)
+
   /** Word tokens (single-space separated corpus). */
   private def toks = split(col("text"), " ")
 
@@ -208,18 +234,18 @@ object TextOps {
     // and emit ordered pairs from inside the bucket row — the WHOLE
     // query touches the corpus once, with no self-join and no sig
     // re-join for the estimate (signatures ride along in the pair).
-    // Bucket arrays are bounded by banding design (a band key splits
-    // ~uniformly); a degenerate-key corpus would want the t08-style
-    // self-join form back, which streams instead of collecting.
+    // Bucket arrays are bounded by [[MaxBucketMembers]]: a degenerate
+    // band key would otherwise expand O(|bucket|²) pairs in-row; capped
+    // buckets drop out (audit via oversizedBandBuckets) and a corpus
+    // that trips the cap wants the t08-style self-join form back, which
+    // streams instead of collecting.
     val sigArr = array(Seeds.map(i => col(s"s$i")): _*)
-    val bands = sig.select(col("doc_id"), sigArr.as("sg"), explode(array(
-        (0 until 4).map(b => struct(lit(b).as("band"),
-          concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("key"))): _*)).as("bk"))
+    val bands = sig.select(col("doc_id"), sigArr.as("sg"), explode(bandStructs).as("bk"))
       .select(col("doc_id"), col("sg"), col("bk.band").as("band"), col("bk.key").as("key"))
     val pairs = bands
       .groupBy("band", "key")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sg")))).as("ms"))
-      .filter(size(col("ms")) > 1)
+      .filter(size(col("ms")) > 1 && size(col("ms")) <= MaxBucketMembers)
       .select(explode(expr(
         """flatten(transform(ms, (a, i) ->
           |  transform(slice(ms, i + 2, size(ms)), b ->
@@ -304,15 +330,14 @@ object TextOps {
     val doc = Tables.documents(s, d)
     val sig = signatures(doc)
     // Single-pass banding (see t06): bucket members collected from one
-    // signature lineage, ordered pairs emitted inside the bucket row.
-    val bands = sig.select(col("doc_id"), explode(array(
-        (0 until 4).map(b => struct(lit(b).as("band"),
-          concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("key"))): _*)).as("bk"))
+    // signature lineage, ordered pairs emitted inside the bucket row;
+    // bucket size capped by MaxBucketMembers like t06.
+    val bands = sig.select(col("doc_id"), explode(bandStructs).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val cand = bands
       .groupBy("band", "key")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucketMembers)
       .select(explode(expr(
         """flatten(transform(ids, (a, i) ->
           |  transform(slice(ids, i + 2, size(ids)), b ->

@@ -42,12 +42,40 @@ class PlanShapeSpec extends SparkSpecBase {
   }
 
   test("native cosine runs in one scan: no exchange below the ranking window") {
-    val p = plan("v04_sim_topk_native")
+    // the pure-native bench variant (the declared v04 entry adds the
+    // exact re-rank stage on top; its prune stage shares this shape)
+    val p = ops.SimOps.simTopkNative(spark, d)
+      .queryExecution.explainString(FormattedMode)
     assert(p.contains("graft_cosine"), s"native expression missing from:\n$p")
     // the only exchange allowed is the per-qid window partitioning
-    val beforeWindow = p.substring(0, p.indexOf("Window"))
-    assert(!beforeWindow.contains("Exchange hashpartitioning(i"),
+    val widx = p.indexOf("Window")
+    assert(widx >= 0, s"ranking Window node missing from:\n$p")
+    val beforeWindow = p.substring(0, widx)
+    assert(!beforeWindow.contains("Exchange hashpartitioning(i#"),
       s"cosine path shuffled on the flattened index:\n$p")
+  }
+
+  test("label-pair stats run on the packed arrays: no explode, no pair-key shuffle") {
+    val p = plan("v03_label_sim_stats")
+    assert(p.contains("graft_cosine"), s"native expression missing from:\n$p")
+    // the 64-way posexplode form shows up as a Generate node; the packed
+    // form has none, and never exchanges on the (qid, cid) pair key —
+    // the only hash exchange is the label-pair aggregate
+    assert(!p.contains("Generate"), s"packed cosine path regressed to explode:\n$p")
+    assert(!p.contains("hashpartitioning(qid"),
+      s"pair-key shuffle crept below the label aggregate:\n$p")
+  }
+
+  test("near-dup candidate join shuffles on the bucket key: corpus never broadcast") {
+    // executed plan after an action so AQE cannot have silently swapped
+    // the strategy back to broadcast
+    val df = SparkEntry.queries("v06_embed_neardup")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastHashJoin"),
+      s"near-dup candidate join broadcasts the corpus:\n$p")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"expected a shuffled bucket-key join in:\n$p")
   }
 
   test("whole-stage codegen covers the band-math expression block") {

@@ -28,6 +28,23 @@ class TextAggSpec extends SparkSpecBase {
     }
   }
 
+  test("band-bucket audit flags buckets past the pair-expansion cap") {
+    // 6 docs share one degenerate signature (every band key collides),
+    // 2 docs are distinct: with cap=5 the audit reports exactly the 4
+    // degenerate (band, key) buckets at 6 members each, nothing else.
+    val dup = (1L to 6L).map(i => (i, "aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"))
+    val solo = Seq((7L, "a7", "b7", "c7", "d7", "e7", "f7", "g7", "h7"),
+      (8L, "a8", "b8", "c8", "d8", "e8", "f8", "g8", "h8"))
+    val sig = (dup ++ solo)
+      .toDF("doc_id", "s0", "s1", "s2", "s3", "s4", "s5", "s6", "s7")
+    val over = TextOps.oversizedBandBuckets(sig, cap = 5)
+      .as[(Int, String, Long)].collect().toSeq.sorted
+    assert(over.map(_._1) == Seq(0, 1, 2, 3), s"wrong bands flagged: $over")
+    assert(over.forall(_._3 == 6L), s"wrong member counts: $over")
+    // below the cap nothing is flagged
+    assert(TextOps.oversizedBandBuckets(sig, cap = 6).count() == 0L)
+  }
+
   test("Aggregator handles empty input and null shingles") {
     val sigs = Seq((1L, Option.empty[String]), (1L, Some("a b c")))
       .toDF("doc_id", "s")

@@ -1,7 +1,10 @@
 package graft
 
 /** Benchmark main (driver contract): run every declared query on
-  * SPARK_GRAFT_SF_DIR, print ONE JSON line with total + per-query secs. */
+  * SPARK_GRAFT_SF_DIR, print ONE JSON line with total + per-query secs.
+  * The same line is also written to SPARK_GRAFT_BENCH_OUT (default
+  * ./BENCH_local.json) — stdout through the driver has been observed to
+  * truncate mid-stream, losing per-query families from the artifact. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -21,7 +24,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"bench artifact write failed ($out): $e") }
     spark.stop()
   }
 }

@@ -23,6 +23,29 @@ import graft.ops.Num._
   * out of the weighted sum (renormalizing by the remaining weight),
   * like numpy nan-aware resampling.
   */
+/** North-up affine georeferencing of a raster grid — the `from_bounds`
+  * transform the reference builds for its target grid (processor.py:
+  * 184-196): a cell center (y, x) sits at
+  * `lon = west + (x + 0.5) * pxLon`, `lat = north + (y + 0.5) * pxLat`
+  * (pxLat negative, north-up), and the inverse affine maps a lon/lat to
+  * fractional pixel coordinates for sampling. Plain data — it enters the
+  * plan as literal expressions (closure-serialized to executors), never
+  * as a lookup join. */
+final case class GridSpec(west: Double, north: Double,
+    pxLon: Double, pxLat: Double, width: Int, height: Int) {
+  def east: Double = west + width * pxLon
+  def south: Double = north + height * pxLat
+}
+
+object GridSpec {
+  /** rasterio-style `from_bounds`: degrees-per-pixel derived from the
+    * bounds and the raster size (processor.py:190-196). */
+  def fromBounds(west: Double, south: Double, east: Double, north: Double,
+      width: Int, height: Int): GridSpec =
+    GridSpec(west, north, (east - west) / width, (south - north) / height,
+      width, height)
+}
+
 object Resample {
 
   type Q = (SparkSession, String) => DataFrame
@@ -32,6 +55,21 @@ object Resample {
   /** scale = 32/20; target cell centers map to source coords
     * sy = (ty + 0.5) * scale - 0.5. */
   val Scale: Double = SrcSize.toDouble / DstSize
+
+  /** Reference-like georeferencing: 0.00027°/px (processor.py:189), the
+    * 32×32 source anchored at (10°E, 50°N) north-up. */
+  val PxDeg = 0.00027
+  val SrcGrid: GridSpec = GridSpec.fromBounds(
+    west = 10.0, south = 50.0 - SrcSize * PxDeg,
+    east = 10.0 + SrcSize * PxDeg, north = 50.0,
+    width = SrcSize, height = SrcSize)
+  /** Target: a 20×20 grid over the interior subwindow covering source
+    * cells 4..28 — a real warp (offset + 1.2× rescale), not the g01
+    * origin-aligned special case. */
+  val DstGrid: GridSpec = GridSpec.fromBounds(
+    west = SrcGrid.west + 4 * PxDeg, south = SrcGrid.north - 28 * PxDeg,
+    east = SrcGrid.west + 28 * PxDeg, north = SrcGrid.north - 4 * PxDeg,
+    width = DstSize, height = DstSize)
 
   /** Source grid: per-(y,x) temporal mean of clipped NDVI (deterministic
     * over the pixel relation). */
@@ -108,6 +146,82 @@ object Resample {
        |GROUP BY ty, tx
        |ORDER BY ty, tx""".stripMargin)
 
+  /** Affine-georeferenced bilinear warp (g03; processor.py:205-239):
+    * each target cell center goes through the [[DstGrid]] affine to a
+    * real lon/lat, the inverse [[SrcGrid]] affine maps that to
+    * fractional source pixels, and the same renormalizing bilinear
+    * kernel as g01 samples the ≤4 covering cells. Unlike g01's
+    * origin-aligned fixed grid, the mapping here has an origin offset
+    * and a 1.2× rescale driven entirely by the two GridSpecs — swap in
+    * any `from_bounds` target and the plan is unchanged. Weighted sums
+    * accumulate in DECIMAL(38,18) so the hash compare is
+    * order-independent. */
+  val bilinearAffine: Q = (s, d) => {
+    val src = sourceGrid(s, d)
+    val ty = s.range(DstSize).select(col("id").cast("int").as("ty"))
+    val tx = s.range(DstSize).select(col("id").cast("int").as("tx"))
+    val corners = Seq((0, 0), (0, 1), (1, 0), (1, 1))
+      .toDF(s)("dy", "dx")
+    val targets = ty.crossJoin(tx).crossJoin(corners)
+      .withColumn("lon", lit(DstGrid.west) + (col("tx") + 0.5) * DstGrid.pxLon)
+      .withColumn("lat", lit(DstGrid.north) + (col("ty") + 0.5) * DstGrid.pxLat)
+      .withColumn("sx", (col("lon") - SrcGrid.west) / SrcGrid.pxLon - 0.5)
+      .withColumn("sy", (col("lat") - SrcGrid.north) / SrcGrid.pxLat - 0.5)
+      .withColumn("fy", col("sy") - floor(col("sy")))
+      .withColumn("fx", col("sx") - floor(col("sx")))
+      .withColumn("ny", least(greatest(floor(col("sy")).cast("int") + col("dy"), lit(0)), lit(SrcSize - 1)))
+      .withColumn("nx", least(greatest(floor(col("sx")).cast("int") + col("dx"), lit(0)), lit(SrcSize - 1)))
+      .withColumn("w",
+        (when(col("dy") === 0, lit(1.0) - col("fy")).otherwise(col("fy"))) *
+          (when(col("dx") === 0, lit(1.0) - col("fx")).otherwise(col("fx"))))
+    targets.join(src, col("ny") === col("y") && col("nx") === col("x"), "left")
+      .groupBy("ty", "tx")
+      .agg(
+        r6(xsumHi(when(col("v").isNotNull, col("w") * col("v"))) /
+          xsumHi(when(col("v").isNotNull, col("w")))).as("ndvi"),
+        r6(xsumHi(when(col("v").isNotNull, col("w")))).as("w_valid"))
+      .withColumn("lon", r6(lit(DstGrid.west) + (col("tx") + 0.5) * DstGrid.pxLon))
+      .withColumn("lat", r6(lit(DstGrid.north) + (col("ty") + 0.5) * DstGrid.pxLat))
+      .select(col("ty"), col("tx"), col("lon"), col("lat"),
+        col("ndvi"), col("w_valid"))
+      .orderBy("ty", "tx")
+  }
+
+  val bilinearAffineSql: String = Pixels.withPixels(
+    s"""WITH src AS (
+       |$sourceGridSql
+       |), corners AS (
+       |  SELECT * FROM (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) AS t(dy, dx)
+       |), targets AS (
+       |  SELECT ty.g AS ty, tx.g AS tx, dy, dx,
+       |    ${DstGrid.west} + ((tx.g + 0.5) * ${DstGrid.pxLon}) AS lon,
+       |    ${DstGrid.north} + ((ty.g + 0.5) * ${DstGrid.pxLat}) AS lat
+       |  FROM (SELECT unnest(generate_series(0, ${DstSize - 1})) AS g) ty,
+       |       (SELECT unnest(generate_series(0, ${DstSize - 1})) AS g) tx,
+       |       corners
+       |), mapped AS (
+       |  SELECT ty, tx, dy, dx,
+       |    ((lon - ${SrcGrid.west}) / ${SrcGrid.pxLon}) - 0.5 AS sx,
+       |    ((lat - ${SrcGrid.north}) / ${SrcGrid.pxLat}) - 0.5 AS sy
+       |  FROM targets
+       |), weighted AS (
+       |  SELECT ty, tx,
+       |    least(greatest(CAST(floor(sy) AS INT) + dy, 0), ${SrcSize - 1}) AS ny,
+       |    least(greatest(CAST(floor(sx) AS INT) + dx, 0), ${SrcSize - 1}) AS nx,
+       |    (CASE WHEN dy = 0 THEN 1.0 - (sy - floor(sy)) ELSE sy - floor(sy) END)
+       |    * (CASE WHEN dx = 0 THEN 1.0 - (sx - floor(sx)) ELSE sx - floor(sx) END) AS w
+       |  FROM mapped
+       |)
+       |SELECT ty, tx,
+       |  0.0 + round(${DstGrid.west} + ((tx + 0.5) * ${DstGrid.pxLon}), 6) AS lon,
+       |  0.0 + round(${DstGrid.north} + ((ty + 0.5) * ${DstGrid.pxLat}), 6) AS lat,
+       |  0.0 + round(${xsumHiSql("CASE WHEN v IS NOT NULL THEN w * v END")}
+       |        / ${xsumHiSql("CASE WHEN v IS NOT NULL THEN w END")}, 6) AS ndvi,
+       |  0.0 + round(${xsumHiSql("CASE WHEN v IS NOT NULL THEN w END")}, 6) AS w_valid
+       |FROM weighted LEFT JOIN src ON ny = src.y AND nx = src.x
+       |GROUP BY ty, tx
+       |ORDER BY ty, tx""".stripMargin)
+
   /** Nearest-neighbor resample of the categorical fmask majority grid
     * (reference processor.py:241-251 uses nearest for Fmask). */
   val nearestRelational: Q = (s, d) => {
@@ -160,11 +274,35 @@ object Resample {
     }
   }
 
+  /** Dense-kernel twin of [[bilinearAffine]]: warp a full tile through
+    * the two affines inside one task; ResampleSpec asserts agreement
+    * with the relational form on the testdata grid. */
+  def affineKernel(src: Array[Array[Option[Double]]],
+      srcSpec: GridSpec, dstSpec: GridSpec): Array[Array[Option[Double]]] =
+    Array.tabulate(dstSpec.height, dstSpec.width) { (ty, tx) =>
+      val lon = dstSpec.west + (tx + 0.5) * dstSpec.pxLon
+      val lat = dstSpec.north + (ty + 0.5) * dstSpec.pxLat
+      val sx = (lon - srcSpec.west) / srcSpec.pxLon - 0.5
+      val sy = (lat - srcSpec.north) / srcSpec.pxLat - 0.5
+      val y0 = math.floor(sy).toInt; val fy = sy - math.floor(sy)
+      val x0 = math.floor(sx).toInt; val fx = sx - math.floor(sx)
+      var num = 0.0; var den = 0.0
+      for ((dy, dx) <- Seq((0, 0), (0, 1), (1, 0), (1, 1))) {
+        val ny = math.min(math.max(y0 + dy, 0), srcSpec.height - 1)
+        val nx = math.min(math.max(x0 + dx, 0), srcSpec.width - 1)
+        val w = (if (dy == 0) 1.0 - fy else fy) * (if (dx == 0) 1.0 - fx else fx)
+        src(ny)(nx).foreach { v => num += w * v; den += w }
+      }
+      if (den == 0.0) None else Some(num / den)
+    }
+
   val queries: Map[String, Q] = Map(
     "g01_resample_bilinear" -> bilinearRelational,
-    "g02_resample_nearest" -> nearestRelational)
+    "g02_resample_nearest" -> nearestRelational,
+    "g03_resample_affine" -> bilinearAffine)
 
   val oracle: Map[String, String] = Map(
     "g01_resample_bilinear" -> bilinearRelationalSql,
-    "g02_resample_nearest" -> nearestRelationalSql)
+    "g02_resample_nearest" -> nearestRelationalSql,
+    "g03_resample_affine" -> bilinearAffineSql)
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sink operators (SURVEY.md §2.2; reference pipeline.py:173-187,
@@ -53,6 +53,49 @@ object Export {
     base
       .withColumn("ndvi", Indices.nodataFill(col("ndvi")))
       .withColumn("evi", Indices.nodataFill(col("evi")))
+  }
+
+  /** GeoTIFF sink — arcgis.py:60-92: one 2-band (NDVI, EVI) float32
+    * GeoTIFF per date frame, nodata −9999, band descriptions and
+    * per-band date/variable tags, georeferenced by the grid affine.
+    *
+    * Scale posture: frames are co-located by a date repartition, so each
+    * task encodes and writes only whole files — the standard
+    * `foreachPartition` object-store writer shape (here the target is a
+    * directory path; swapping in a cloud filesystem stream changes one
+    * line). A frame is width×height float32 ×2 — megabytes, not a
+    * driver-side collect. */
+  def writeGeoTiffs(cube: DataFrame, outDir: String, grid: GridSpec): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val (w, h) = (grid.width, grid.height)
+    cube
+      .select(date_format(col("time"), "yyyy-MM-dd").as("d"),
+        col("y"), col("x"),
+        col("ndvi").cast("float").as("ndvi"), col("evi").cast("float").as("evi"))
+      .repartition(col("d"))
+      .sortWithinPartitions("d", "y", "x")
+      .foreachPartition { (rows: Iterator[Row]) =>
+        var cur: String = null
+        var ndvi: Array[Float] = null
+        var evi: Array[Float] = null
+        def flush(): Unit = if (cur != null) {
+          val bytes = GeoTiff.encode(grid, cur, Seq("NDVI" -> ndvi, "EVI" -> evi))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(outDir, s"$cur.tif"), bytes)
+        }
+        rows.foreach { r =>
+          val d = r.getString(0)
+          if (d != cur) {
+            flush(); cur = d
+            ndvi = Array.fill(w * h)(GeoTiff.Nodata)
+            evi = Array.fill(w * h)(GeoTiff.Nodata)
+          }
+          val idx = r.getInt(1) * w + r.getInt(2)
+          if (!r.isNullAt(3)) ndvi(idx) = r.getFloat(3)
+          if (!r.isNullAt(4)) evi(idx) = r.getFloat(4)
+        }
+        flush()
+      }
   }
 
   /** Events sink — pipeline.py:167-171: one JSON file of event records. */

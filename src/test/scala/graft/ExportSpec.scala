@@ -64,6 +64,42 @@ class ExportSpec extends SparkSpecBase {
       cube.filter(col("y") % 2 === 0 && col("x") % 2 === 0).count())
   }
 
+  test("geotiff sink writes parseable georeferenced frames with nodata fill") {
+    val out = tmp("gtiff")
+    // one frame: pin to the earliest timestamp of one day so (y, x) is unique
+    val day = cube.filter(to_date(col("time")) === lit("1996-03-15"))
+    val t0 = day.agg(min("time")).head().get(0)
+    val frame = day.filter(col("time") === lit(t0))
+    Export.writeGeoTiffs(frame, out, ops.Resample.SrcGrid)
+    val f = new java.io.File(out, "1996-03-15.tif")
+    assert(f.exists, s"frame file missing in $out")
+    val dec = ops.GeoTiff.decode(Files.readAllBytes(f.toPath))
+    assert(dec.width == 32 && dec.height == 32)
+    assert(dec.nodata == "-9999")
+    assert(dec.epsg == 4326)
+    // georeferencing round-trips the from_bounds affine
+    assert(dec.tieLon == ops.Resample.SrcGrid.west)
+    assert(dec.tieLat == ops.Resample.SrcGrid.north)
+    assert(dec.pixelScaleX == ops.Resample.SrcGrid.pxLon)
+    assert(dec.pixelScaleY == -ops.Resample.SrcGrid.pxLat)
+    // band descriptions + per-band date/variable tags (arcgis.py:85-90)
+    for (tag <- Seq(">NDVI<", ">EVI<", ">1996-03-15<"))
+      assert(dec.metadataXml.contains(tag), s"missing $tag in ${dec.metadataXml}")
+    // pixel payload: valid cells round-trip the float value, masked and
+    // absent cells decode as the -9999 fill
+    val rows = frame.select("y", "x", "ndvi")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2).toFloat))).toMap
+    assert(dec.bands.size == 2)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val got = dec.bands.head(y * 32 + x)
+      rows.get((y, x)).flatten match {
+        case Some(v) => assert(got == v, s"($y,$x): $got != $v")
+        case None => assert(got == ops.GeoTiff.Nodata, s"($y,$x): $got not nodata")
+      }
+    }
+  }
+
   test("events JSON sink writes readable records") {
     val out = tmp("events")
     Export.writeEventsJson(ops.Events.abruptDrops(spark, sf), out)

@@ -153,15 +153,89 @@ object Meta {
       |  0.0 + round(-0.00027, 6) AS t_e
       |FROM pixels""".stripMargin)
 
+  /** Repo-local AOI fixtures for the GeoJSON ingest query (the study
+    * areas a user draws on geojson.io per the reference README). */
+  val AoiDir: String = sys.env.getOrElse("SPARK_GRAFT_AOI_DIR", "/root/repo/data")
+
+  /** GeoJSON AOI ingest as data — pipeline.py:74-91 `load_aoi`: a
+    * FeatureCollection contributes its first feature's geometry, a bare
+    * Feature its `geometry` member, and anything else is taken as the
+    * geometry itself. The dispatch here is on the inferred JSON schema
+    * (multiLine read of the document), then the outer ring explodes to
+    * points for the bounds/center math (`shape(...).bounds` +
+    * arcgis.py:107-109 midpoint). One small document per file — the
+    * multiLine JSON source parallelizes per file at scale. */
+  private[graft] def loadAoi(s: SparkSession, path: String, kind: String): DataFrame = {
+    val raw = s.read.option("multiLine", value = true).json(path)
+    val cols = raw.columns.toSet
+    val geom =
+      if (cols.contains("features"))
+        raw.select(element_at(col("features"), 1).getField("geometry").as("g"))
+      else if (cols.contains("geometry")) raw.select(col("geometry").as("g"))
+      else raw.select(struct(col("type"), col("coordinates")).as("g"))
+    geom.select(lit(kind).as("src_kind"),
+      col("g.type").as("geom_type"),
+      explode(element_at(col("g.coordinates"), 1)).as("pt"))
+  }
+
+  val geojsonAoiQ: Q = (s, _) => {
+    val pts = loadAoi(s, s"$AoiDir/aoi_fc.geojson", "feature_collection")
+      .unionByName(loadAoi(s, s"$AoiDir/aoi_feature.geojson", "feature"))
+      .unionByName(loadAoi(s, s"$AoiDir/aoi_geom.geojson", "bare_geometry"))
+    pts.groupBy("src_kind", "geom_type")
+      .agg(
+        count(lit(1)).as("n_points"),
+        min(element_at(col("pt"), 1)).as("wmin"),
+        min(element_at(col("pt"), 2)).as("smin"),
+        max(element_at(col("pt"), 1)).as("emax"),
+        max(element_at(col("pt"), 2)).as("nmax"))
+      .select(col("src_kind"), col("geom_type"), col("n_points"),
+        r6(col("wmin")).as("west"), r6(col("smin")).as("south"),
+        r6(col("emax")).as("east"), r6(col("nmax")).as("north"),
+        r6((col("wmin") + col("emax")) / 2.0).as("center_lon"),
+        r6((col("smin") + col("nmax")) / 2.0).as("center_lat"))
+      .orderBy("src_kind")
+  }
+
+  val geojsonAoiSql: String =
+    s"""WITH fc AS (
+       |  SELECT 'feature_collection' AS src_kind,
+       |    features[1].geometry.type AS geom_type,
+       |    unnest(features[1].geometry.coordinates[1]) AS pt
+       |  FROM read_json('$AoiDir/aoi_fc.geojson')
+       |), ft AS (
+       |  SELECT 'feature' AS src_kind, geometry.type AS geom_type,
+       |    unnest(geometry.coordinates[1]) AS pt
+       |  FROM read_json('$AoiDir/aoi_feature.geojson')
+       |), bg AS (
+       |  SELECT 'bare_geometry' AS src_kind, type AS geom_type,
+       |    unnest(coordinates[1]) AS pt
+       |  FROM read_json('$AoiDir/aoi_geom.geojson')
+       |), pts AS (
+       |  SELECT * FROM fc UNION ALL SELECT * FROM ft UNION ALL SELECT * FROM bg
+       |)
+       |SELECT src_kind, geom_type, count(*) AS n_points,
+       |  0.0 + round(min(pt[1]), 6) AS west,
+       |  0.0 + round(min(pt[2]), 6) AS south,
+       |  0.0 + round(max(pt[1]), 6) AS east,
+       |  0.0 + round(max(pt[2]), 6) AS north,
+       |  0.0 + round((min(pt[1]) + max(pt[1])) / 2.0, 6) AS center_lon,
+       |  0.0 + round((min(pt[2]) + max(pt[2])) / 2.0, 6) AS center_lat
+       |FROM pts
+       |GROUP BY src_kind, geom_type
+       |ORDER BY src_kind""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "c01_band_links" -> bandLinksQ,
     "c02_extract_metadata" -> extractMetadataQ,
     "c03_band_completeness" -> bandCompletenessQ,
-    "c04_index_meta" -> indexMetaQ)
+    "c04_index_meta" -> indexMetaQ,
+    "c05_geojson_aoi" -> geojsonAoiQ)
 
   val oracle: Map[String, String] = Map(
     "c01_band_links" -> bandLinksSql,
     "c02_extract_metadata" -> extractMetadataSql,
     "c03_band_completeness" -> bandCompletenessSql,
-    "c04_index_meta" -> indexMetaSql)
+    "c04_index_meta" -> indexMetaSql,
+    "c05_geojson_aoi" -> geojsonAoiSql)
 }

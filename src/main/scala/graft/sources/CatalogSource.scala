@@ -59,6 +59,25 @@ object CatalogSource {
   @volatile var lastResidual: Seq[String] = Nil
   @volatile var lastColumns: Seq[String] = Nil
 
+  /** Resilience observability + fault injection (driver and executors
+    * share the JVM in local mode; a cluster deployment would surface
+    * these through accumulators/metrics instead). */
+  val injectFailures = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile var lastAttempts: Int = 0
+  @volatile var lastAuthHeader: String = ""
+
+  private[sources] def maybeInjectFailure(): Unit =
+    if (injectFailures.getAndUpdate(n => math.max(n - 1, 0)) > 0)
+      throw new java.io.IOException("injected transient catalog failure")
+
+  /** Process-wide catalog credential cache — authenticator.py defaults:
+    * 1.5 h token expiry, 10 min refresh margin; the mint is a local
+    * deterministic counter standing in for the identity provider. */
+  private val mintCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  val tokens = new Resilience.TokenCache(
+    mint = () => s"graft-token-${mintCounter.incrementAndGet()}",
+    expiryMs = 90L * 60 * 1000, marginMs = 10L * 60 * 1000)
+
   /** Predicates the "catalog API" can evaluate remotely: comparisons and
     * IN on the scalar catalog fields (searcher.py pushes temporal,
     * cloud_cover and day_night exactly this way). */
@@ -123,10 +142,13 @@ private[sources] class CatalogTable(path: String) extends Table with SupportsRea
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CatalogScanBuilder(Option(path).getOrElse(options.get("path")))
+    new CatalogScanBuilder(Option(path).getOrElse(options.get("path")),
+      options.getInt("maxRetries", 3),
+      options.getLong("retryBaseMs", 1000L))
 }
 
-private[sources] class CatalogScanBuilder(path: String)
+private[sources] class CatalogScanBuilder(path: String,
+    maxRetries: Int, retryBaseMs: Long)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -147,11 +169,13 @@ private[sources] class CatalogScanBuilder(path: String)
     CatalogSource.lastColumns = requiredSchema.fieldNames.toSeq
   }
 
-  override def build(): Scan = new CatalogScan(path, pushed, required)
+  override def build(): Scan =
+    new CatalogScan(path, pushed, required, maxRetries, retryBaseMs)
 }
 
 private[sources] class CatalogScan(path: String, pushed: Array[Filter],
-    required: StructType) extends Scan with Batch {
+    required: StructType, maxRetries: Int, retryBaseMs: Long)
+    extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -163,19 +187,29 @@ private[sources] class CatalogScan(path: String, pushed: Array[Filter],
     Array(CatalogInputPartition(path))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CatalogReaderFactory(pushed, required)
+    new CatalogReaderFactory(pushed, required, maxRetries, retryBaseMs)
 }
 
 private[sources] final case class CatalogInputPartition(path: String)
     extends InputPartition
 
 private[sources] class CatalogReaderFactory(pushed: Array[Filter],
-    required: StructType) extends PartitionReaderFactory {
+    required: StructType, maxRetries: Int, retryBaseMs: Long)
+    extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[CatalogInputPartition].path
     new PartitionReader[InternalRow] {
-      private val lines = scala.io.Source.fromFile(path)
+      // The open path is where a remote catalog client authenticates and
+      // issues the request — bounded retry with exponential backoff
+      // absorbs transient failures (processor.py:46-94); what survives
+      // rethrows into Spark's task-retry machinery.
+      private val lines = Resilience.withRetry(maxRetries, retryBaseMs) { attempt =>
+        CatalogSource.lastAttempts = attempt + 1
+        CatalogSource.lastAuthHeader = CatalogSource.tokens.bearer
+        CatalogSource.maybeInjectFailure()
+        scala.io.Source.fromFile(path)
+      }
       private val it = lines.getLines()
         .flatMap(CatalogSource.parse)
         .filter(g => pushed.forall(CatalogSource.eval(_, g)))

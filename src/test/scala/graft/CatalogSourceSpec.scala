@@ -59,6 +59,72 @@ class CatalogSourceSpec extends SparkSpecBase {
     assert(plan.contains("graft-catalog"))
   }
 
+  test("transient read failures retry with backoff and then succeed") {
+    CatalogSource.injectFailures.set(2) // fail twice, succeed on attempt 3
+    val got = spark.read.format("graft-catalog")
+      .option("path", fixture)
+      .option("maxRetries", "3").option("retryBaseMs", "1")
+      .load().count()
+    assert(got == 4, "retried read must still see every granule")
+    assert(CatalogSource.lastAttempts == 3,
+      s"expected 3rd attempt to win, got ${CatalogSource.lastAttempts}")
+    assert(CatalogSource.injectFailures.get() == 0)
+  }
+
+  test("a failure outlasting the retry budget surfaces to Spark") {
+    CatalogSource.injectFailures.set(10)
+    try {
+      val e = intercept[Exception] {
+        spark.read.format("graft-catalog")
+          .option("path", fixture)
+          .option("maxRetries", "2").option("retryBaseMs", "1")
+          .load().count()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+      assert(causes(e).exists(_.getMessage != null)
+        && causes(e).exists(c => String.valueOf(c.getMessage)
+          .contains("injected transient catalog failure")),
+        s"unexpected failure chain: $e")
+    } finally CatalogSource.injectFailures.set(0)
+  }
+
+  test("withRetry backs off exponentially and stops at the budget") {
+    val sleeps = collection.mutable.Buffer[Long]()
+    var calls = 0
+    val out = sources.Resilience.withRetry(4, 5L, sleeps.append(_)) { attempt =>
+      calls += 1
+      if (attempt < 2) throw new RuntimeException("flaky")
+      "ok"
+    }
+    assert(out == "ok" && calls == 3)
+    assert(sleeps.toSeq == Seq(5L, 10L), s"wrong backoff schedule: $sleeps")
+    // exhausted budget rethrows the last failure
+    sleeps.clear()
+    val e = intercept[RuntimeException] {
+      sources.Resilience.withRetry(3, 5L, sleeps.append(_)) { _ =>
+        throw new RuntimeException("always down")
+      }
+    }
+    assert(e.getMessage == "always down")
+    assert(sleeps.toSeq == Seq(5L, 10L))
+  }
+
+  test("token cache refreshes only inside the expiry margin (authenticator.py:27-35)") {
+    var clock = 0L
+    var mints = 0
+    val cache = new sources.Resilience.TokenCache(
+      mint = () => { mints += 1; s"t$mints" },
+      expiryMs = 1000L, marginMs = 100L, now = () => clock)
+    assert(cache.bearer == "Bearer t1") // first use mints
+    clock = 800L
+    assert(cache.bearer == "Bearer t1" && mints == 1) // before margin: cached
+    clock = 900L // exactly expiry - margin: refresh
+    assert(cache.bearer == "Bearer t2" && mints == 2)
+    clock = 1000L
+    assert(cache.bearer == "Bearer t2" && mints == 2) // fresh again
+  }
+
   test("band-link completeness check composes downstream (processor.py:111-116)") {
     // keep granules whose asset list contains all four needed bands
     val complete = catalog

@@ -46,6 +46,33 @@ object StreamOps {
       .select(col("seriesId"), col("window.start").as("day"),
         col("vmean"), col("n_events"))
 
+  /** QC-gated same-day scene means — the streaming fusion of the batch
+    * pipeline's ingest → QC gate (agg_granule_qc/gate, quality.py) →
+    * same-day merge (merger.py) stages: one watermarked day-window
+    * aggregate computes the mean over VALID observations and the valid
+    * fraction per (series, day); days under the gate drop out entirely,
+    * so the downstream detector never sees a cloudy scene. Input schema
+    * (ts TIMESTAMP, seriesId LONG, value DOUBLE, qcFlag INT), qcFlag 0 =
+    * clear. Emits [[SceneMean]]-shaped rows in append mode once the
+    * watermark closes the day.
+    *
+    * Chained through a file sink (exactly-once manifest) into
+    * [[detectDropsStateful]] this is the full incremental DAG — two
+    * stateful stages in separate queries, each independently
+    * checkpointed and resumable (StreamingSpec kills and resumes both
+    * mid-stream). */
+  def qcSceneMeans(raw: DataFrame, minValidFrac: Double = 0.5,
+      watermark: String = "2 days", windowLength: String = "1 day"): DataFrame =
+    raw
+      .withWatermark("ts", watermark)
+      .groupBy(col("seriesId"), window(col("ts"), windowLength))
+      .agg(
+        avg(when(col("qcFlag") === 0, col("value"))).as("vmean"),
+        (sum(when(col("qcFlag") === 0, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("valid_frac"))
+      .filter(col("valid_frac") >= minValidFrac && col("vmean").isNotNull)
+      .select(col("seriesId"), col("window.start").as("day"), col("vmean"))
+
   /** Stream-static enrichment: join each streaming event against a
     * static dimension table (e.g. the granule/tile catalog) — Spark
     * broadcasts or re-reads the static side per micro-batch, no

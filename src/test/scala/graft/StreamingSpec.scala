@@ -138,6 +138,77 @@ class StreamingSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("full file-stream DAG (ingest→QC→merge→detect) resumes exactly-once after a kill") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("dag").toFile.getAbsolutePath
+    val rawDir = s"$base/raw"; val meansDir = s"$base/means"
+    val ckptA = s"$base/ckptA"; val ckptB = s"$base/ckptB"
+    val rawSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("seriesId", LongType),
+      StructField("value", DoubleType), StructField("qcFlag", IntegerType)))
+    val meansSchema = StructType(Seq(
+      StructField("seriesId", LongType), StructField("day", TimestampType),
+      StructField("vmean", DoubleType)))
+    def writeRaw(rows: Seq[(Timestamp, Long, Double, Int)]): Unit =
+      rows.toDF("ts", "seriesId", "value", "qcFlag")
+        .coalesce(1).write.mode("append").parquet(rawDir)
+    // stage A: file-source ingest → QC gate + same-day merge → exactly-once
+    // parquet sink (its manifest is what lets stage B read only committed files)
+    def startA() = StreamOps.qcSceneMeans(
+        spark.readStream.schema(rawSchema).parquet(rawDir))
+      .writeStream.format("parquet").option("path", meansDir)
+      .option("checkpointLocation", ckptA)
+      .outputMode(OutputMode.Append).start()
+    // stage B: scene-mean stream → stateful drop detector → event sink
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[DropEvent]()
+    def startB() = StreamOps.detectDropsStateful(
+        spark.readStream.schema(meansSchema).parquet(meansDir).as[SceneMean],
+        dropThreshold = -3.0)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[DropEvent], _: Long) =>
+        batch.collect().foreach(events.add)
+      }
+      .option("checkpointLocation", ckptB)
+      .outputMode(OutputMode.Append).start()
+
+    // ---- run 1: Jan1 (clear, 50), Jan2 (clear, 44 → drop), Jan3 (mostly
+    // cloudy → must be GATED, else its mean 10 would fake a -34 drop),
+    // Jan5 partial data (42; the window stays open at watermark Jan3)
+    writeRaw(Seq(
+      (ts("2024-01-01 10:00:00"), 7L, 50.0, 0),
+      (ts("2024-01-01 11:00:00"), 7L, 50.0, 0),
+      (ts("2024-01-01 12:00:00"), 7L, 0.0, 1),  // cloudy obs: excluded from mean
+      (ts("2024-01-02 10:00:00"), 7L, 44.0, 0),
+      (ts("2024-01-02 11:00:00"), 7L, 44.0, 0),
+      (ts("2024-01-03 10:00:00"), 7L, 10.0, 0), // 1 valid of 4 → gated
+      (ts("2024-01-03 11:00:00"), 7L, 0.0, 1),
+      (ts("2024-01-03 12:00:00"), 7L, 0.0, 1),
+      (ts("2024-01-03 13:00:00"), 7L, 0.0, 1),
+      (ts("2024-01-05 10:00:00"), 7L, 42.0, 0)))
+    val a1 = startA(); a1.processAllAvailable()
+    val b1 = startB(); b1.processAllAvailable()
+    a1.stop(); b1.stop() // kill both queries mid-stream
+    assert(events.toArray(Array.empty[DropEvent]).toSeq ==
+      Seq(DropEvent(7L, ts("2024-01-02 00:00:00"), 50.0, 44.0, -6.0)),
+      s"run 1 should see exactly the Jan2 drop, got $events")
+
+    // ---- run 2 (same checkpoints): more Jan5 data merges into the window
+    // state recovered in stage A (mean 40 over BOTH runs' rows), Jan9
+    // advances the watermark so Jan5 closes → second drop via the detector
+    // state recovered in stage B (prev = Jan2's 44, skipping gated Jan3)
+    writeRaw(Seq(
+      (ts("2024-01-05 12:00:00"), 7L, 38.0, 0),
+      (ts("2024-01-09 10:00:00"), 7L, 46.0, 0)))
+    val a2 = startA(); a2.processAllAvailable()
+    val b2 = startB(); b2.processAllAvailable()
+    a2.stop(); b2.stop()
+    val got = events.toArray(Array.empty[DropEvent]).toSeq.sortBy(_.day.getTime)
+    assert(got == Seq(
+      DropEvent(7L, ts("2024-01-02 00:00:00"), 50.0, 44.0, -6.0),
+      DropEvent(7L, ts("2024-01-05 00:00:00"), 44.0, 40.0, -4.0)),
+      s"resume lost or duplicated state: $got")
+  }
+
   test("detector keys state per series — independent series don't interfere") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SceneMean]

@@ -163,4 +163,29 @@ object GeoTiff {
     Decoded(w, h, scale.head, scale(1), tie(3), tie(4), epsg,
       ascii(42113), ascii(42112), bands)
   }
+
+  /** src_geotiff_read over real bytes (SURVEY.md §2.1): binaryFile scan
+    * of a GeoTIFF directory, per-file decode on the executors, long
+    * relation (date, y, x, ndvi, evi) with the −9999 fill back as NULL —
+    * the inverse of Export.writeGeoTiffs. The scan carries only (path,
+    * content), decode parallelizes per file, and a name predicate
+    * (pathGlobFilter / date glob) prunes files before any byte is
+    * parsed. */
+  def readCube(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    s.read.format("binaryFile").option("pathGlobFilter", "*.tif").load(dir)
+      .select(org.apache.spark.sql.functions.col("path"),
+        org.apache.spark.sql.functions.col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val dec = decode(bytes)
+        val date = path.split('/').last.stripSuffix(".tif")
+        def opt(v: Float): Option[Double] =
+          if (v == Nodata) None else Some(v.toDouble)
+        for (y <- 0 until dec.height; x <- 0 until dec.width) yield
+          (date, y, x, opt(dec.bands.head(y * dec.width + x)),
+            opt(dec.bands(1)(y * dec.width + x)))
+      }
+      .toDF("date", "y", "x", "ndvi", "evi")
+  }
 }

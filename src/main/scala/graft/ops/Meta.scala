@@ -160,28 +160,41 @@ object Meta {
   /** GeoJSON AOI ingest as data — pipeline.py:74-91 `load_aoi`: a
     * FeatureCollection contributes its first feature's geometry, a bare
     * Feature its `geometry` member, and anything else is taken as the
-    * geometry itself. The dispatch here is on the inferred JSON schema
-    * (multiLine read of the document), then the outer ring explodes to
-    * points for the bounds/center math (`shape(...).bounds` +
-    * arcgis.py:107-109 midpoint). One small document per file — the
-    * multiLine JSON source parallelizes per file at scale. */
-  private[graft] def loadAoi(s: SparkSession, path: String, kind: String): DataFrame = {
-    val raw = s.read.option("multiLine", value = true).json(path)
-    val cols = raw.columns.toSet
-    val geom =
-      if (cols.contains("features"))
-        raw.select(element_at(col("features"), 1).getField("geometry").as("g"))
-      else if (cols.contains("geometry")) raw.select(col("geometry").as("g"))
-      else raw.select(struct(col("type"), col("coordinates")).as("g"))
-    geom.select(lit(kind).as("src_kind"),
-      col("g.type").as("geom_type"),
-      explode(element_at(col("g.coordinates"), 1)).as("pt"))
+    * geometry itself — dispatched on the parsed document's CONTENT
+    * (which members are present), exactly like the reference's dict
+    * probing, not on a per-file inferred schema. One `wholetext` scan
+    * reads every AOI document in a single pass with an explicit union
+    * schema (no inference jobs), then the outer ring explodes to points
+    * for the bounds/center math (`shape(...).bounds` + arcgis.py:107-109
+    * midpoint). Documents parallelize per file at scale. */
+  private[graft] def loadAoi(s: SparkSession, paths: String*): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ring = ArrayType(ArrayType(ArrayType(DoubleType)))
+    val geom = StructType(Seq(
+      StructField("type", StringType), StructField("coordinates", ring)))
+    val doc = StructType(Seq(
+      StructField("type", StringType),
+      StructField("coordinates", ring),
+      StructField("geometry", geom),
+      StructField("features", ArrayType(
+        StructType(Seq(StructField("geometry", geom)))))))
+    val g = coalesce(
+      element_at(col("j.features"), 1).getField("geometry"),
+      col("j.geometry"),
+      struct(col("j.type").as("type"), col("j.coordinates").as("coordinates")))
+    s.read.option("wholetext", value = true).text(paths: _*)
+      .select(from_json(col("value"), doc).as("j"))
+      .select(
+        when(col("j.features").isNotNull, "feature_collection")
+          .when(col("j.geometry").isNotNull, "feature")
+          .otherwise("bare_geometry").as("src_kind"),
+        g.getField("type").as("geom_type"),
+        explode(element_at(g.getField("coordinates"), 1)).as("pt"))
   }
 
   val geojsonAoiQ: Q = (s, _) => {
-    val pts = loadAoi(s, s"$AoiDir/aoi_fc.geojson", "feature_collection")
-      .unionByName(loadAoi(s, s"$AoiDir/aoi_feature.geojson", "feature"))
-      .unionByName(loadAoi(s, s"$AoiDir/aoi_geom.geojson", "bare_geometry"))
+    val pts = loadAoi(s, s"$AoiDir/aoi_fc.geojson",
+      s"$AoiDir/aoi_feature.geojson", s"$AoiDir/aoi_geom.geojson")
     pts.groupBy("src_kind", "geom_type")
       .agg(
         count(lit(1)).as("n_points"),

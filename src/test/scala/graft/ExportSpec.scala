@@ -98,6 +98,23 @@ class ExportSpec extends SparkSpecBase {
         case None => assert(got == ops.GeoTiff.Nodata, s"($y,$x): $got not nodata")
       }
     }
+    // the distributed read source round-trips the sink: full grid back,
+    // nodata as NULL, valid cells at float precision
+    val back = ops.GeoTiff.readCube(spark, out)
+    assert(back.count() == 32 * 32)
+    assert(back.select("date").distinct().as[String].collect().toSeq
+      == Seq("1996-03-15"))
+    val backMap = back.select("y", "x", "ndvi").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    for (y <- 0 until 32; x <- 0 until 32) {
+      (backMap((y, x)), rows.get((y, x)).flatten) match {
+        case (Some(b), Some(v)) =>
+          assert(math.abs(b - v) < 1e-6, s"($y,$x): $b != $v")
+        case (None, None) => ()
+        case other => fail(s"($y,$x): read-back null mismatch $other")
+      }
+    }
   }
 
   test("events JSON sink writes readable records") {

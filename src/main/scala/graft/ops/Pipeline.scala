@@ -70,13 +70,16 @@ object Pipeline {
     Result(cube, scenes, events)
   }
 
-  /** Run and persist through the standard sinks (pipeline.py:167-187). */
+  /** Run and persist through the standard sinks (pipeline.py:167-187),
+    * including per-date GeoTIFF frames on the reference grid
+    * (arcgis.py:60-101: export follows the cube write). */
   def runAndWrite(spark: SparkSession, dir: String, outDir: String): Result = {
     val r = run(spark, dir)
     Export.writeCube(r.cube, s"$outDir/cube")
     Export.writeEventsJson(r.events, s"$outDir/events")
     Export.writeIndexJson(spark, r.cube, s"$outDir/index")
     Export.writeStyleJson(spark, s"$outDir/style")
+    Export.writeGeoTiffs(r.cube, s"$outDir/geotiffs", Resample.SrcGrid)
     r
   }
 }

@@ -50,5 +50,12 @@ class PipelineSpec extends SparkSpecBase {
     assert(cubeBack.count() == r.cube.count())
     assert(spark.read.json(s"$out/index").count() == 1)
     assert(spark.read.json(s"$out/style").count() == 6)
+    // GeoTIFF frames: one parseable file per cube date, correct grid
+    val nDates = r.cube.select("date").distinct().count()
+    val tifs = new java.io.File(s"$out/geotiffs")
+      .listFiles().filter(_.getName.endsWith(".tif"))
+    assert(tifs.length == nDates, s"expected $nDates frames, got ${tifs.length}")
+    val dec = ops.GeoTiff.decode(Files.readAllBytes(tifs.head.toPath))
+    assert(dec.width == 32 && dec.height == 32 && dec.epsg == 4326)
   }
 }

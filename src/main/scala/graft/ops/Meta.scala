@@ -238,17 +238,74 @@ object Meta {
        |GROUP BY src_kind, geom_type
        |ORDER BY src_kind""".stripMargin
 
+  /** AOI bounding-box clip of the pixel grid — the reference drives both
+    * its catalog search bbox (searcher.py) and its grid subset from the
+    * loaded AOI polygon; the SQL-expressible core is the bounds test
+    * against cell centers georeferenced by the fixed 0.00027°/px grid
+    * (processor.py:184-196). The single-row AOI bounds broadcast to the
+    * grid scan — AOI is config-sized at any corpus scale, so the big
+    * side never shuffles. (The reference's exact rasterized-polygon mask
+    * is the in-ring refinement of these candidates; the bbox is the
+    * pushdown-friendly prefilter both systems share.) */
+  val aoiClipQ: Q = (s, d) => {
+    val g = Resample.SrcGrid
+    val box = loadAoi(s, s"$AoiDir/aoi_clip.geojson")
+      .agg(
+        min(element_at(col("pt"), 1)).as("bw"),
+        min(element_at(col("pt"), 2)).as("bs"),
+        max(element_at(col("pt"), 1)).as("be"),
+        max(element_at(col("pt"), 2)).as("bn"))
+    Pixels.pixels(s, d).select("tile_id", "y", "x").distinct()
+      .withColumn("lon", lit(g.west) + (col("x") + 0.5) * g.pxLon)
+      .withColumn("lat", lit(g.north) + (col("y") + 0.5) * g.pxLat)
+      .crossJoin(broadcast(box))
+      .groupBy("tile_id")
+      .agg(
+        sum(when(col("lon") >= col("bw") && col("lon") <= col("be") &&
+          col("lat") >= col("bs") && col("lat") <= col("bn"), 1L)
+          .otherwise(0L)).as("n_in"),
+        count(lit(1)).as("n_cells"))
+      .orderBy("tile_id")
+  }
+
+  val aoiClipSql: String = {
+    val g = Resample.SrcGrid
+    Pixels.withPixels(
+      s"""WITH box AS (
+         |  SELECT min(pt[1]) AS bw, min(pt[2]) AS bs,
+         |         max(pt[1]) AS be, max(pt[2]) AS bn
+         |  FROM (SELECT unnest(features[1].geometry.coordinates[1]) AS pt
+         |        FROM read_json('$AoiDir/aoi_clip.geojson'))
+         |), cells AS (
+         |  SELECT DISTINCT tile_id, y, x FROM pixels
+         |), geo AS (
+         |  SELECT tile_id,
+         |    ${g.west} + ((x + 0.5) * ${g.pxLon}) AS lon,
+         |    ${g.north} + ((y + 0.5) * ${g.pxLat}) AS lat
+         |  FROM cells
+         |)
+         |SELECT tile_id,
+         |  CAST(sum(CASE WHEN lon >= bw AND lon <= be
+         |        AND lat >= bs AND lat <= bn THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
+         |  count(*) AS n_cells
+         |FROM geo CROSS JOIN box
+         |GROUP BY tile_id
+         |ORDER BY tile_id""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "c01_band_links" -> bandLinksQ,
     "c02_extract_metadata" -> extractMetadataQ,
     "c03_band_completeness" -> bandCompletenessQ,
     "c04_index_meta" -> indexMetaQ,
-    "c05_geojson_aoi" -> geojsonAoiQ)
+    "c05_geojson_aoi" -> geojsonAoiQ,
+    "c06_aoi_clip" -> aoiClipQ)
 
   val oracle: Map[String, String] = Map(
     "c01_band_links" -> bandLinksSql,
     "c02_extract_metadata" -> extractMetadataSql,
     "c03_band_completeness" -> bandCompletenessSql,
     "c04_index_meta" -> indexMetaSql,
-    "c05_geojson_aoi" -> geojsonAoiSql)
+    "c05_geojson_aoi" -> geojsonAoiSql,
+    "c06_aoi_clip" -> aoiClipSql)
 }

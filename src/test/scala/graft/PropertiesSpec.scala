@@ -46,6 +46,33 @@ class PropertiesSpec extends SparkSpecBase {
     }
   }
 
+  test("GeoTIFF encode/decode is the identity for arbitrary grids and payloads") {
+    import graft.ops.{GeoTiff, GridSpec}
+    val frameGen: Gen[(Int, Int, Double, Double, List[Float])] = for {
+      w <- Gen.chooseNum(1, 12)
+      h <- Gen.chooseNum(1, 12)
+      west <- Gen.chooseNum(-179.0, 179.0)
+      north <- Gen.chooseNum(-89.0, 89.0)
+      vals <- Gen.listOfN(w * h, Gen.frequency(
+        4 -> Gen.chooseNum(-1.0f, 1.0f),
+        1 -> Gen.const(GeoTiff.Nodata)))
+    } yield (w, h, west, north, vals)
+    samples(frameGen, 12).foreach { case (w, h, west, north, vals) =>
+      val grid = GridSpec(west, north, 0.00027, -0.00027, w, h)
+      val ndvi = vals.toArray
+      val evi = vals.map(v => if (v == GeoTiff.Nodata) v else -v).toArray
+      val dec = GeoTiff.decode(
+        GeoTiff.encode(grid, "2024-06-01", Seq("NDVI" -> ndvi, "EVI" -> evi)))
+      assert(dec.width == w && dec.height == h)
+      assert(dec.tieLon == west && dec.tieLat == north)
+      assert(dec.pixelScaleX == 0.00027 && dec.pixelScaleY == 0.00027)
+      assert(dec.epsg == 4326 && dec.nodata == "-9999")
+      assert(dec.bands.head.toSeq == ndvi.toSeq, s"NDVI plane mismatch ($w x $h)")
+      assert(dec.bands(1).toSeq == evi.toSeq, s"EVI plane mismatch ($w x $h)")
+      assert(dec.metadataXml.contains(">2024-06-01<"))
+    }
+  }
+
   test("adding a mask term never increases the valid-pixel count") {
     samples(bandGen, 8).foreach { rows =>
       val df = pixelDf(rows)

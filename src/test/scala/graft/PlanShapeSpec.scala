@@ -78,6 +78,19 @@ class PlanShapeSpec extends SparkSpecBase {
       s"expected a shuffled bucket-key join in:\n$p")
   }
 
+  test("AOI clip broadcasts the one-row bounds, never the grid") {
+    val df = SparkEntry.queries("c06_aoi_clip")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the cross join against the single-row AOI box must be a broadcast
+    // nested-loop with the box on the build side; the grid side feeds the
+    // tile aggregate without an intermediate join shuffle
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"AOI bounds join lost its broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"AOI clip fell back to a cartesian product:\n$p")
+  }
+
   test("whole-stage codegen covers the band-math expression block") {
     // codegen spans only materialize in the AQE-finalized executed plan,
     // where they render as the `*(n)` stage prefix

@@ -209,6 +209,35 @@ class StreamingSpec extends SparkSpecBase {
       s"resume lost or duplicated state: $got")
   }
 
+  test("file-source pacing bounds per-trigger work (the batch_size analog)") {
+    // the reference paces its downloader in fixed-size batches
+    // (pipeline.py batch_size loop); the file-source analog is
+    // maxFilesPerTrigger — each micro-batch ingests a bounded file set
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("pace").toFile.getAbsolutePath
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("seriesId", LongType),
+      StructField("value", DoubleType), StructField("qcFlag", IntegerType)))
+    for (i <- 1 to 3)
+      Seq((ts(s"2024-01-0$i 10:00:00"), 7L, i.toDouble, 0))
+        .toDF("ts", "seriesId", "value", "qcFlag")
+        .coalesce(1).write.mode("append").parquet(base)
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(base)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batchSizes.add(batch.count()); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val sizes = batchSizes.toArray(Array.empty[java.lang.Long]).toSeq
+      assert(sizes.length == 3, s"expected 3 paced micro-batches, got $sizes")
+      assert(sizes.forall(_ == 1L), s"a trigger exceeded the pacing bound: $sizes")
+    } finally q.stop()
+  }
+
   test("detector keys state per series — independent series don't interfere") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SceneMean]

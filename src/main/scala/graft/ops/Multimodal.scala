@@ -219,15 +219,72 @@ object Multimodal {
       |    WHERE ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] = 'image'))
       |ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- x05
+  /** Training-sample manifest — the artifact a curation pipeline actually
+    * ships: one row per training sample joining the text record (with
+    * its exact-dedup keep flag), the media record (type + payload size),
+    * and the embedding (with its L2 norm). The norm is a per-row
+    * left-fold over the packed array (`aggregate` HOF — no explode, no
+    * shuffle; both engines fold the same element order, so the double is
+    * bit-identical). At 100 TB the three relations co-partition on the
+    * sample id (bucketed tables), so the manifest builds with zero
+    * repartitioning; here the joins are plain equi-joins on doc_id. */
+  val trainingManifest: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (row_number().over(w) === 1).as("kept"))
+    val media = mediaFromDocuments(s, d)
+      .select(col("media_id").as("doc_id"), col("media_type"),
+        octet_length(col("payload")).as("n_bytes"))
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"),
+        r6(sqrt(expr(
+          "aggregate(embedding, CAST(0.0 AS DOUBLE)," +
+            " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+          .as("emb_norm"))
+    docs.join(media, "doc_id").join(emb, "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("media_type"),
+        col("n_bytes"), col("kept"), col("emb_norm"))
+      .orderBy("doc_id")
+  }
+
+  val trainingManifestSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS kept
+      |  FROM documents
+      |), media AS (
+      |  SELECT doc_id,
+      |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      |    CAST(octet_length(encode(text)) AS INT) AS n_bytes
+      |  FROM documents
+      |), emb AS (
+      |  SELECT vec_id AS doc_id,
+      |    0.0 + round(sqrt(list_reduce(
+      |      list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |      (a, b) -> a + b)), 6) AS emb_norm
+      |  FROM embeddings
+      |)
+      |SELECT d.doc_id, d.lang, d.n_chars, m.media_type, m.n_bytes, d.kept, e.emb_norm
+      |FROM docs d
+      |JOIN media m ON d.doc_id = m.doc_id
+      |JOIN emb e ON d.doc_id = e.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "x01_media_meta" -> mediaMeta,
     "x02_media_type_stats" -> mediaTypeStats,
     "x03_frame_sample" -> frameSample,
-    "x04_resize_dims" -> resizeDims)
+    "x04_resize_dims" -> resizeDims,
+    "x05_training_manifest" -> trainingManifest)
 
   val oracle: Map[String, String] = Map(
     "x01_media_meta" -> mediaMetaSql,
     "x02_media_type_stats" -> mediaTypeStatsSql,
     "x03_frame_sample" -> frameSampleSql,
-    "x04_resize_dims" -> resizeDimsSql)
+    "x04_resize_dims" -> resizeDimsSql,
+    "x05_training_manifest" -> trainingManifestSql)
 }

@@ -73,6 +73,19 @@ object StreamOps {
       .filter(col("valid_frac") >= minValidFrac && col("vmean").isNotNull)
       .select(col("seriesId"), col("window.start").as("day"), col("vmean"))
 
+  /** Watermark-bounded ingest dedup — the streaming face of the cache
+    * anti-join (processor.py:342-356 skips already-processed granules):
+    * an at-least-once upstream (redelivered files, retried fetches) can
+    * replay the same (series, ts) observation across triggers;
+    * `dropDuplicatesWithinWatermark` keeps one copy using state that the
+    * watermark evicts, so the dedup memory is bounded by the lateness
+    * horizon instead of growing with the stream. */
+  def dedupEvents(events: DataFrame,
+      watermark: String = "2 days", keys: Seq[String] = Seq("seriesId", "ts")): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Stream-static enrichment: join each streaming event against a
     * static dimension table (e.g. the granule/tile catalog) — Spark
     * broadcasts or re-reads the static side per micro-batch, no

@@ -209,6 +209,30 @@ class StreamingSpec extends SparkSpecBase {
       s"resume lost or duplicated state: $got")
   }
 
+  test("ingest dedup drops replayed observations across triggers, state watermark-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "seriesId", "value")
+    val q = StreamOps.dedupEvents(events)
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((ts("2024-01-01 10:00:00"), 1L, 5.0))
+      q.processAllAvailable()
+      // the same observation replayed in a LATER trigger (at-least-once
+      // upstream) — must be dropped by state, not by in-batch dedup
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, 5.0),
+        (ts("2024-01-01 11:00:00"), 1L, 6.0))
+      q.processAllAvailable()
+      val rows = spark.table("deduped")
+        .select(date_format(col("ts"), "HH:mm"), col("seriesId"))
+        .as[(String, Long)].collect().toSeq.sorted
+      assert(rows == Seq(("10:00", 1L), ("11:00", 1L)),
+        s"replayed observation not deduped: $rows")
+    } finally q.stop()
+  }
+
   test("file-source pacing bounds per-trigger work (the batch_size analog)") {
     // the reference paces its downloader in fixed-size batches
     // (pipeline.py batch_size loop); the file-source analog is

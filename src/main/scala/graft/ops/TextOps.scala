@@ -140,13 +140,20 @@ object TextOps {
   /** Rolling-hash document fingerprint: min-md5 over character 8-grams
     * (1-permutation MinHash / winnowing-style sketch). */
   val fingerprint: Q = (s, d) => {
+    // Whole computation stays inside the row: build the 8-gram array,
+    // hash each gram, min-reduce and distinct-count with array HOFs.
+    // The equivalent explode + groupBy(min, countDistinct) form shuffles
+    // every gram TWICE (count-distinct adds an Expand ×2) — measured
+    // 2.2 s vs sub-second for this per-row kernel at sf0.1, and at 100×
+    // the explode form's shuffle grows with total text volume while this
+    // form shuffles nothing but the final order.
     val doc = Tables.documents(s, d)
-    doc.select(col("doc_id"), explode(expr(
+    doc.select(col("doc_id"), expr(
         """transform(sequence(1, greatest(length(text) - 7, 1)),
-          |  g -> substring(text, g, 8))""".stripMargin)).as("sh"))
-      .groupBy("doc_id")
-      .agg(min(md5(col("sh").cast("binary"))).as("fp"),
-        countDistinct("sh").as("n_shingles"))
+          |  g -> substring(text, g, 8))""".stripMargin).as("grams"))
+      .select(col("doc_id"),
+        expr("array_min(transform(grams, g -> md5(CAST(g AS BINARY))))").as("fp"),
+        expr("size(array_distinct(grams))").cast("long").as("n_shingles"))
       .orderBy("doc_id")
   }
 

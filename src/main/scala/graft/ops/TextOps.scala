@@ -215,11 +215,23 @@ object TextOps {
   private def sigCols: Seq[(Int, String)] = Seeds.map(i => (i, s"s$i"))
 
   private[graft] def signatures(doc: DataFrame): DataFrame = {
-    val hashed = shingles(doc).withColumn("h", md5(col("s").cast("binary")))
-    val aggs = sigCols.map { case (i, n) =>
-      min(substring(col("h"), i * 2 + 1, 16)).as(n)
+    // In-row form: hash every shingle once inside the row, then take the
+    // 8 window minima with array HOFs — the whole signature computes in
+    // one codegen'd projection with NO shuffle. The equivalent
+    // explode + groupBy(8×min) form exchanged every (doc, shingle) pair
+    // (~2M rows at sf0.1) before aggregating; see t04 for the same
+    // measured pattern. array_min skips the NULL shingles a <3-token
+    // document produces, exactly like the min aggregate did.
+    val sel = col("doc_id") +: sigCols.map { case (i, n) =>
+      expr(s"array_min(transform(hs, h -> substring(h, ${i * 2 + 1}, 16)))").as(n)
     }
-    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    doc.select(col("doc_id"), toks.as("ts"))
+      .select(col("doc_id"), expr(
+        """transform(sequence(1, greatest(size(ts) - 2, 1)),
+          |  g -> md5(CAST(concat(try_element_at(ts, g), ' ',
+          |              try_element_at(ts, g + 1), ' ',
+          |              try_element_at(ts, g + 2)) AS BINARY)))""".stripMargin).as("hs"))
+      .select(sel: _*)
   }
 
   private val signaturesSql: String =

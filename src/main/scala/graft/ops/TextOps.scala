@@ -308,6 +308,11 @@ object TextOps {
   /** 16-bit SimHash buckets: token-weighted signed bit votes from md5 hex
     * digits; equal-simhash buckets with >1 doc are near-dup candidates. */
   val dedupSimhash: Q = (s, d) => {
+    // Deliberately the explode + keyed-aggregate form, NOT the in-row
+    // array-fold form that t04/t06 use: the 16 per-bit votes would need
+    // 16 interpreted HOF passes per document (measured 1.7× slower than
+    // this shuffle at sf0.1), while the (doc, token) exchange is modest
+    // and the codegen'd aggregate combines map-side.
     val doc = Tables.documents(s, d)
     val tw = doc.select(col("doc_id"), explode(toks).as("tok"))
       .groupBy("doc_id", "tok")

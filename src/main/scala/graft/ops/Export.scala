@@ -70,8 +70,18 @@ object Export {
     val (w, h) = (grid.width, grid.height)
     cube
       .select(date_format(col("time"), "yyyy-MM-dd").as("d"),
-        col("y"), col("x"),
+        col("y"), col("x"), col("time"),
         col("ndvi").cast("float").as("ndvi"), col("evi").cast("float").as("evi"))
+      // A date can hold several scenes per cell (pre-merge input): keep
+      // the LATEST scene's values deterministically — the reference
+      // writes one file per timestamp named by its date, so later
+      // same-day timestamps overwrite earlier ones (arcgis.py:55-67).
+      // Without this the writer's last-row-wins would follow shuffle
+      // order.
+      .groupBy("d", "y", "x")
+      .agg(expr("max_by(named_struct('ndvi', ndvi, 'evi', evi), time)").as("v"))
+      .select(col("d"), col("y"), col("x"),
+        col("v.ndvi").as("ndvi"), col("v.evi").as("evi"))
       .repartition(col("d"))
       .sortWithinPartitions("d", "y", "x")
       .foreachPartition { (rows: Iterator[Row]) =>
@@ -90,7 +100,10 @@ object Export {
             ndvi = Array.fill(w * h)(GeoTiff.Nodata)
             evi = Array.fill(w * h)(GeoTiff.Nodata)
           }
-          val idx = r.getInt(1) * w + r.getInt(2)
+          val (y, x) = (r.getInt(1), r.getInt(2))
+          require(y >= 0 && y < h && x >= 0 && x < w,
+            s"cell ($y, $x) outside the ${w}x$h export grid")
+          val idx = y * w + x
           if (!r.isNullAt(3)) ndvi(idx) = r.getFloat(3)
           if (!r.isNullAt(4)) evi(idx) = r.getFloat(4)
         }

@@ -242,30 +242,14 @@ object SimOps {
       .orderBy("qid", "rk")
   }
 
-  /** Oracle-declared form of the native path: the same one-scan native
-    * ranking, kept to a 3-candidate margin, then DECIMAL-exact re-rank of
-    * the ≤8 survivors per query — deterministic against the v01 oracle at
-    * any scale factor (the exact stage touches survivors only, so the
-    * native scan still dominates the cost and the bench shape holds). */
-  val simTopkNativeExact: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    val emb = Tables.embeddings(s, d)
-    val q = emb.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("embedding").as("ea"))
-    val wN = Window.partitionBy("qid").orderBy(col("ncos").desc, col("cid").asc)
-    val cand = emb.select(col("vec_id").as("cid"), col("embedding").as("eb"))
-      .crossJoin(broadcast(q))
-      .filter(col("cid") =!= col("qid"))
-      .withColumn("ncos", expr("graft_cosine(ea, eb)"))
-      .withColumn("nrk", row_number().over(wN))
-      .filter(col("nrk") <= 8)
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid").asc)
-    exactCosine(cand.select("qid", "cid", "ea", "eb"), Seq("qid", "cid"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
-      .select(col("qid"), col("rk"), col("cid"), r6(col("cosine")).as("cosine"))
-      .orderBy("qid", "rk")
-  }
+  /** Oracle-declared form of the native path: hardening v04 with v01's
+    * margin + DECIMAL-exact re-rank makes it the SAME two-stage plan, so
+    * it is deliberately an alias rather than a copy — v01 already IS the
+    * native prune + exact re-rank since round 3. The pure one-scan
+    * native variant stays [[simTopkNative]], spec-compared against this
+    * plan by SimSpec (ranking agreement) and available as the
+    * no-re-rank latency reference. */
+  val simTopkNativeExact: Q = simTopk
 
   // ---------------------------------------------------------------- v05
   /** IVF-style ANN: coarse-quantize every vector to its nearest of 8

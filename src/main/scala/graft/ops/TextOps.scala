@@ -291,10 +291,14 @@ object TextOps {
        |$signaturesSql
        |), bands AS (
        |$bandSelects
+       |), ok AS (
+       |  SELECT band, key FROM bands GROUP BY band, key
+       |  HAVING count(*) <= $MaxBucketMembers
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |  JOIN ok ON ok.band = a.band AND ok.key = a.key
        |)
        |SELECT cand.doc_a, cand.doc_b,
        |  0.0 + round(CAST($matches AS DOUBLE) / ${Seeds.size}, 6) AS est_jaccard
@@ -403,10 +407,14 @@ object TextOps {
        |  FROM sh0 GROUP BY doc_id
        |), bands AS (
        |$bandSelects
+       |), ok AS (
+       |  SELECT band, key FROM bands GROUP BY band, key
+       |  HAVING count(*) <= $MaxBucketMembers
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |  JOIN ok ON ok.band = a.band AND ok.key = a.key
        |), sh AS (SELECT DISTINCT doc_id, s FROM sh0
        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
        |), inter AS (

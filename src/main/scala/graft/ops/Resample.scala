@@ -35,6 +35,16 @@ final case class GridSpec(west: Double, north: Double,
     pxLon: Double, pxLat: Double, width: Int, height: Int) {
   def east: Double = west + width * pxLon
   def south: Double = north + height * pxLat
+
+  /** Stride-`k` downsample: same anchor, k× coarser pixels, 1/k dims —
+    * the affine rescale a downsampled export must carry
+    * (arcgis.py:47-48 `transform * Affine.scale(downsample)`). */
+  def downsample(k: Int): GridSpec = {
+    require(k >= 1 && width % k == 0 && height % k == 0,
+      s"stride $k does not tile ${width}x$height")
+    copy(pxLon = pxLon * k, pxLat = pxLat * k,
+      width = width / k, height = height / k)
+  }
 }
 
 object GridSpec {

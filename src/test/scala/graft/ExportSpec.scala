@@ -117,6 +117,35 @@ class ExportSpec extends SparkSpecBase {
     }
   }
 
+  test("downsampled geotiff export rescales the affine transform (arcgis.py:47-48)") {
+    val out = tmp("gtiffds")
+    // full-year cube, several scenes per date — the writer's
+    // latest-scene-wins dedup makes multi-scene frames well-defined; the
+    // export-side stride-2 downsample reindexes the grid, so the frame
+    // must carry the matching 2x-coarser affine (the synthetic pixel
+    // parity correlates with date, so single-day slices can lose every
+    // even-even cell)
+    val frame = Export.exportFrame(cube, downsample = 2)
+    assert(frame.count() > 0, "downsampled frame is empty")
+    val d0 = frame
+      .select(date_format(col("time"), "yyyy-MM-dd").as("d"))
+      .orderBy("d").head().getString(0)
+    val g2 = ops.Resample.SrcGrid.downsample(2)
+    Export.writeGeoTiffs(frame, out, g2)
+    val dec = ops.GeoTiff.decode(Files.readAllBytes(
+      new java.io.File(out, s"$d0.tif").toPath))
+    assert(dec.width == 16 && dec.height == 16)
+    assert(dec.pixelScaleX == ops.Resample.SrcGrid.pxLon * 2)
+    assert(dec.pixelScaleY == -ops.Resample.SrcGrid.pxLat * 2)
+    // anchor unchanged: the top-left corner of the coarser grid is the
+    // same geographic point
+    assert(dec.tieLon == ops.Resample.SrcGrid.west)
+    assert(dec.tieLat == ops.Resample.SrcGrid.north)
+    // exportFrame already filled nodata, so no -9999 from absent cells
+    // beyond what the fill wrote; every cell decodes
+    assert(dec.bands.head.length == 256)
+  }
+
   test("events JSON sink writes readable records") {
     val out = tmp("events")
     Export.writeEventsJson(ops.Events.abruptDrops(spark, sf), out)

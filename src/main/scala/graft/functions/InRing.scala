@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression: even-odd ray-casting point-in-ring test,
+  * `graft_in_ring(lon, lat, ring)` with `ring` a GeoJSON outer ring
+  * (`array<array<double>>` of [lon, lat] vertices, closed or open).
+  *
+  * This is the exact in-polygon refinement behind the AOI bounding-box
+  * prefilter (the reference masks its grid with a shapely polygon,
+  * processor.py via pipeline.load_aoi; c06 declares the bbox stage). The
+  * loop runs inside whole-stage codegen over the packed ring — per the
+  * engine's preference order, a native Expression beats any UDF on a
+  * corpus-sized scan, and the ring rides along as a broadcast-joined or
+  * literal value, never a lookup join.
+  *
+  * Null semantics: NULL if any argument is NULL, the ring has fewer than
+  * 3 vertices, or any vertex is malformed (not a 2-element non-null
+  * pair). Boundary points follow the standard PNPOLY asymmetry (a point
+  * exactly on a lower/left edge counts inside, upper/right outside) —
+  * consistent across engines because the arithmetic is fixed IEEE
+  * doubles.
+  */
+case class InRing(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  // Strict doubles (SQL callers CAST numeric literals — a bare 0.5
+  // parses as DECIMAL); AbstractDataType is private[sql], so the
+  // implicit-cast trait is not available to external expressions.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ringOk = third.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    }
+    if (first.dataType == DoubleType && second.dataType == DoubleType && ringOk)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_in_ring requires (double, double, array<array<double>>), got " +
+        s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+        s"${third.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_in_ring"
+
+  override protected def nullSafeEval(lonA: Any, latA: Any, ringA: Any): Any = {
+    val lon = lonA.asInstanceOf[Double]
+    val lat = latA.asInstanceOf[Double]
+    val ring = ringA.asInstanceOf[ArrayData]
+    val n = ring.numElements()
+    if (n < 3) return null
+    var in = false
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      if (ring.isNullAt(i)) return null
+      val pi = ring.getArray(i)
+      if (pi.numElements() != 2 || pi.isNullAt(0) || pi.isNullAt(1)) return null
+      val pj = ring.getArray(j)
+      val xi = pi.getDouble(0); val yi = pi.getDouble(1)
+      val xj = pj.getDouble(0); val yj = pj.getDouble(1)
+      if ((yi > lat) != (yj > lat) &&
+          lon < (xj - xi) * (lat - yi) / (yj - yi) + xi) in = !in
+      j = i
+      i += 1
+    }
+    in
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lon, lat, ring) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val in = ctx.freshName("in")
+      val bad = ctx.freshName("bad")
+      val pi = ctx.freshName("pi")
+      val pj = ctx.freshName("pj")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val xj = ctx.freshName("xj")
+      val yj = ctx.freshName("yj")
+      s"""
+         |final int $n = $ring.numElements();
+         |boolean $in = false;
+         |boolean $bad = $n < 3;
+         |for (int $i = 0, $j = $n - 1; !$bad && $i < $n; $j = $i++) {
+         |  if ($ring.isNullAt($i)) { $bad = true; break; }
+         |  final org.apache.spark.sql.catalyst.util.ArrayData $pi = $ring.getArray($i);
+         |  if ($pi.numElements() != 2 || $pi.isNullAt(0) || $pi.isNullAt(1)) { $bad = true; break; }
+         |  final org.apache.spark.sql.catalyst.util.ArrayData $pj = $ring.getArray($j);
+         |  final double $xi = $pi.getDouble(0); final double $yi = $pi.getDouble(1);
+         |  final double $xj = $pj.getDouble(0); final double $yj = $pj.getDouble(1);
+         |  if ((($yi > $lat) != ($yj > $lat)) &&
+         |      $lon < ($xj - $xi) * ($lat - $yi) / ($yj - $yi) + $xi) $in = !$in;
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $in;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): InRing =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object InRing {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[InRing].getName, "graft_in_ring")
+
+  val builder: Seq[Expression] => Expression = { args =>
+    require(args.length == 3, "graft_in_ring takes exactly 3 arguments")
+    InRing(args.head, args(1), args(2))
+  }
+}

@@ -167,7 +167,7 @@ object Meta {
     * schema (no inference jobs), then the outer ring explodes to points
     * for the bounds/center math (`shape(...).bounds` + arcgis.py:107-109
     * midpoint). Documents parallelize per file at scale. */
-  private[graft] def loadAoi(s: SparkSession, paths: String*): DataFrame = {
+  private def aoiDocs(s: SparkSession, paths: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types._
     val ring = ArrayType(ArrayType(ArrayType(DoubleType)))
     val geom = StructType(Seq(
@@ -189,7 +189,42 @@ object Meta {
           .when(col("j.geometry").isNotNull, "feature")
           .otherwise("bare_geometry").as("src_kind"),
         g.getField("type").as("geom_type"),
-        explode(element_at(g.getField("coordinates"), 1)).as("pt"))
+        g.getField("coordinates").as("coords"))
+  }
+
+  private[graft] def loadAoi(s: SparkSession, paths: String*): DataFrame =
+    aoiDocs(s, paths)
+      .select(col("src_kind"), col("geom_type"),
+        explode(element_at(col("coords"), 1)).as("pt"))
+
+  /** The AOI's outer ring as one row (`array<[lon, lat]>`) — the shape
+    * [[graft.functions.InRing]] consumes. */
+  private[graft] def loadAoiRing(s: SparkSession, path: String): DataFrame =
+    aoiDocs(s, Seq(path))
+      .select(element_at(col("coords"), 1).as("ring"))
+
+  /** Exact AOI mask over the georeferenced pixel grid: the c06 bbox
+    * prefilter composed with the codegen'd ray-casting in-ring test —
+    * the reference's rasterized-polygon mask (shapely `contains`). The
+    * one-row ring broadcasts; the grid side is scanned once and both
+    * predicates evaluate in the same codegen stage, so refining costs
+    * one comparison chain per surviving candidate, not a second pass. */
+  def aoiExactCells(s: SparkSession, d: String, path: String): DataFrame = {
+    val g = Resample.SrcGrid
+    val ring = loadAoiRing(s, path)
+      .select(col("ring"),
+        expr("array_min(transform(ring, p -> p[0]))").as("bw"),
+        expr("array_min(transform(ring, p -> p[1]))").as("bs"),
+        expr("array_max(transform(ring, p -> p[0]))").as("be"),
+        expr("array_max(transform(ring, p -> p[1]))").as("bn"))
+    Pixels.pixels(s, d).select("tile_id", "y", "x").distinct()
+      .withColumn("lon", lit(g.west) + (col("x") + 0.5) * g.pxLon)
+      .withColumn("lat", lit(g.north) + (col("y") + 0.5) * g.pxLat)
+      .crossJoin(broadcast(ring))
+      .filter(col("lon") >= col("bw") && col("lon") <= col("be") &&
+        col("lat") >= col("bs") && col("lat") <= col("bn"))
+      .filter(expr("graft_in_ring(lon, lat, ring)"))
+      .select("tile_id", "y", "x", "lon", "lat")
   }
 
   val geojsonAoiQ: Q = (s, _) => {

@@ -328,13 +328,65 @@ object Meta {
          |ORDER BY tile_id""".stripMargin)
   }
 
+  /** Declared form of the exact mask: per-tile cell count and bounds of
+    * the in-polygon grid cells from [[aoiExactCells]] — the codegen'd
+    * graft_in_ring against a DuckDB oracle that spells the same even-odd
+    * edge-crossing parity relationally (sum of crossings per cell, mod
+    * 2). Both engines evaluate the identical IEEE-double crossing
+    * predicate, so the cell set is bit-identical; cells outside the
+    * bbox prefilter are outside the ring by construction, so the
+    * prefilter never changes the declared result. */
+  val aoiExactQ: Q = (s, d) => {
+    aoiExactCells(s, d, s"$AoiDir/aoi_clip.geojson")
+      .groupBy("tile_id")
+      .agg(count(lit(1)).as("n_exact"),
+        min("y").as("y_min"), max("y").as("y_max"),
+        min("x").as("x_min"), max("x").as("x_max"))
+      .orderBy("tile_id")
+  }
+
+  val aoiExactSql: String = {
+    val g = Resample.SrcGrid
+    Pixels.withPixels(
+      s"""WITH ringarr AS (
+         |  SELECT features[1].geometry.coordinates[1] AS ring
+         |  FROM read_json('$AoiDir/aoi_clip.geojson')
+         |), edges AS (
+         |  SELECT ring[i.i][1] AS xi, ring[i.i][2] AS yi,
+         |         ring[i.i + 1][1] AS xj, ring[i.i + 1][2] AS yj
+         |  FROM ringarr,
+         |  LATERAL (SELECT unnest(generate_series(1, len(ring) - 1)) AS i) i
+         |), cells AS (
+         |  SELECT DISTINCT tile_id, y, x FROM pixels
+         |), geo AS (
+         |  SELECT tile_id, y, x,
+         |    ${g.west} + ((x + 0.5) * ${g.pxLon}) AS lon,
+         |    ${g.north} + ((y + 0.5) * ${g.pxLat}) AS lat
+         |  FROM cells
+         |), inside AS (
+         |  SELECT tile_id, y, x
+         |  FROM geo CROSS JOIN edges
+         |  GROUP BY tile_id, y, x, lon, lat
+         |  HAVING sum(CASE WHEN (yi > lat) <> (yj > lat)
+         |      AND lon < (xj - xi) * (lat - yi) / (yj - yi) + xi
+         |    THEN 1 ELSE 0 END) % 2 = 1
+         |)
+         |SELECT tile_id, count(*) AS n_exact,
+         |  min(y) AS y_min, max(y) AS y_max,
+         |  min(x) AS x_min, max(x) AS x_max
+         |FROM inside
+         |GROUP BY tile_id
+         |ORDER BY tile_id""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "c01_band_links" -> bandLinksQ,
     "c02_extract_metadata" -> extractMetadataQ,
     "c03_band_completeness" -> bandCompletenessQ,
     "c04_index_meta" -> indexMetaQ,
     "c05_geojson_aoi" -> geojsonAoiQ,
-    "c06_aoi_clip" -> aoiClipQ)
+    "c06_aoi_clip" -> aoiClipQ,
+    "c07_aoi_exact" -> aoiExactQ)
 
   val oracle: Map[String, String] = Map(
     "c01_band_links" -> bandLinksSql,
@@ -342,5 +394,6 @@ object Meta {
     "c03_band_completeness" -> bandCompletenessSql,
     "c04_index_meta" -> indexMetaSql,
     "c05_geojson_aoi" -> geojsonAoiSql,
-    "c06_aoi_clip" -> aoiClipSql)
+    "c06_aoi_clip" -> aoiClipSql,
+    "c07_aoi_exact" -> aoiExactSql)
 }

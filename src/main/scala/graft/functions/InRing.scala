@@ -53,14 +53,21 @@ case class InRing(first: Expression, second: Expression, third: Expression)
     val lat = latA.asInstanceOf[Double]
     val ring = ringA.asInstanceOf[ArrayData]
     val n = ring.numElements()
+    def vertexOk(k: Int): Boolean = !ring.isNullAt(k) && {
+      val p = ring.getArray(k)
+      p.numElements() == 2 && !p.isNullAt(0) && !p.isNullAt(1)
+    }
     if (n < 3) return null
+    // the first iteration reads vertex n-1 as its predecessor, so it
+    // must be validated BEFORE the loop; every other predecessor was
+    // vertex i of the previous iteration
+    if (!vertexOk(n - 1)) return null
     var in = false
     var i = 0
     var j = n - 1
     while (i < n) {
-      if (ring.isNullAt(i)) return null
+      if (!vertexOk(i)) return null
       val pi = ring.getArray(i)
-      if (pi.numElements() != 2 || pi.isNullAt(0) || pi.isNullAt(1)) return null
       val pj = ring.getArray(j)
       val xi = pi.getDouble(0); val yi = pi.getDouble(1)
       val xj = pj.getDouble(0); val yj = pj.getDouble(1)
@@ -85,14 +92,22 @@ case class InRing(first: Expression, second: Expression, third: Expression)
       val yi = ctx.freshName("yi")
       val xj = ctx.freshName("xj")
       val yj = ctx.freshName("yj")
+      val pk = ctx.freshName("pk")
+      // shared vertex check: null slot or wrong arity or null coordinate
+      def badVertex(k: String): String =
+        s"""($ring.isNullAt($k) ||
+           |  ($pk = $ring.getArray($k)).numElements() != 2 ||
+           |  $pk.isNullAt(0) || $pk.isNullAt(1))""".stripMargin
       s"""
          |final int $n = $ring.numElements();
          |boolean $in = false;
-         |boolean $bad = $n < 3;
+         |org.apache.spark.sql.catalyst.util.ArrayData $pk = null;
+         |// vertex n-1 is the first iteration's predecessor: validate it
+         |// before the loop like the interpreted path does
+         |boolean $bad = $n < 3 || ${badVertex(s"($n - 1)")};
          |for (int $i = 0, $j = $n - 1; !$bad && $i < $n; $j = $i++) {
-         |  if ($ring.isNullAt($i)) { $bad = true; break; }
+         |  if (${badVertex(i)}) { $bad = true; break; }
          |  final org.apache.spark.sql.catalyst.util.ArrayData $pi = $ring.getArray($i);
-         |  if ($pi.numElements() != 2 || $pi.isNullAt(0) || $pi.isNullAt(1)) { $bad = true; break; }
          |  final org.apache.spark.sql.catalyst.util.ArrayData $pj = $ring.getArray($j);
          |  final double $xi = $pi.getDouble(0); final double $yi = $pi.getDouble(1);
          |  final double $xj = $pj.getDouble(0); final double $yj = $pj.getDouble(1);

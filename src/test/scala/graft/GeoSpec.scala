@@ -67,6 +67,17 @@ class GeoSpec extends SparkSpecBase {
       .selectExpr("graft_in_ring(lon, CAST(0.5 AS DOUBLE), rings[0]) AS r")
       .as[Option[Boolean]].head()
     assert(malformed.isEmpty)
+    // malformed LAST vertex: read as the first iteration's predecessor,
+    // so it must NULL out, not crash
+    val malformedLast = Seq((1.0, Seq(Seq(Seq(0.0, 0.0), Seq(1.0, 1.0), Seq(2.0))))).toDF("lon", "rings")
+      .selectExpr("graft_in_ring(lon, CAST(0.5 AS DOUBLE), rings[0]) AS r")
+      .as[Option[Boolean]].head()
+    assert(malformedLast.isEmpty)
+    val nullLast = Seq((1.0, Seq(Seq(Some(Seq(0.0, 0.0)), Some(Seq(1.0, 1.0)),
+      Some(Seq(2.0, 0.0)), Option.empty[Seq[Double]])))).toDF("lon", "rings")
+      .selectExpr("graft_in_ring(lon, CAST(0.5 AS DOUBLE), rings[0]) AS r")
+      .as[Option[Boolean]].head()
+    assert(nullLast.isEmpty)
   }
 
   test("exact AOI mask refines the bbox prefilter on the clip fixture") {
@@ -74,10 +85,10 @@ class GeoSpec extends SparkSpecBase {
       .select("tile_id", "y", "x", "lon", "lat")
       .as[(Long, Int, Int, Double, Double)].collect()
     assert(exact.nonEmpty, "exact mask kept nothing")
-    // every kept cell passes the scalar reference against the fixture ring
-    val ring = Seq(
-      (10.0021, 49.9976), (10.0058, 49.9979), (10.0055, 49.9994),
-      (10.0024, 49.9992), (10.0021, 49.9976))
+    // every kept cell passes the scalar reference against the ring AS
+    // LOADED from the fixture (one source of truth with aoiExactCells)
+    val ring = Meta.loadAoiRing(spark, s"${Meta.AoiDir}/aoi_clip.geojson")
+      .as[Seq[Seq[Double]]].head().map(p => (p(0), p(1)))
     exact.foreach { case (_, y, x, lon, lat) =>
       assert(inRingRef(lon, lat, ring), s"cell ($y,$x) at ($lon,$lat) outside ring")
     }

@@ -516,7 +516,91 @@ object TextOps {
        |    FROM documents))
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t11
+  /** Near-dup CLUSTERS: the MinHash candidate pairs above a similarity
+    * floor form an undirected graph; iterative min-label propagation
+    * finds its connected components — the keeper-assignment step a dedup
+    * pipeline runs after candidate mining (t06) and verification (t08),
+    * completing for near-dups what t09 materializes for exact dups.
+    *
+    * Scale posture: each round is one keyed shuffle (neighbor-min per
+    * node) and the loop converges in O(component diameter) rounds —
+    * the standard big-graph CC; near-dup components are shallow
+    * (duplicate clusters, not social graphs), so a handful of rounds.
+    * `localCheckpoint` pins each round's result so the t06 lineage and
+    * the growing iteration chain are not re-evaluated per round.
+    * Deterministic: labels are minima, independent of scheduling. */
+  val dedupComponents: Q = (s, d) => {
+    val e0 = dedupMinhash(s, d).filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst"))).localCheckpoint()
+    var comp = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val msgs = edges.join(comp, edges("src") === comp("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = comp.unionByName(msgs)
+        .groupBy("id").agg(min("comp").as("comp")).localCheckpoint()
+      changed = next
+        .join(comp.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).count()
+      comp = next
+    }
+    comp.groupBy("comp")
+      .agg(count(lit(1)).as("n_members"),
+        concat_ws("+", array_sort(collect_list(col("id").cast("string"))))
+          .as("members"))
+      .select(col("comp").as("keeper_id"), col("n_members"), col("members"))
+      .orderBy("keeper_id")
+  }
+
+  val dedupComponentsSql: String = {
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, s${2 * b} || s${2 * b + 1} AS key FROM sig").mkString("\nUNION ALL\n")
+    val matches = Seeds.map(i => s"(CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH RECURSIVE sh AS (
+       |$shinglesSql
+       |), sig AS (
+       |$signaturesSql
+       |), bands AS (
+       |$bandSelects
+       |), ok AS (
+       |  SELECT band, key FROM bands GROUP BY band, key
+       |  HAVING count(*) <= $MaxBucketMembers
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |  JOIN ok ON ok.band = a.band AND ok.key = a.key
+       |), pairs AS (
+       |  SELECT cand.doc_a, cand.doc_b
+       |  FROM cand
+       |  JOIN sig a ON cand.doc_a = a.doc_id
+       |  JOIN sig b ON cand.doc_b = b.doc_id
+       |  WHERE CAST($matches AS DOUBLE) / ${Seeds.size} >= 0.5
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), comp AS (
+       |  SELECT src AS id, least(src, min(dst)) AS comp
+       |  FROM reach GROUP BY src
+       |)
+       |SELECT comp AS keeper_id, count(*) AS n_members,
+       |  string_agg(CAST(id AS VARCHAR), '+' ORDER BY CAST(id AS VARCHAR)) AS members
+       |FROM comp
+       |GROUP BY comp
+       |ORDER BY keeper_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "t11_dedup_components" -> dedupComponents,
     "t10_quality_score" -> qualityScore,
     "t09_dedup_keep_first" -> dedupKeepFirst,
     "t01_text_stats" -> textStats,
@@ -529,6 +613,7 @@ object TextOps {
     "t08_ngram_jaccard" -> ngramJaccard)
 
   val oracle: Map[String, String] = Map(
+    "t11_dedup_components" -> dedupComponentsSql,
     "t10_quality_score" -> qualityScoreSql,
     "t09_dedup_keep_first" -> dedupKeepFirstSql,
     "t01_text_stats" -> textStatsSql,

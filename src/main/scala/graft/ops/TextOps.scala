@@ -530,9 +530,14 @@ object TextOps {
     * `localCheckpoint` pins each round's result so the t06 lineage and
     * the growing iteration chain are not re-evaluated per round.
     * Deterministic: labels are minima, independent of scheduling. */
-  val dedupComponents: Q = (s, d) => {
-    val e0 = dedupMinhash(s, d).filter(col("est_jaccard") >= 0.5)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+  /** Iterative min-label connected components over an undirected edge
+    * list (src, dst): each round sends every node's current label to its
+    * neighbors and keeps the minimum — one keyed shuffle per round,
+    * O(component diameter) rounds, results pinned per round with
+    * `localCheckpoint` so the input lineage and the iteration chain are
+    * never re-evaluated. Returns (id, comp) for every node that appears
+    * in an edge. */
+  private[graft] def connectedComponents(e0: DataFrame): DataFrame = {
     val edges = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst"))).localCheckpoint()
     var comp = edges.select(col("src").as("id")).distinct()
@@ -548,7 +553,13 @@ object TextOps {
         .filter(col("comp") =!= col("prev")).count()
       comp = next
     }
-    comp.groupBy("comp")
+    comp
+  }
+
+  val dedupComponents: Q = (s, d) => {
+    val e0 = dedupMinhash(s, d).filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    connectedComponents(e0).groupBy("comp")
       .agg(count(lit(1)).as("n_members"),
         concat_ws("+", array_sort(collect_list(col("id").cast("string"))))
           .as("members"))

@@ -45,6 +45,18 @@ class TextAggSpec extends SparkSpecBase {
     assert(TextOps.oversizedBandBuckets(sig, cap = 6).count() == 0L)
   }
 
+  test("label propagation merges chains transitively and keeps islands apart") {
+    // chain 1-2-3-4 (diameter 3 → several rounds), plus two disjoint
+    // pairs; labels must converge to the component minimum
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (11L, 10L), (20L, 21L))
+      .toDF("src", "dst")
+    val comp = TextOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L),
+      s"wrong components: $comp")
+  }
+
   test("Aggregator handles empty input and null shingles") {
     val sigs = Seq((1L, Option.empty[String]), (1L, Some("a b c")))
       .toDF("doc_id", "s")

@@ -103,7 +103,14 @@ object Merge {
   /** Cache-keyed incremental skip — processor.py:342-356: anti-join the
     * granule catalog against an already-processed key set on
     * (tile_id, yyyyDDD cache key). Here the "done" set is granules of
-    * tiles 0–1 before 1998. */
+    * tiles 0–1 before 1998.
+    *
+    * The `done` branch deliberately re-derives the granule relation
+    * rather than sharing lineage: in production the processed-key set is
+    * a separate, tiny cache-manifest table (a directory listing), so the
+    * anti-join against an independent relation IS the cost model — the
+    * visible double scan is an artifact of synthesizing both sides from
+    * one testdata table, not of the operator. */
   val cacheAntijoinQ: Q = (s, d) => {
     val px = Pixels.pixels(s, d)
     val granules = px

@@ -330,6 +330,91 @@ object SimOps {
        |WHERE rk <= 3
        |ORDER BY qid, rk""".stripMargin
 
+  // ---------------------------------------------------------------- v07
+  /** IVF ANN with nprobe=2 — the recall knob of the inverted-file path:
+    * each query searches its TWO nearest centroid cells instead of one
+    * (v05), trading ~2× candidate arithmetic for recall on queries near
+    * a cell boundary. Corpus vectors still live in exactly one cell, so
+    * the probe join cannot duplicate a candidate. Same two-stage
+    * exactness contract as v05: native rank with a margin past k, then
+    * DECIMAL-exact re-rank of survivors (centroid-rank gaps ~1e-2 dwarf
+    * the ~1e-15 native accumulation gap, so the probed cell set matches
+    * the oracle's exact ranking). */
+  val simIvfProbe2: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val cent = emb.filter(col("vec_id").between(100, 107))
+      .select(col("vec_id").as("ccid"), col("embedding").as("ce"))
+    val wA = Window.partitionBy("vec_id").orderBy(col("cosc").desc, col("ccid").asc)
+    val ranked = emb.crossJoin(broadcast(cent))
+      .withColumn("cosc", expr("graft_cosine(embedding, ce)"))
+      .withColumn("arn", row_number().over(wA))
+    val assigned = ranked.filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("ccid").as("cell"))
+    val qprobe = ranked.filter(col("vec_id") < 20 && col("arn") <= 2)
+      .select(col("vec_id").as("qid"), col("ccid").as("cell"),
+        col("embedding").as("ea"))
+    val wN = Window.partitionBy("qid").orderBy(col("ncos").desc, col("cid").asc)
+    val cand = assigned.select(col("vec_id").as("cid"), col("cell"), col("embedding").as("eb"))
+      .join(broadcast(qprobe), Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("ncos", expr("graft_cosine(ea, eb)"))
+      .withColumn("nrk", row_number().over(wN))
+      .filter(col("nrk") <= 6)
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid").asc)
+    exactCosine(cand.select("qid", "cid", "ea", "eb"), Seq("qid", "cid"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("cid"), r6(col("cosine")).as("cosine"))
+      .orderBy("qid", "rk")
+  }
+
+  val simIvfProbe2Sql: String =
+    s"""WITH f AS (
+       |$flatSql
+       |), n AS (
+       |$normsSql
+       |), cent AS (
+       |  SELECT vec_id AS cid, i, v AS cv FROM f WHERE vec_id BETWEEN 100 AND 107
+       |), adots AS (
+       |  SELECT f.vec_id, cent.cid, ${xsumHiSql("f.v * cent.cv")} AS dot
+       |  FROM f JOIN cent ON f.i = cent.i
+       |  GROUP BY f.vec_id, cent.cid
+       |), acos AS (
+       |  SELECT adots.vec_id, adots.cid,
+       |    adots.dot / (nv.nrm * nc.nrm) AS cosc
+       |  FROM adots JOIN n nv ON adots.vec_id = nv.vec_id
+       |             JOIN n nc ON adots.cid = nc.vec_id
+       |), acr AS (
+       |  SELECT vec_id, cid, row_number()
+       |    OVER (PARTITION BY vec_id ORDER BY cosc DESC, cid ASC) AS arn
+       |  FROM acos
+       |), assign AS (
+       |  SELECT vec_id, cid AS cell FROM acr WHERE arn = 1
+       |), qcells AS (
+       |  SELECT vec_id AS qid, cid AS cell FROM acr WHERE vec_id < 20 AND arn <= 2
+       |), fc AS (
+       |  SELECT f.vec_id, f.i, f.v, assign.cell
+       |  FROM f JOIN assign ON f.vec_id = assign.vec_id
+       |), q AS (
+       |  SELECT qc.qid, qc.cell, f.i, f.v AS qv
+       |  FROM qcells qc JOIN f ON f.vec_id = qc.qid
+       |), dots AS (
+       |  SELECT q.qid, fc.vec_id AS cid, ${xsumHiSql("q.qv * fc.v")} AS dot
+       |  FROM fc JOIN q ON fc.cell = q.cell AND fc.i = q.i AND fc.vec_id <> q.qid
+       |  GROUP BY q.qid, fc.vec_id
+       |), cos AS (
+       |  SELECT dots.qid, dots.cid, dots.dot / (nq.nrm * nc.nrm) AS cosine
+       |  FROM dots JOIN n nq ON dots.qid = nq.vec_id
+       |            JOIN n nc ON dots.cid = nc.vec_id
+       |)
+       |SELECT qid, rk, cid, 0.0 + round(cosine, 6) AS cosine FROM (
+       |  SELECT qid, cid, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
+       |  FROM cos) t
+       |WHERE rk <= 3
+       |ORDER BY qid, rk""".stripMargin
+
   // ---------------------------------------------------------------- v06
   /** Embedding-cosine near-duplicate pairs over the WHOLE corpus: 4-bit
     * sign-LSH bucketing (16 buckets) prunes to same-bucket pairs before
@@ -419,7 +504,8 @@ object SimOps {
     "v02_sim_lsh" -> simLsh,
     "v03_label_sim_stats" -> labelSimStats,
     "v04_sim_topk_native" -> simTopkNativeExact,
-    "v05_sim_ivf" -> simIvf)
+    "v05_sim_ivf" -> simIvf,
+    "v07_sim_ivf_probe2" -> simIvfProbe2)
 
   val oracle: Map[String, String] = Map(
     "v06_embed_neardup" -> embedNearDupSql,
@@ -427,5 +513,6 @@ object SimOps {
     "v02_sim_lsh" -> simLshSql,
     "v03_label_sim_stats" -> labelSimStatsSql,
     "v04_sim_topk_native" -> simTopkSql,
-    "v05_sim_ivf" -> simIvfSql)
+    "v05_sim_ivf" -> simIvfSql,
+    "v07_sim_ivf_probe2" -> simIvfProbe2Sql)
 }

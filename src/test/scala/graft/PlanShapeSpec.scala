@@ -91,6 +91,15 @@ class PlanShapeSpec extends SparkSpecBase {
       s"AOI clip fell back to a cartesian product:\n$p")
   }
 
+  test("fingerprint computes in-row: the only exchange is the final sort") {
+    // the explode + min/count-distinct form shuffled every gram twice;
+    // the array-HOF form must keep a single range exchange for ORDER BY
+    val p = plan("t04_fingerprint")
+    val nEx = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(nEx == 1, s"fingerprint regressed to a shuffling plan:\n$p")
+    assert(!p.contains("Generate"), s"fingerprint regressed to explode:\n$p")
+  }
+
   test("whole-stage codegen covers the band-math expression block") {
     // codegen spans only materialize in the AQE-finalized executed plan,
     // where they render as the `*(n)` stage prefix

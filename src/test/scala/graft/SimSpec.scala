@@ -45,6 +45,24 @@ class SimSpec extends SparkSpecBase {
     assert(rel == nat)
   }
 
+  test("IVF nprobe=2 recall dominates nprobe=1 pointwise") {
+    // probing a second cell can only ADD candidates, so for every query
+    // the rank-r cosine under nprobe=2 is >= the rank-r cosine under
+    // nprobe=1 (and the result is at least as long per query)
+    val p1 = SimOps.simIvf(spark, sf)
+      .select("qid", "rk", "cosine").as[(Long, Int, Double)].collect()
+      .map { case (q, r, c) => (q, r) -> c }.toMap
+    val p2 = SimOps.simIvfProbe2(spark, sf)
+      .select("qid", "rk", "cosine").as[(Long, Int, Double)].collect()
+      .map { case (q, r, c) => (q, r) -> c }.toMap
+    assert(p1.nonEmpty && p2.keySet.size >= p1.keySet.size)
+    p1.foreach { case ((q, r), c1) =>
+      val c2 = p2.getOrElse((q, r),
+        fail(s"query $q lost its rank-$r hit under nprobe=2"))
+      assert(c2 >= c1 - 1e-9, s"recall regressed for ($q, $r): $c2 < $c1")
+    }
+  }
+
   test("LSH candidates are a subset of the brute-force universe, same bucket only") {
     val lsh = SimOps.simLsh(spark, sf).select("qid", "cid").as[(Long, Long)].collect().toSet
     val topkAll = SimOps.simTopk(spark, sf).select("qid").distinct().count()

@@ -252,95 +252,17 @@ object SimOps {
   val simTopkNativeExact: Q = simTopk
 
   // ---------------------------------------------------------------- v05
-  /** IVF-style ANN: coarse-quantize every vector to its nearest of 8
-    * fixed centroids (vectors 100-107, deterministic), then search only
-    * within the query's cell (nprobe=1) — the inverted-file scale path:
-    * the full-corpus scan happens once for assignment; each query then
-    * touches ~1/8 of the corpus. DECIMAL-exact cosines keep the argmax
-    * assignment and the ranking bit-identical to the oracle. */
-  val simIvf: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    val emb = Tables.embeddings(s, d)
-    // Coarse assignment: native cosine against the 8 broadcast centroids,
-    // argmax per vector (centroid gaps are ~1e-2, re the ~1e-15 native
-    // accumulation gap — the argmax cannot flip vs the oracle's exact one).
-    val cent = emb.filter(col("vec_id").between(100, 107))
-      .select(col("vec_id").as("ccid"), col("embedding").as("ce"))
-    val wA = Window.partitionBy("vec_id").orderBy(col("cosc").desc, col("ccid").asc)
-    val assigned = emb.crossJoin(broadcast(cent))
-      .withColumn("cosc", expr("graft_cosine(embedding, ce)"))
-      .withColumn("arn", row_number().over(wA))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("ccid").as("cell"))
-    // Search nprobe=1: native-cosine rank within the query's cell with a
-    // 3-candidate margin, then DECIMAL-exact re-rank of survivors only.
-    val q = assigned.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("cell"), col("embedding").as("ea"))
-    val wN = Window.partitionBy("qid").orderBy(col("ncos").desc, col("cid").asc)
-    val cand = assigned.select(col("vec_id").as("cid"), col("cell"), col("embedding").as("eb"))
-      .join(broadcast(q), Seq("cell"))
-      .filter(col("cid") =!= col("qid"))
-      .withColumn("ncos", expr("graft_cosine(ea, eb)"))
-      .withColumn("nrk", row_number().over(wN))
-      .filter(col("nrk") <= 6)
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid").asc)
-    exactCosine(cand.select("qid", "cid", "ea", "eb"), Seq("qid", "cid"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-      .select(col("qid"), col("rk"), col("cid"), r6(col("cosine")).as("cosine"))
-      .orderBy("qid", "rk")
-  }
-
-  val simIvfSql: String =
-    s"""WITH f AS (
-       |$flatSql
-       |), n AS (
-       |$normsSql
-       |), cent AS (
-       |  SELECT vec_id AS cid, i, v AS cv FROM f WHERE vec_id BETWEEN 100 AND 107
-       |), adots AS (
-       |  SELECT f.vec_id, cent.cid, ${xsumHiSql("f.v * cent.cv")} AS dot
-       |  FROM f JOIN cent ON f.i = cent.i
-       |  GROUP BY f.vec_id, cent.cid
-       |), acos AS (
-       |  SELECT adots.vec_id, adots.cid,
-       |    adots.dot / (nv.nrm * nc.nrm) AS cosc
-       |  FROM adots JOIN n nv ON adots.vec_id = nv.vec_id
-       |             JOIN n nc ON adots.cid = nc.vec_id
-       |), assign AS (
-       |  SELECT vec_id, max_by(cid, cosc) AS cell FROM acos GROUP BY vec_id
-       |), fc AS (
-       |  SELECT f.vec_id, f.i, f.v, assign.cell
-       |  FROM f JOIN assign ON f.vec_id = assign.vec_id
-       |), q AS (
-       |  SELECT vec_id AS qid, cell, i, v AS qv FROM fc WHERE vec_id < 20
-       |), dots AS (
-       |  SELECT q.qid, fc.vec_id AS cid, ${xsumHiSql("q.qv * fc.v")} AS dot
-       |  FROM fc JOIN q ON fc.cell = q.cell AND fc.i = q.i AND fc.vec_id <> q.qid
-       |  GROUP BY q.qid, fc.vec_id
-       |), cos AS (
-       |  SELECT dots.qid, dots.cid, dots.dot / (nq.nrm * nc.nrm) AS cosine
-       |  FROM dots JOIN n nq ON dots.qid = nq.vec_id
-       |            JOIN n nc ON dots.cid = nc.vec_id
-       |)
-       |SELECT qid, rk, cid, 0.0 + round(cosine, 6) AS cosine FROM (
-       |  SELECT qid, cid, cosine,
-       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
-       |  FROM cos) t
-       |WHERE rk <= 3
-       |ORDER BY qid, rk""".stripMargin
-
-  // ---------------------------------------------------------------- v07
-  /** IVF ANN with nprobe=2 — the recall knob of the inverted-file path:
-    * each query searches its TWO nearest centroid cells instead of one
-    * (v05), trading ~2× candidate arithmetic for recall on queries near
-    * a cell boundary. Corpus vectors still live in exactly one cell, so
-    * the probe join cannot duplicate a candidate. Same two-stage
-    * exactness contract as v05: native rank with a margin past k, then
-    * DECIMAL-exact re-rank of survivors (centroid-rank gaps ~1e-2 dwarf
-    * the ~1e-15 native accumulation gap, so the probed cell set matches
-    * the oracle's exact ranking). */
-  val simIvfProbe2: Q = (s, d) => {
+  /** IVF-style ANN, parameterized on `nprobe`: coarse-quantize every
+    * vector to its nearest of 8 fixed centroids (vectors 100-107,
+    * deterministic), then search the query's `nprobe` nearest cells —
+    * the inverted-file scale path: the full-corpus scan happens once for
+    * assignment; each query then touches ~nprobe/8 of the corpus. Cell
+    * ranks use the native cosine (centroid gaps ~1e-2 dwarf the ~1e-15
+    * native accumulation gap, so they cannot flip vs the oracle's exact
+    * ranking); candidates get the native-rank margin + DECIMAL-exact
+    * re-rank. A corpus vector lives in exactly one cell, so the probe
+    * join cannot duplicate a (qid, cid) pair. */
+  private def simIvfN(nprobe: Int): Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, d)
     val cent = emb.filter(col("vec_id").between(100, 107))
@@ -351,7 +273,7 @@ object SimOps {
       .withColumn("arn", row_number().over(wA))
     val assigned = ranked.filter(col("arn") === 1)
       .select(col("vec_id"), col("embedding"), col("ccid").as("cell"))
-    val qprobe = ranked.filter(col("vec_id") < 20 && col("arn") <= 2)
+    val qprobe = ranked.filter(col("vec_id") < 20 && col("arn") <= nprobe)
       .select(col("vec_id").as("qid"), col("ccid").as("cell"),
         col("embedding").as("ea"))
     val wN = Window.partitionBy("qid").orderBy(col("ncos").desc, col("cid").asc)
@@ -369,7 +291,9 @@ object SimOps {
       .orderBy("qid", "rk")
   }
 
-  val simIvfProbe2Sql: String =
+  /** Oracle template for [[simIvfN]]: the same cell ranking (exact
+    * DECIMAL cosines, row_number with the cid tie-break) and top-3. */
+  private def simIvfNSql(nprobe: Int): String =
     s"""WITH f AS (
        |$flatSql
        |), n AS (
@@ -392,7 +316,7 @@ object SimOps {
        |), assign AS (
        |  SELECT vec_id, cid AS cell FROM acr WHERE arn = 1
        |), qcells AS (
-       |  SELECT vec_id AS qid, cid AS cell FROM acr WHERE vec_id < 20 AND arn <= 2
+       |  SELECT vec_id AS qid, cid AS cell FROM acr WHERE vec_id < 20 AND arn <= $nprobe
        |), fc AS (
        |  SELECT f.vec_id, f.i, f.v, assign.cell
        |  FROM f JOIN assign ON f.vec_id = assign.vec_id
@@ -414,6 +338,17 @@ object SimOps {
        |  FROM cos) t
        |WHERE rk <= 3
        |ORDER BY qid, rk""".stripMargin
+
+  val simIvf: Q = simIvfN(1)
+  val simIvfSql: String = simIvfNSql(1)
+
+  // ---------------------------------------------------------------- v07
+  /** IVF ANN with nprobe=2 — the recall knob of the inverted-file path:
+    * the query searches its TWO nearest centroid cells, trading ~2×
+    * candidate arithmetic for recall on queries near a cell boundary.
+    * Same pipeline as v05 ([[simIvfN]]), one parameter apart. */
+  val simIvfProbe2: Q = simIvfN(2)
+  val simIvfProbe2Sql: String = simIvfNSql(2)
 
   // ---------------------------------------------------------------- v06
   /** Embedding-cosine near-duplicate pairs over the WHOLE corpus: 4-bit

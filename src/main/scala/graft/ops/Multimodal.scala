@@ -274,7 +274,58 @@ object Multimodal {
       |JOIN emb e ON d.doc_id = e.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- x06
+  /** Deterministic train/val split assignment — the step after the x05
+    * manifest and before shard writing: bucket = the first two hex
+    * digits of md5(doc_id || salt) → 0..255, val = bucket < 26 (~10%).
+    * Hash-based, so the assignment is stable under reprocessing,
+    * independent of row order/partitioning, and re-saltable for a fresh
+    * split — the properties a resumable 100 TB pipeline needs (a random()
+    * split has none of them). Pure per-row projection: no shuffle. */
+  def withSplit(docs: DataFrame, salt: String = "v1"): DataFrame =
+    docs
+      .withColumn("bucket", expr(
+        s"CAST(conv(substring(md5(CAST(concat(CAST(doc_id AS STRING), ':$salt') AS BINARY)), 1, 2), 16, 10) AS INT)"))
+      .withColumn("split", when(col("bucket") < 26, "val").otherwise("train"))
+
+  /** Declared form: per-(language, split) stratification report — doc
+    * count and within-language share, the table a curator reads to
+    * confirm the hash split is proportional in every stratum before
+    * shipping shards. The only exchanges are the small keyed aggregate
+    * and the per-language window over (langs × 2) rows. */
+  val trainValSplit: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    withSplit(Tables.documents(s, d))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share",
+        r6(col("n_docs").cast("double") /
+          sum("n_docs").over(Window.partitionBy("lang"))))
+      .orderBy("lang", "split")
+  }
+
+  val trainValSplitSql: String = {
+    // hex→int spelled via instr (DuckDB has no conv): for digits d1 d2,
+    // instr1*16 + instr2 - 17 = (d1)*16 + d2 — identical to Spark's conv
+    def hexAt(i: Int) =
+      s"instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR) || ':v1'), $i, 1))"
+    s"""WITH tagged AS (
+       |  SELECT lang,
+       |    CASE WHEN ${hexAt(1)} * 16 + ${hexAt(2)} - 17 < 26
+       |      THEN 'val' ELSE 'train' END AS split
+       |  FROM documents
+       |), counts AS (
+       |  SELECT lang, split, count(*) AS n_docs FROM tagged GROUP BY lang, split
+       |)
+       |SELECT lang, split, n_docs,
+       |  0.0 + round(CAST(n_docs AS DOUBLE)
+       |        / sum(n_docs) OVER (PARTITION BY lang), 6) AS share
+       |FROM counts
+       |ORDER BY lang, split""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "x06_train_val_split" -> trainValSplit,
     "x01_media_meta" -> mediaMeta,
     "x02_media_type_stats" -> mediaTypeStats,
     "x03_frame_sample" -> frameSample,
@@ -282,6 +333,7 @@ object Multimodal {
     "x05_training_manifest" -> trainingManifest)
 
   val oracle: Map[String, String] = Map(
+    "x06_train_val_split" -> trainValSplitSql,
     "x01_media_meta" -> mediaMetaSql,
     "x02_media_type_stats" -> mediaTypeStatsSql,
     "x03_frame_sample" -> frameSampleSql,

@@ -373,23 +373,30 @@ object TextOps {
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
     // Only candidate docs' shingles matter for the verify stage — the
-    // broadcast semi-join prunes the 2M-row shingle relation down to the
-    // ~1k candidate docs BEFORE any wide join, so neither verify join
-    // ever shuffles the full corpus (the LSH-candidates-then-verify
-    // shape's whole point at 100 TB).
+    // semi-join prunes the 2M-row shingle relation down to the candidate
+    // docs BEFORE any wide join. Every relation below derives from the
+    // corpus, so NOTHING here may broadcast: candidate volume scales
+    // with the corpus near-dup rate (30-50% of docs on web-scale data),
+    // and a broadcast that fits at sf0.1 is a driver OOM at 100 TB.
+    // Each join carries an equi key already; shuffle_hash pins the
+    // strategy so AQE cannot swap a small runtime side back to broadcast
+    // (PlanShapeSpec locks the executed plan broadcast-free).
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
     val sh = shingles(doc).distinct()
-      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .join(candDocs.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = broadcast(cand)
+    val inter = cand.hint("shuffle_hash")
       .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")).hint("shuffle_hash"),
+        Seq("doc_b", "s"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    cand.join(inter, Seq("doc_a", "doc_b"), "left")
+    cand.join(inter.hint("shuffle_hash"), Seq("doc_a", "doc_b"), "left")
       .na.fill(0L, Seq("n_inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b"))
+        .hint("shuffle_hash"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         r6(col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
@@ -537,13 +544,30 @@ object TextOps {
     * `localCheckpoint` so the input lineage and the iteration chain are
     * never re-evaluated. Returns (id, comp) for every node that appears
     * in an edge. */
-  private[graft] def connectedComponents(e0: DataFrame): DataFrame = {
+  /** Convergence bound for [[connectedComponents]]: min-label propagation
+    * finishes in O(component diameter) rounds, and near-dup components
+    * are shallow (duplicate clusters, not social graphs). A loop still
+    * changing labels past this bound means a pathological chain-shaped
+    * graph — at scale that is hours of silent Spark jobs, so the loop
+    * fails loudly instead (the t06 bucket-cap pattern applied to the
+    * iteration dimension). Audit the survivors with
+    * [[oversizedComponents]] before trusting keeper assignment. */
+  val MaxPropagationRounds = 50
+
+  private[graft] def connectedComponents(e0: DataFrame,
+      maxRounds: Int = MaxPropagationRounds): DataFrame = {
     val edges = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst"))).localCheckpoint()
     var comp = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      require(rounds < maxRounds,
+        s"connected components still propagating after $maxRounds rounds — " +
+          "component diameter exceeds the near-dup posture; raise maxRounds " +
+          "deliberately or pre-split the graph")
+      rounds += 1
       val msgs = edges.join(comp, edges("src") === comp("id"))
         .select(col("dst").as("id"), col("comp"))
       val next = comp.unionByName(msgs)
@@ -555,6 +579,15 @@ object TextOps {
     }
     comp
   }
+
+  /** Audit companion to [[connectedComponents]] (mirror of
+    * [[oversizedBandBuckets]]): components whose member count exceeds a
+    * cap — a giant near-dup component usually means boilerplate/template
+    * text chaining unrelated docs together, and its keeper assignment
+    * deserves review rather than blind keep-min. */
+  private[graft] def oversizedComponents(comp: DataFrame, cap: Int): DataFrame =
+    comp.groupBy("comp").agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > cap)
 
   val dedupComponents: Q = (s, d) => {
     val e0 = dedupMinhash(s, d).filter(col("est_jaccard") >= 0.5)
@@ -610,7 +643,37 @@ object TextOps {
        |ORDER BY keeper_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t12
+  /** The [[MaxBucketMembers]] escape hatch as a first-class audit query:
+    * every LSH band bucket whose membership exceeds the pair-expansion
+    * cap — exactly the buckets t06/t08 drop from candidate generation.
+    * Empty on a healthy corpus (band keys are 32-hex MinHash fragments);
+    * the point of declaring it is that the 100 TB degenerate-key guard
+    * is itself oracle-checked, so a cap or key-distribution regression
+    * surfaces as data in the audit, not as a silent executor OOM. */
+  val bucketAudit: Q = (s, d) =>
+    oversizedBandBuckets(signatures(Tables.documents(s, d)))
+      .orderBy("band", "key")
+
+  val bucketAuditSql: String = {
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, s${2 * b} || s${2 * b + 1} AS key FROM sig").mkString("\nUNION ALL\n")
+    s"""WITH sh AS (
+       |$shinglesSql
+       |), sig AS (
+       |$signaturesSql
+       |), bands AS (
+       |$bandSelects
+       |)
+       |SELECT band, key, count(*) AS n_members
+       |FROM bands
+       |GROUP BY band, key
+       |HAVING count(*) > $MaxBucketMembers
+       |ORDER BY band, key""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "t12_bucket_audit" -> bucketAudit,
     "t11_dedup_components" -> dedupComponents,
     "t10_quality_score" -> qualityScore,
     "t09_dedup_keep_first" -> dedupKeepFirst,
@@ -624,6 +687,7 @@ object TextOps {
     "t08_ngram_jaccard" -> ngramJaccard)
 
   val oracle: Map[String, String] = Map(
+    "t12_bucket_audit" -> bucketAuditSql,
     "t11_dedup_components" -> dedupComponentsSql,
     "t10_quality_score" -> qualityScoreSql,
     "t09_dedup_keep_first" -> dedupKeepFirstSql,

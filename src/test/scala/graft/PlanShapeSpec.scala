@@ -51,7 +51,9 @@ class PlanShapeSpec extends SparkSpecBase {
     val widx = p.indexOf("Window")
     assert(widx >= 0, s"ranking Window node missing from:\n$p")
     val beforeWindow = p.substring(0, widx)
-    assert(!beforeWindow.contains("Exchange hashpartitioning(i#"),
+    // strict `i#<exprId>` pattern: a bare "(i" prefix would also match
+    // any column whose name starts with 'i'
+    assert(!"hashpartitioning\\(i#\\d".r.findFirstIn(beforeWindow).isDefined,
       s"cosine path shuffled on the flattened index:\n$p")
   }
 
@@ -76,6 +78,21 @@ class PlanShapeSpec extends SparkSpecBase {
       s"near-dup candidate join broadcasts the corpus:\n$p")
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
       s"expected a shuffled bucket-key join in:\n$p")
+  }
+
+  test("t08 verify stage never broadcasts a corpus-derived relation") {
+    // every relation in t08 (candidates, candidate docs, pruned
+    // shingles, sizes) derives from the corpus, so candidate volume —
+    // and with it every build side — scales with the near-dup rate; a
+    // broadcast that fits at sf0.1 is a driver OOM at 100 TB. Executed
+    // plan after an action so an AQE runtime swap would be caught too.
+    val df = SparkEntry.queries("t08_ngram_jaccard")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastHashJoin"),
+      s"t08 broadcasts a corpus-derived relation:\n$p")
+    assert(!p.contains("BroadcastExchange"),
+      s"t08 broadcasts a corpus-derived relation:\n$p")
   }
 
   test("AOI clip broadcasts the one-row bounds, never the grid") {

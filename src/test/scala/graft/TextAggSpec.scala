@@ -57,6 +57,29 @@ class TextAggSpec extends SparkSpecBase {
       s"wrong components: $comp")
   }
 
+  test("label propagation fails loudly past the round bound") {
+    // a 6-node chain has diameter 5: with maxRounds=2 the loop must
+    // refuse to keep iterating instead of silently running long
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.connectedComponents(chain, maxRounds = 2).collect()
+    }
+    assert(e.getMessage.contains("still propagating"), e.getMessage)
+    // the same graph converges under the default bound
+    val comp = TextOps.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(comp.forall(_._2 == 1L), s"chain did not converge: ${comp.toSeq}")
+  }
+
+  test("component audit flags components past the membership cap") {
+    // one 4-member component, one pair: cap=3 flags only the big one
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
+    val comp = TextOps.connectedComponents(edges)
+    val over = TextOps.oversizedComponents(comp, cap = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(over == Seq((1L, 4L)), s"wrong components flagged: $over")
+    assert(TextOps.oversizedComponents(comp, cap = 4).count() == 0L)
+  }
+
   test("Aggregator handles empty input and null shingles") {
     val sigs = Seq((1L, Option.empty[String]), (1L, Some("a b c")))
       .toDF("doc_id", "s")

@@ -3,13 +3,20 @@ package graft.ops
 import java.nio.{ByteBuffer, ByteOrder}
 
 /** Minimal GeoTIFF codec for the export sink (SURVEY.md §2.2
-  * sink_geotiff_export; reference arcgis.py:60-92): little-endian
-  * baseline TIFF carrying two float32 band planes (uncompressed,
-  * planar), the GeoTIFF georeferencing tags (pixel scale + tiepoint +
-  * EPSG geokey directory) and the GDAL metadata/nodata ASCII tags that
-  * rasterio's writer emits — band descriptions NDVI/EVI and per-band
-  * `date`/`variable` items (arcgis.py:85-90), nodata −9999
-  * (arcgis.py:78).
+  * sink_geotiff_export; reference arcgis.py:60-92): little-endian TIFF
+  * carrying two float32 band planes (planar, one strip per band,
+  * Deflate-compressed by default), the GeoTIFF georeferencing tags
+  * (pixel scale + tiepoint + EPSG geokey directory) and the GDAL
+  * metadata/nodata ASCII tags that rasterio's writer emits — band
+  * descriptions NDVI/EVI and per-band `date`/`variable` items
+  * (arcgis.py:85-90), nodata −9999 (arcgis.py:78).
+  *
+  * Compression: the reference exports LZW (arcgis.py:67-78,
+  * `compress='lzw'`); uncompressed float32 frames are ~5-8× larger than
+  * a user expects. The dependency-free equivalent is Adobe Deflate
+  * (TIFF compression tag 8, zlib streams per strip via
+  * `java.util.zip.Deflater`) — readable by GDAL/rasterio/QGIS exactly
+  * like LZW. [[decode]] handles both tag 1 (none) and tag 8.
   *
   * Pure byte-level functions: [[encode]] runs inside the
   * `foreachPartition` writer on executors; [[decode]] backs the
@@ -25,12 +32,37 @@ object GeoTiff {
   private val TAscii = 2
   private val TDouble = 12
 
+  /** zlib-compress one strip (TIFF compression 8 payload). */
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw)
+    d.finish()
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def inflate(data: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new Array[Byte](expected)
+    var at = 0
+    while (at < expected && !inf.finished())
+      at += inf.inflate(out, at, expected - at)
+    inf.end()
+    require(at == expected, s"inflated $at bytes, expected $expected")
+    out
+  }
+
   /** Encode one date frame: exactly two band planes (NDVI, EVI — the
     * reference's fixed band set), row-major `height * width` float32
     * with [[Nodata]] fill, georeferenced by the north-up [[GridSpec]]
     * affine. */
   def encode(grid: GridSpec, date: String,
-      bands: Seq[(String, Array[Float])]): Array[Byte] = {
+      bands: Seq[(String, Array[Float])],
+      compress: Boolean = true): Array[Byte] = {
     require(bands.length == 2, s"2-band frames only, got ${bands.length}")
     val w = grid.width
     val h = grid.height
@@ -49,9 +81,18 @@ object GeoTiff {
     val metaPadded = metaBytes.length + (metaBytes.length & 1)
     val nodataBytes = "-9999\u0000".getBytes("US-ASCII")
 
-    val stripLen = w * h * 4
-    val stripOff = Array(8, 8 + stripLen)
-    val auxStart = 8 + 2 * stripLen
+    // one strip per band plane; Deflate shrinks each independently
+    val strips: Seq[Array[Byte]] = bands.map { case (_, data) =>
+      val raw = ByteBuffer.allocate(data.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      data.foreach(raw.putFloat)
+      if (compress) deflate(raw.array()) else raw.array()
+    }
+    // word-aligned strip placement (TIFF offsets should be even)
+    var cursor = 8
+    val stripOff = strips.map { s =>
+      val o = cursor; cursor += s.length + (s.length & 1); o
+    }
+    val auxStart = cursor
     val stripOffsetsPos = auxStart
     val stripCountsPos = auxStart + 8
     val pxScalePos = auxStart + 16
@@ -66,11 +107,14 @@ object GeoTiff {
     val b = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
     // header
     b.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdPos)
-    // band planes
-    bands.foreach { case (_, data) => data.foreach(b.putFloat) }
+    // band strips (padded to even offsets)
+    strips.foreach { s =>
+      b.put(s)
+      if ((s.length & 1) == 1) b.put(0.toByte)
+    }
     // out-of-line values
     stripOff.foreach(b.putInt)                    // StripOffsets
-    b.putInt(stripLen).putInt(stripLen)           // StripByteCounts
+    strips.foreach(s => b.putInt(s.length))       // StripByteCounts
     b.putDouble(grid.pxLon).putDouble(-grid.pxLat).putDouble(0.0) // pixel scale
     // tiepoint: raster (0,0,0) pins to (west, north, 0)
     b.putDouble(0.0).putDouble(0.0).putDouble(0.0)
@@ -93,7 +137,7 @@ object GeoTiff {
     entry(256, TLong, 1)(_.putInt(w))             // ImageWidth
     entry(257, TLong, 1)(_.putInt(h))             // ImageLength
     entry(258, TShort, 2)(x => { x.putShort(32); x.putShort(32) }) // BitsPerSample
-    entry(259, TShort, 1)(_.putShort(1))          // Compression: none
+    entry(259, TShort, 1)(_.putShort(if (compress) 8 else 1)) // Compression: deflate | none
     entry(262, TShort, 1)(_.putShort(1))          // Photometric: BlackIsZero
     entry(273, TLong, 2)(_.putInt(stripOffsetsPos))
     entry(277, TShort, 1)(_.putShort(2))          // SamplesPerPixel
@@ -114,7 +158,7 @@ object GeoTiff {
       pixelScaleX: Double, pixelScaleY: Double,
       tieLon: Double, tieLat: Double,
       epsg: Int, nodata: String, metadataXml: String,
-      bands: Seq[Array[Float]])
+      bands: Seq[Array[Float]], compression: Int = 1)
 
   /** Parse back what [[encode]] writes (same subset of TIFF). */
   def decode(bytes: Array[Byte]): Decoded = {
@@ -147,10 +191,20 @@ object GeoTiff {
     val w = scalar(256)
     val h = scalar(257)
     val planes = scalar(277)
+    val compression = scalar(259)
+    require(compression == 1 || compression == 8,
+      s"unsupported TIFF compression $compression (codec writes 1 or 8)")
     val stripOffAt = offsetOf(273)
+    val stripCntAt = offsetOf(279)
     val bands = (0 until planes).map { p =>
       val off = b.getInt(stripOffAt + p * 4)
-      Array.tabulate(w * h)(i => b.getFloat(off + i * 4))
+      val cnt = b.getInt(stripCntAt + p * 4)
+      val raw =
+        if (compression == 8)
+          inflate(java.util.Arrays.copyOfRange(bytes, off, off + cnt), w * h * 4)
+        else java.util.Arrays.copyOfRange(bytes, off, off + cnt)
+      val fb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+      Array.tabulate(w * h)(i => fb.getFloat(i * 4))
     }
     val scale = doubles(33550, 3)
     val tie = doubles(33922, 6)
@@ -161,7 +215,7 @@ object GeoTiff {
         b.getShort(geoKeyOff + 8 + i * 8 + 6) & 0xffff
     }.getOrElse(0)
     Decoded(w, h, scale.head, scale(1), tie(3), tie(4), epsg,
-      ascii(42113), ascii(42112), bands)
+      ascii(42113), ascii(42112), bands, compression)
   }
 
   /** src_geotiff_read over real bytes (SURVEY.md §2.1): binaryFile scan

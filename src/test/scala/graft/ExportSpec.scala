@@ -117,6 +117,27 @@ class ExportSpec extends SparkSpecBase {
     }
   }
 
+  test("geotiff frames deflate-compress: measurably smaller, identical content") {
+    val g = ops.Resample.SrcGrid
+    // repetitive-but-nontrivial payload, like real raster frames
+    val vals = Array.tabulate(g.width * g.height)(i =>
+      if (i % 7 == 0) ops.GeoTiff.Nodata else (i % 100) / 100.0f)
+    val bands = Seq("NDVI" -> vals,
+      "EVI" -> vals.map(v => if (v == ops.GeoTiff.Nodata) v else -v))
+    val comp = ops.GeoTiff.encode(g, "2024-06-01", bands)
+    val raw = ops.GeoTiff.encode(g, "2024-06-01", bands, compress = false)
+    assert(comp.length < (raw.length * 8) / 10,
+      s"deflate frame ${comp.length}B not measurably smaller than raw ${raw.length}B")
+    val dc = ops.GeoTiff.decode(comp)
+    val dr = ops.GeoTiff.decode(raw)
+    assert(dc.compression == 8 && dr.compression == 1)
+    // identical pixels and identical georeferencing/metadata either way
+    dc.bands.zip(dr.bands).foreach { case (a, b) => assert(a.sameElements(b)) }
+    assert(dc.tieLon == dr.tieLon && dc.tieLat == dr.tieLat)
+    assert(dc.pixelScaleX == dr.pixelScaleX && dc.epsg == dr.epsg)
+    assert(dc.metadataXml == dr.metadataXml && dc.nodata == dr.nodata)
+  }
+
   test("downsampled geotiff export rescales the affine transform (arcgis.py:47-48)") {
     val out = tmp("gtiffds")
     // full-year cube, several scenes per date — the writer's

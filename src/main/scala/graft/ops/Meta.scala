@@ -169,27 +169,52 @@ object Meta {
     * midpoint). Documents parallelize per file at scale. */
   private def aoiDocs(s: SparkSession, paths: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types._
+    // Polygon coordinates are ring[] (3-deep); MultiPolygon coordinates
+    // are polygon[] = ring[][] (4-deep). One JSON schema cannot carry
+    // both depths, so the document parses twice and the geometry type
+    // dispatches which parse supplies the ring set — from_json is
+    // lenient, so the wrong-depth parse just yields NULL coordinates.
     val ring = ArrayType(ArrayType(ArrayType(DoubleType)))
+    val ring4 = ArrayType(ring)
     val geom = StructType(Seq(
       StructField("type", StringType), StructField("coordinates", ring)))
+    val geom4 = StructType(Seq(
+      StructField("type", StringType), StructField("coordinates", ring4)))
     val doc = StructType(Seq(
       StructField("type", StringType),
       StructField("coordinates", ring),
       StructField("geometry", geom),
       StructField("features", ArrayType(
         StructType(Seq(StructField("geometry", geom)))))))
+    val doc4 = StructType(Seq(
+      StructField("type", StringType),
+      StructField("coordinates", ring4),
+      StructField("geometry", geom4),
+      StructField("features", ArrayType(
+        StructType(Seq(StructField("geometry", geom4)))))))
     val g = coalesce(
       element_at(col("j.features"), 1).getField("geometry"),
       col("j.geometry"),
       struct(col("j.type").as("type"), col("j.coordinates").as("coordinates")))
+    val g4 = coalesce(
+      element_at(col("j4.features"), 1).getField("geometry"),
+      col("j4.geometry"),
+      struct(col("j4.type").as("type"), col("j4.coordinates").as("coordinates")))
     s.read.option("wholetext", value = true).text(paths: _*)
-      .select(from_json(col("value"), doc).as("j"))
+      .select(from_json(col("value"), doc).as("j"),
+        from_json(col("value"), doc4).as("j4"))
       .select(
         when(col("j.features").isNotNull, "feature_collection")
           .when(col("j.geometry").isNotNull, "feature")
           .otherwise("bare_geometry").as("src_kind"),
         g.getField("type").as("geom_type"),
-        g.getField("coordinates").as("coords"))
+        g.getField("coordinates").as("coords"),
+        g4.getField("coordinates").as("coords4"))
+      // the full even-odd ring set: outer + holes for Polygon, all
+      // members' rings for MultiPolygon
+      .withColumn("rings",
+        when(col("geom_type") === "MultiPolygon", flatten(col("coords4")))
+          .otherwise(col("coords")))
   }
 
   private[graft] def loadAoi(s: SparkSession, paths: String*): DataFrame =
@@ -202,6 +227,12 @@ object Meta {
   private[graft] def loadAoiRing(s: SparkSession, path: String): DataFrame =
     aoiDocs(s, Seq(path))
       .select(element_at(col("coords"), 1).as("ring"))
+
+  /** The AOI's FULL ring set as one row (`array<ring>`): outer + holes
+    * for a Polygon, every member's rings for a MultiPolygon — the shape
+    * [[graft.functions.InRings]] consumes. */
+  private[graft] def loadAoiRings(s: SparkSession, path: String): DataFrame =
+    aoiDocs(s, Seq(path)).select(col("rings"))
 
   /** Exact AOI mask over the georeferenced pixel grid: the c06 bbox
     * prefilter composed with the codegen'd ray-casting in-ring test —
@@ -379,7 +410,83 @@ object Meta {
          |ORDER BY tile_id""".stripMargin)
   }
 
+  /** Exact AOI mask honoring interior rings (holes) and MultiPolygon
+    * members — shapely's semantics for the geometries `shape(aoi)`
+    * accepts (pipeline.py:78-84), which the single-ring c07 mask cannot
+    * express: a cell inside an excluded lake/urban hole must NOT
+    * select. Same shape as [[aoiExactCells]]: bbox prefilter over the
+    * all-ring bounds (holes lie inside their outer ring, so the
+    * flattened bounds equal the outer bounds), then one codegen'd
+    * even-odd parity pass over the FULL broadcast ring set. */
+  def aoiExactCellsMulti(s: SparkSession, d: String, path: String): DataFrame = {
+    val g = Resample.SrcGrid
+    val rings = loadAoiRings(s, path)
+      .select(col("rings"),
+        expr("array_min(transform(flatten(rings), p -> p[0]))").as("bw"),
+        expr("array_min(transform(flatten(rings), p -> p[1]))").as("bs"),
+        expr("array_max(transform(flatten(rings), p -> p[0]))").as("be"),
+        expr("array_max(transform(flatten(rings), p -> p[1]))").as("bn"))
+    Pixels.pixels(s, d).select("tile_id", "y", "x").distinct()
+      .withColumn("lon", lit(g.west) + (col("x") + 0.5) * g.pxLon)
+      .withColumn("lat", lit(g.north) + (col("y") + 0.5) * g.pxLat)
+      .crossJoin(broadcast(rings))
+      .filter(col("lon") >= col("bw") && col("lon") <= col("be") &&
+        col("lat") >= col("bs") && col("lat") <= col("bn"))
+      .filter(expr("graft_in_rings(lon, lat, rings)"))
+      .select("tile_id", "y", "x", "lon", "lat")
+  }
+
+  /** Declared form over the holed-MultiPolygon fixture: per-tile count
+    * and bounds of in-mask cells. Oracle = the same even-odd crossing
+    * parity summed over ALL rings of ALL members (identical IEEE-double
+    * predicate), so hole exclusion is bit-checked. */
+  val aoiHoledQ: Q = (s, d) => {
+    aoiExactCellsMulti(s, d, s"$AoiDir/aoi_holed.geojson")
+      .groupBy("tile_id")
+      .agg(count(lit(1)).as("n_exact"),
+        min("y").as("y_min"), max("y").as("y_max"),
+        min("x").as("x_min"), max("x").as("x_max"))
+      .orderBy("tile_id")
+  }
+
+  val aoiHoledSql: String = {
+    val g = Resample.SrcGrid
+    Pixels.withPixels(
+      s"""WITH polys AS (
+         |  SELECT unnest(geometry.coordinates) AS poly
+         |  FROM read_json('$AoiDir/aoi_holed.geojson')
+         |), rings AS (
+         |  SELECT unnest(poly) AS ring FROM polys
+         |), edges AS (
+         |  SELECT ring[i.i][1] AS xi, ring[i.i][2] AS yi,
+         |         ring[i.i + 1][1] AS xj, ring[i.i + 1][2] AS yj
+         |  FROM rings,
+         |  LATERAL (SELECT unnest(generate_series(1, len(ring) - 1)) AS i) i
+         |), cells AS (
+         |  SELECT DISTINCT tile_id, y, x FROM pixels
+         |), geo AS (
+         |  SELECT tile_id, y, x,
+         |    ${g.west} + ((x + 0.5) * ${g.pxLon}) AS lon,
+         |    ${g.north} + ((y + 0.5) * ${g.pxLat}) AS lat
+         |  FROM cells
+         |), inside AS (
+         |  SELECT tile_id, y, x
+         |  FROM geo CROSS JOIN edges
+         |  GROUP BY tile_id, y, x, lon, lat
+         |  HAVING sum(CASE WHEN (yi > lat) <> (yj > lat)
+         |      AND lon < (xj - xi) * (lat - yi) / (yj - yi) + xi
+         |    THEN 1 ELSE 0 END) % 2 = 1
+         |)
+         |SELECT tile_id, count(*) AS n_exact,
+         |  min(y) AS y_min, max(y) AS y_max,
+         |  min(x) AS x_min, max(x) AS x_max
+         |FROM inside
+         |GROUP BY tile_id
+         |ORDER BY tile_id""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "c08_aoi_holed" -> aoiHoledQ,
     "c01_band_links" -> bandLinksQ,
     "c02_extract_metadata" -> extractMetadataQ,
     "c03_band_completeness" -> bandCompletenessQ,
@@ -389,6 +496,7 @@ object Meta {
     "c07_aoi_exact" -> aoiExactQ)
 
   val oracle: Map[String, String] = Map(
+    "c08_aoi_holed" -> aoiHoledSql,
     "c01_band_links" -> bandLinksSql,
     "c02_extract_metadata" -> extractMetadataSql,
     "c03_band_completeness" -> bandCompletenessSql,

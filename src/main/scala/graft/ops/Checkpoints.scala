@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Lifecycle helpers for iterative-loop checkpoints.
+  *
+  * `Dataset.localCheckpoint()` truncates lineage by pinning the
+  * materialized rows in the BlockManager — but `Dataset.unpersist` does
+  * NOT release that pin (it only touches the `cache()` manager), so an
+  * iterative loop that checkpoints per round leaks one corpus-sized
+  * block per iteration and degrades every query that runs after it in
+  * the same session. These helpers expose the pinned RDD behind an
+  * eager local checkpoint so loops can release superseded rounds, and a
+  * parquet materializer for results that must OUTLIVE the loop (a pinned
+  * block released before its consumer's action would make tasks fail;
+  * a written table has no such lifetime coupling — at 100 TB it is also
+  * simply where an index/label table belongs).
+  */
+object Checkpoints {
+
+  /** Eagerly checkpoint `df`, returning the truncated-lineage frame AND
+    * the BlockManager-pinned RDD backing it, for later [[release]]. */
+  def pin(df: DataFrame): (DataFrame, RDD[_]) = {
+    val out = df.localCheckpoint()
+    (out, rddOf(out))
+  }
+
+  /** The pinned RDD behind an eagerly checkpointed DataFrame. */
+  def rddOf(checkpointed: DataFrame): RDD[_] =
+    checkpointed.queryExecution.analyzed.collectFirst {
+      case l: LogicalRDD => l.rdd
+    }.getOrElse(throw new IllegalArgumentException(
+      "not an eagerly checkpointed DataFrame: " +
+        checkpointed.queryExecution.analyzed.nodeName))
+
+  /** Drop a pinned checkpoint block (async — callers never need the
+    * blocking form; the block is dead weight, not a correctness pin). */
+  def release(rdd: RDD[_]): Unit = { rdd.unpersist(blocking = false); () }
+
+  /** Replace lineage with a parquet round-trip: the frame's rows land in
+    * a temp table and the returned frame scans it. Unlike a checkpoint
+    * pin this survives arbitrarily long (no BlockManager residency), so
+    * it is the right terminal step for an iterative loop whose result
+    * feeds later queries. Longs/doubles/float-arrays round-trip exactly
+    * through parquet, so hashes are unaffected. */
+  def materialize(df: DataFrame, prefix: String = "graft-mat"): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    df.write.mode("overwrite").parquet(dir)
+    df.sparkSession.read.parquet(dir)
+  }
+}

@@ -4,8 +4,8 @@ import java.nio.{ByteBuffer, ByteOrder}
 
 /** Minimal GeoTIFF codec for the export sink (SURVEY.md §2.2
   * sink_geotiff_export; reference arcgis.py:60-92): little-endian TIFF
-  * carrying two float32 band planes (planar, one strip per band,
-  * Deflate-compressed by default), the GeoTIFF georeferencing tags
+  * carrying two float32 band planes (planar, [[RowsPerStrip]]-row
+  * strips, Deflate-compressed by default), the GeoTIFF georeferencing tags
   * (pixel scale + tiepoint + EPSG geokey directory) and the GDAL
   * metadata/nodata ASCII tags that rasterio's writer emits — band
   * descriptions NDVI/EVI and per-band `date`/`variable` items
@@ -13,10 +13,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   *
   * Compression: the reference exports LZW (arcgis.py:67-78,
   * `compress='lzw'`); uncompressed float32 frames are ~5-8× larger than
-  * a user expects. The dependency-free equivalent is Adobe Deflate
-  * (TIFF compression tag 8, zlib streams per strip via
-  * `java.util.zip.Deflater`) — readable by GDAL/rasterio/QGIS exactly
-  * like LZW. [[decode]] handles both tag 1 (none) and tag 8.
+  * a user expects. The default is Adobe Deflate (TIFF compression
+  * tag 8, zlib streams per strip via `java.util.zip.Deflater`) —
+  * readable by GDAL/rasterio/QGIS exactly like LZW — with a TIFF6 LZW
+  * write path (tag 5) behind `encode(lzw = true)` for byte-level
+  * reference parity. [[decode]] handles tags 1, 5 and 8.
   *
   * Pure byte-level functions: [[encode]] runs inside the
   * `foreachPartition` writer on executors; [[decode]] backs the
@@ -27,10 +28,22 @@ object GeoTiff {
 
   val Nodata: Float = -9999.0f
 
+  /** Strip height: frames deflate/inflate in bounded chunks instead of
+    * one giant per-band buffer, so a 100×-grid frame streams through
+    * fixed memory on both the write and the read path (and a reader can
+    * fetch a row range without inflating the whole band). 64 rows ×
+    * width × 4 bytes keeps strips in the 100 KB–1 MB band GDAL also
+    * targets. */
+  val RowsPerStrip = 64
+
   private val TShort = 3
   private val TLong = 4
   private val TAscii = 2
   private val TDouble = 12
+
+  private val CompNone = 1
+  private val CompLzw = 5
+  private val CompDeflate = 8
 
   /** zlib-compress one strip (TIFF compression 8 payload). */
   private def deflate(raw: Array[Byte]): Array[Byte] = {
@@ -56,13 +69,174 @@ object GeoTiff {
     out
   }
 
+  // ------------------------------------------------------------- TIFF LZW
+  // The reference's literal codec (arcgis.py:76, compress='lzw'): MSB-
+  // first bit packing, 9→12-bit codes, ClearCode 256 / EOI 257, and the
+  // spec's "early change" (the code width bumps one entry early — TIFF6
+  // §13). Deflate remains the default write path; LZW sits behind a flag
+  // for byte-level reference parity.
+
+  /** TIFF-flavor LZW compression of one strip. */
+  private[graft] def lzwEncode(raw: Array[Byte]): Array[Byte] = {
+    val Clear = 256
+    val Eoi = 257
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code
+      bitCnt += width
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >>> (bitCnt - 8)) & 0xff).toInt)
+        bitCnt -= 8
+      }
+    }
+    // table: (prefix code, next byte) -> code
+    var table = new java.util.HashMap[Int, Int]()
+    var nextCode = 258
+    def key(prefix: Int, k: Int): Int = (prefix << 8) | k
+    put(Clear)
+    var prefix = -1
+    var i = 0
+    while (i < raw.length) {
+      val k = raw(i) & 0xff
+      if (prefix < 0) prefix = k
+      else {
+        val ext = table.getOrDefault(key(prefix, k), -1)
+        if (ext >= 0) prefix = ext
+        else {
+          put(prefix)
+          if (nextCode >= 4093) {
+            // table full: flush + reset (mirrored by the decoder)
+            put(Clear)
+            table = new java.util.HashMap[Int, Int]()
+            nextCode = 258
+            width = 9
+          } else {
+            table.put(key(prefix, k), nextCode)
+            nextCode += 1
+            // early change: the width grows one entry before the code
+            // space is exhausted (TIFF6 LZW convention)
+            if (nextCode == (1 << width) - 1 && width < 12) width += 1
+          }
+          prefix = k
+        }
+      }
+      i += 1
+    }
+    if (prefix >= 0) {
+      put(prefix)
+      // phantom table entry for the flushed code: the decoder adds one
+      // while processing it, and the width rules stay in lockstep only
+      // if the encoder counts it too (libtiff does the same)
+      nextCode += 1
+      if (nextCode == (1 << width) - 1 && width < 12) width += 1
+    }
+    put(Eoi)
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Inverse of [[lzwEncode]] (and of any spec-conforming TIFF LZW
+    * writer without the horizontal-differencing predictor). */
+  private[graft] def lzwDecode(data: Array[Byte], expected: Int): Array[Byte] = {
+    val Clear = 256
+    val Eoi = 257
+    val out = new Array[Byte](expected)
+    var at = 0
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = 0
+    var width = 9
+    def read(): Int = {
+      while (bitCnt < width) {
+        require(pos < data.length, "LZW stream truncated (no EOI)")
+        bitBuf = (bitBuf << 8) | (data(pos) & 0xff)
+        bitCnt += 8
+        pos += 1
+      }
+      val code = ((bitBuf >>> (bitCnt - width)) & ((1 << width) - 1)).toInt
+      bitCnt -= width
+      code
+    }
+    // table entries 258+ as (prefix code, appended byte); literals implicit
+    val prefixOf = new Array[Int](4096)
+    val byteOf = new Array[Byte](4096)
+    var nextCode = 258
+    def emit(code: Int): Byte = {
+      // write string for `code` ending at buffer position; returns first byte
+      var c = code
+      var len = 0
+      while (c >= 258) { len += 1; c = prefixOf(c) }
+      len += 1
+      require(at + len <= expected, s"LZW overflow: $at + $len > $expected")
+      var w = at + len - 1
+      c = code
+      while (c >= 258) { out(w) = byteOf(c); w -= 1; c = prefixOf(c) }
+      out(w) = c.toByte
+      at += len
+      out(w)
+    }
+    var old = -1
+    var done = false
+    while (!done && at < expected) {
+      val code = read()
+      if (code == Eoi) done = true
+      else if (code == Clear) {
+        nextCode = 258
+        width = 9
+        old = -1
+      } else {
+        if (old < 0) {
+          // first code after a clear: must be a literal
+          require(code < 256, s"LZW: non-literal first code $code")
+          emit(code)
+          old = code
+        } else {
+          val first =
+            if (code < nextCode) emit(code)
+            else {
+              // KwKwK case: string(old) + firstChar(string(old))
+              require(code == nextCode, s"LZW: code $code ahead of table")
+              var c = old
+              while (c >= 258) c = prefixOf(c)
+              val f = c.toByte
+              val start = at
+              emit(old)
+              require(at < expected, "LZW overflow in KwKwK")
+              out(at) = f
+              at += 1
+              out(start)
+            }
+          if (nextCode < 4094) {
+            prefixOf(nextCode) = old
+            byteOf(nextCode) = first
+            nextCode += 1
+            // the decoder's table lags the encoder's by one entry, so
+            // its early-change trigger sits one code lower
+            if (nextCode == (1 << width) - 2 && width < 12) width += 1
+          }
+          old = code
+        }
+      }
+    }
+    require(at == expected, s"LZW produced $at bytes, expected $expected")
+    out
+  }
+
   /** Encode one date frame: exactly two band planes (NDVI, EVI — the
     * reference's fixed band set), row-major `height * width` float32
     * with [[Nodata]] fill, georeferenced by the north-up [[GridSpec]]
-    * affine. */
+    * affine. Each band plane is chunked into [[RowsPerStrip]]-row strips
+    * compressed independently; `lzw` selects TIFF compression 5 for
+    * byte-level parity with the reference's `compress='lzw'`
+    * (arcgis.py:76), Deflate (tag 8) being the default. */
   def encode(grid: GridSpec, date: String,
       bands: Seq[(String, Array[Float])],
-      compress: Boolean = true): Array[Byte] = {
+      compress: Boolean = true,
+      rowsPerStrip: Int = RowsPerStrip,
+      lzw: Boolean = false): Array[Byte] = {
     require(bands.length == 2, s"2-band frames only, got ${bands.length}")
     val w = grid.width
     val h = grid.height
@@ -81,12 +255,26 @@ object GeoTiff {
     val metaPadded = metaBytes.length + (metaBytes.length & 1)
     val nodataBytes = "-9999\u0000".getBytes("US-ASCII")
 
-    // one strip per band plane; Deflate shrinks each independently
-    val strips: Seq[Array[Byte]] = bands.map { case (_, data) =>
-      val raw = ByteBuffer.allocate(data.length * 4).order(ByteOrder.LITTLE_ENDIAN)
-      data.foreach(raw.putFloat)
-      if (compress) deflate(raw.array()) else raw.array()
+    // bounded strips per band plane, compressed independently
+    val rps = math.max(1, math.min(rowsPerStrip, h))
+    val stripsPerBand = (h + rps - 1) / rps
+    val codec = if (!compress) CompNone else if (lzw) CompLzw else CompDeflate
+    val strips: Seq[Array[Byte]] = bands.flatMap { case (_, data) =>
+      (0 until stripsPerBand).map { si =>
+        val r0 = si * rps
+        val r1 = math.min(h, r0 + rps)
+        val raw = ByteBuffer.allocate((r1 - r0) * w * 4)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        var i = r0 * w
+        while (i < r1 * w) { raw.putFloat(data(i)); i += 1 }
+        codec match {
+          case CompDeflate => deflate(raw.array())
+          case CompLzw => lzwEncode(raw.array())
+          case _ => raw.array()
+        }
+      }
     }
+    val nStrips = strips.length
     // word-aligned strip placement (TIFF offsets should be even)
     var cursor = 8
     val stripOff = strips.map { s =>
@@ -94,8 +282,8 @@ object GeoTiff {
     }
     val auxStart = cursor
     val stripOffsetsPos = auxStart
-    val stripCountsPos = auxStart + 8
-    val pxScalePos = auxStart + 16
+    val stripCountsPos = auxStart + nStrips * 4
+    val pxScalePos = stripCountsPos + nStrips * 4
     val tiePos = pxScalePos + 24
     val geoKeyPos = tiePos + 48
     val metaPos = geoKeyPos + 32
@@ -137,12 +325,12 @@ object GeoTiff {
     entry(256, TLong, 1)(_.putInt(w))             // ImageWidth
     entry(257, TLong, 1)(_.putInt(h))             // ImageLength
     entry(258, TShort, 2)(x => { x.putShort(32); x.putShort(32) }) // BitsPerSample
-    entry(259, TShort, 1)(_.putShort(if (compress) 8 else 1)) // Compression: deflate | none
+    entry(259, TShort, 1)(_.putShort(codec.toShort)) // Compression: none|lzw|deflate
     entry(262, TShort, 1)(_.putShort(1))          // Photometric: BlackIsZero
-    entry(273, TLong, 2)(_.putInt(stripOffsetsPos))
+    entry(273, TLong, nStrips)(_.putInt(stripOffsetsPos))
     entry(277, TShort, 1)(_.putShort(2))          // SamplesPerPixel
-    entry(278, TLong, 1)(_.putInt(h))             // RowsPerStrip
-    entry(279, TLong, 2)(_.putInt(stripCountsPos))
+    entry(278, TLong, 1)(_.putInt(rps))           // RowsPerStrip
+    entry(279, TLong, nStrips)(_.putInt(stripCountsPos))
     entry(284, TShort, 1)(_.putShort(2))          // PlanarConfiguration: planar
     entry(339, TShort, 2)(x => { x.putShort(3); x.putShort(3) }) // SampleFormat: float
     entry(33550, TDouble, 3)(_.putInt(pxScalePos))  // ModelPixelScale
@@ -192,18 +380,34 @@ object GeoTiff {
     val h = scalar(257)
     val planes = scalar(277)
     val compression = scalar(259)
-    require(compression == 1 || compression == 8,
-      s"unsupported TIFF compression $compression (codec writes 1 or 8)")
+    require(compression == CompNone || compression == CompLzw
+      || compression == CompDeflate,
+      s"unsupported TIFF compression $compression (codec reads 1, 5 or 8)")
+    // RowsPerStrip: absent or >= height means one strip per band (the
+    // pre-chunking layout this codec used to write)
+    val rps = entries.get(278).map(_ => scalar(278)).filter(_ > 0)
+      .map(math.min(_, h)).getOrElse(h)
+    val stripsPerBand = (h + rps - 1) / rps
     val stripOffAt = offsetOf(273)
     val stripCntAt = offsetOf(279)
     val bands = (0 until planes).map { p =>
-      val off = b.getInt(stripOffAt + p * 4)
-      val cnt = b.getInt(stripCntAt + p * 4)
-      val raw =
-        if (compression == 8)
-          inflate(java.util.Arrays.copyOfRange(bytes, off, off + cnt), w * h * 4)
-        else java.util.Arrays.copyOfRange(bytes, off, off + cnt)
-      val fb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+      val plane = new Array[Byte](w * h * 4)
+      var at = 0
+      for (si <- 0 until stripsPerBand) {
+        val idx = p * stripsPerBand + si
+        val off = b.getInt(stripOffAt + idx * 4)
+        val cnt = b.getInt(stripCntAt + idx * 4)
+        val rows = math.min(rps, h - si * rps)
+        val packed = java.util.Arrays.copyOfRange(bytes, off, off + cnt)
+        val raw = compression match {
+          case CompDeflate => inflate(packed, w * rows * 4)
+          case CompLzw => lzwDecode(packed, w * rows * 4)
+          case _ => packed
+        }
+        System.arraycopy(raw, 0, plane, at, raw.length)
+        at += raw.length
+      }
+      val fb = ByteBuffer.wrap(plane).order(ByteOrder.LITTLE_ENDIAN)
       Array.tabulate(w * h)(i => fb.getFloat(i * 4))
     }
     val scale = doubles(33550, 3)

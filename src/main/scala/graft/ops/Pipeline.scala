@@ -65,7 +65,8 @@ object Pipeline {
     val daySeries = cube.groupBy(col("date").as("day"))
       .agg(avg("ndvi").as("vmean"))
     val events = Events.detectDrops(daySeries,
-      dropThreshold = -0.05, recoveryThreshold = 0.03)
+      dropThreshold = PipeDropThreshold,
+      recoveryThreshold = PipeRecoveryThreshold)
 
     Result(cube, scenes, events)
   }
@@ -101,39 +102,44 @@ object Pipeline {
       .orderBy("day")
   }
 
-  /** Composed CTE oracle: the q01 QC body, the gate thresholds, the
-    * scene-level valid-share filter, and the m02 merge, chained exactly
-    * as [[run]] wires them. */
-  val pipelineSummarySql: String = {
+  /** Shared CTE prefix of the composed oracles: the q01 QC body, the
+    * gate thresholds, the scene-level valid-share filter, and the m02
+    * merge, chained exactly as [[run]] wires them — ends at the `cube`
+    * relation both p05 and p06 consume. */
+  private val cubeCtes: String = {
     val f = Pixels.Sql0
+    s"""WITH qc AS (
+       |${Quality.qcSqlBody}
+       |), gated AS (
+       |  SELECT p.* FROM pixels p
+       |  WHERE EXISTS (SELECT 1 FROM qc
+       |    WHERE qc.tile_id = p.tile_id AND qc.time = p.time
+       |      AND qc.contamination_pct <= ${Quality.MaxContaminationPct}
+       |      AND qc.valid_pct >= ${Quality.MinValidPct})
+       |), scenes AS (
+       |  SELECT time,
+       |    count(${f.ndviClipped}) AS n_valid,
+       |    count(*) AS n_total
+       |  FROM gated GROUP BY time
+       |), keep AS (
+       |  SELECT time FROM scenes
+       |  WHERE (SELECT count(*) FROM scenes) < 3
+       |     OR 100.0 * n_valid / n_total >= 40.0
+       |), filtered AS (
+       |  SELECT g.* FROM gated g
+       |  WHERE EXISTS (SELECT 1 FROM keep k WHERE k.time = g.time)
+       |), cube AS (
+       |  SELECT date, y, x,
+       |    avg(${f.ndviClipped}) AS ndvi,
+       |    avg(${f.eviClipped}) AS evi,
+       |    count(DISTINCT (tile_id, time)) AS num_granules_merged
+       |  FROM filtered GROUP BY date, y, x
+       |)""".stripMargin
+  }
+
+  val pipelineSummarySql: String =
     Pixels.withPixels(
-      s"""WITH qc AS (
-         |${Quality.qcSqlBody}
-         |), gated AS (
-         |  SELECT p.* FROM pixels p
-         |  WHERE EXISTS (SELECT 1 FROM qc
-         |    WHERE qc.tile_id = p.tile_id AND qc.time = p.time
-         |      AND qc.contamination_pct <= ${Quality.MaxContaminationPct}
-         |      AND qc.valid_pct >= ${Quality.MinValidPct})
-         |), scenes AS (
-         |  SELECT time,
-         |    count(${f.ndviClipped}) AS n_valid,
-         |    count(*) AS n_total
-         |  FROM gated GROUP BY time
-         |), keep AS (
-         |  SELECT time FROM scenes
-         |  WHERE (SELECT count(*) FROM scenes) < 3
-         |     OR 100.0 * n_valid / n_total >= 40.0
-         |), filtered AS (
-         |  SELECT g.* FROM gated g
-         |  WHERE EXISTS (SELECT 1 FROM keep k WHERE k.time = g.time)
-         |), cube AS (
-         |  SELECT date, y, x,
-         |    avg(${f.ndviClipped}) AS ndvi,
-         |    avg(${f.eviClipped}) AS evi,
-         |    count(DISTINCT (tile_id, time)) AS num_granules_merged
-         |  FROM filtered GROUP BY date, y, x
-         |)
+      s"""$cubeCtes
          |SELECT strftime(date, '%Y-%m-%d') AS day,
          |  count(*) AS n_cells,
          |  CAST(sum(num_granules_merged) AS BIGINT) AS n_granules,
@@ -141,11 +147,50 @@ object Pipeline {
          |  0.0 + round(avg(evi), 6) AS evi_mean
          |FROM cube GROUP BY date
          |ORDER BY day""".stripMargin)
-  }
+
+  /** Event-detection thresholds [[run]] feeds to Events.detectDrops —
+    * the reference pair (settings.py:24-26) on the synthetic NDVI
+    * scale. */
+  private val PipeDropThreshold = -0.05
+  private val PipeRecoveryThreshold = 0.03
+
+  /** The DETECTION stage of the §3.1 DAG under the hash gate: the
+    * abrupt-drop events [[run]] raises from the merged cube's daily
+    * means. With p05 gating scan → mask → gate → filter → merge, this
+    * entry chains the event classifier on top, so the lifecycle is
+    * oracle-checked end to end — a threshold, window, or wiring
+    * regression in detection now fails correctness, not just
+    * PipelineSpec. */
+  val pipelineEventsQ: (SparkSession, String) => DataFrame = (s, d) =>
+    run(s, d).events
+
+  val pipelineEventsSql: String =
+    Pixels.withPixels(
+      s"""$cubeCtes, ds AS (
+         |  SELECT date AS day, avg(ndvi) AS vmean FROM cube GROUP BY date
+         |), ws AS (
+         |  SELECT day, vmean,
+         |    lag(vmean) OVER (ORDER BY day) AS prev_mean,
+         |    lead(vmean) OVER (ORDER BY day) AS next_mean
+         |  FROM ds
+         |)
+         |SELECT strftime(day, '%Y-%m-%d') AS date,
+         |  0.0 + round(prev_mean, 6) AS value_before,
+         |  0.0 + round(vmean, 6) AS value_during,
+         |  0.0 + round(next_mean, 6) AS value_after,
+         |  0.0 + round(vmean - prev_mean, 6) AS drop,
+         |  CASE WHEN next_mean IS NULL THEN 'recent_event'
+         |       WHEN next_mean - vmean > $PipeRecoveryThreshold THEN 'transient_anomaly'
+         |       ELSE 'possible_fire_or_harvest' END AS type
+         |FROM ws
+         |WHERE vmean - prev_mean < $PipeDropThreshold
+         |ORDER BY date""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p05_pipeline_summary" -> pipelineSummaryQ)
+    "p05_pipeline_summary" -> pipelineSummaryQ,
+    "p06_pipeline_events" -> pipelineEventsQ)
 
   val oracle: Map[String, String] = Map(
-    "p05_pipeline_summary" -> pipelineSummarySql)
+    "p05_pipeline_summary" -> pipelineSummarySql,
+    "p06_pipeline_events" -> pipelineEventsSql)
 }

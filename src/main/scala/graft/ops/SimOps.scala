@@ -256,6 +256,15 @@ object SimOps {
     * oracle reproducibility. */
   val KmeansIters = 2
 
+  /** Default quantizer size (cells) and the seed rule: the k seed
+    * centroids are corpus vectors `KmeansSeedLo .. KmeansSeedLo+k-1`
+    * (cell id = seed vec_id). Both are arguments of [[trainCentroids]] /
+    * [[kmeansCtes]]; the declared v05/v07/v08 queries pin the defaults
+    * so their oracles stay stable, and SimSpec trains at a second k to
+    * prove the quantizer is parameterized, not hard-wired. */
+  val KmeansK = 8
+  val KmeansSeedLo = 100
+
   /** Flattened (vec_id, i, v) relation — the Spark mirror of [[flatSql]]
     * (i 1-based long, v the exact float→double element value). */
   private[graft] def flat(emb: DataFrame): DataFrame =
@@ -284,14 +293,20 @@ object SimOps {
     * Scale posture: centroids are model-sized (k×dim, corpus-
     * independent), so they broadcast; the corpus-sized relations only
     * shuffle on their own keys (vec_id / (cell, i) aggregates, map-side
-    * combined). `localCheckpoint` pins each round like the t11 loop, so
-    * iteration r+1 does not re-evaluate rounds 0..r. */
+    * combined). Each round is pinned with an eager checkpoint (like the
+    * t11 loop) so iteration r+1 does not re-evaluate rounds 0..r, and
+    * the SUPERSEDED round's block is released immediately — the loop
+    * holds exactly one k-sized snapshot at a time instead of leaking one
+    * block per iteration into the BlockManager. The returned frame is
+    * still pinned; the caller releases it once collected
+    * (Checkpoints.rddOf). */
   private[graft] def trainCentroids(f: DataFrame, n: DataFrame,
-      iters: Int = KmeansIters): DataFrame = {
+      iters: Int = KmeansIters, k: Int = KmeansK,
+      seedLo: Int = KmeansSeedLo): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    var cent = f.filter(col("vec_id").between(100, 107))
-      .select(col("vec_id").as("cell"), col("i"), col("v").as("c"))
-      .localCheckpoint()
+    var (cent, pin) = Checkpoints.pin(
+      f.filter(col("vec_id").between(seedLo, seedLo + k - 1))
+        .select(col("vec_id").as("cell"), col("i"), col("v").as("c")))
     for (_ <- 1 to iters) {
       val cn = cent.groupBy("cell").agg(sqrt(xsumHi(col("c") * col("c"))).as("cnrm"))
       val dots = f.join(broadcast(cent), Seq("i"))
@@ -306,10 +321,13 @@ object SimOps {
       val upd = f.join(assign, "vec_id")
         .groupBy("cell", "i")
         .agg((xsumHi(col("v")) / count(lit(1))).as("cnew"))
-      cent = cent.join(upd, Seq("cell", "i"), "left")
-        .select(col("cell"), col("i"),
-          r6(coalesce(col("cnew"), col("c"))).as("c"))
-        .localCheckpoint()
+      val (next, nextPin) = Checkpoints.pin(
+        cent.join(upd, Seq("cell", "i"), "left")
+          .select(col("cell"), col("i"),
+            r6(coalesce(col("cnew"), col("c"))).as("c")))
+      Checkpoints.release(pin)
+      cent = next
+      pin = nextPin
     }
     cent
   }
@@ -326,19 +344,97 @@ object SimOps {
   private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long, Double)]]()
 
-  private[graft] def trainedModel(s: SparkSession, d: String): DataFrame = {
-    val rows = modelCache.computeIfAbsent(d, _ => {
+  /** Train on an already-pinned (f, n) pair and collect the model rows,
+    * releasing the final centroid snapshot — the shared core of
+    * [[trainedModel]] and [[ivfIndex]]'s one-pass build. */
+  private def trainAndCollect(s: SparkSession, f: DataFrame, n: DataFrame,
+      k: Int, seedLo: Int): Array[(Long, Long, Double)] = {
+    val cent = trainCentroids(f, n, KmeansIters, k, seedLo)
+    try {
+      import s.implicits._
+      cent.select("cell", "i", "c").as[(Long, Long, Double)].collect()
+    } finally Checkpoints.release(Checkpoints.rddOf(cent))
+  }
+
+  private[graft] def trainedModel(s: SparkSession, d: String,
+      k: Int = KmeansK, seedLo: Int = KmeansSeedLo): DataFrame = {
+    val rows = modelCache.computeIfAbsent(s"$d|$k|$seedLo", _ => {
       // checkpoint the flattened corpus + norms once: every Lloyd round
       // (and nothing else) re-reads them, so they should not re-derive
-      // from parquet per round
-      val f = flat(Tables.embeddings(s, d)).localCheckpoint()
-      val n = norms(f).localCheckpoint()
-      import s.implicits._
-      trainCentroids(f, n).select("cell", "i", "c")
-        .as[(Long, Long, Double)].collect()
+      // from parquet per round; both pins — and the final centroid
+      // snapshot — are released once the 512 model rows are collected,
+      // so training leaves NOTHING in the BlockManager
+      val (f, fPin) = Checkpoints.pin(flat(Tables.embeddings(s, d)))
+      try {
+        val (n, nPin) = Checkpoints.pin(norms(f))
+        try trainAndCollect(s, f, n, k, seedLo)
+        finally Checkpoints.release(nPin)
+      } finally Checkpoints.release(fPin)
     })
     import s.implicits._
     rows.toSeq.toDF("cell", "i", "c")
+  }
+
+  /** Build-time inverted file: every corpus vector's trained cell,
+    * MATERIALIZED once per dataset as a parquet index table laid out by
+    * cell (`partitionBy("cell")`), carrying the packed embedding so the
+    * serve path never rejoins the corpus. This is the half of an IVF
+    * index that [[trainedModel]]'s centroids don't cover — the
+    * inverted file IS the index, and it belongs to the build step: a
+    * query must not re-derive the corpus→cell assignment (a full-corpus
+    * posexplode + dot-product pass) to probe a handful of cells.
+    *
+    * At 100 TB this is exactly a production vector index layout: one
+    * build job writes the cell-partitioned table, queries read only the
+    * probed cells (partition pruning on the cell key), and the centroid
+    * model broadcasts. Parquet round-trips longs and float arrays
+    * exactly, so serving from the index is bit-identical to serving
+    * from the live assignment. */
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def ivfIndex(s: SparkSession, d: String): DataFrame = {
+    val path = indexCache.computeIfAbsent(d, _ => {
+      // one flat/norms pass feeds BOTH training (if the model is not
+      // yet cached) and the corpus→cell assignment
+      val (f, fPin) = Checkpoints.pin(flat(Tables.embeddings(s, d)))
+      try {
+        val (n, nPin) = Checkpoints.pin(norms(f))
+        try {
+          val rows = modelCache.computeIfAbsent(s"$d|$KmeansK|$KmeansSeedLo",
+            _ => trainAndCollect(s, f, n, KmeansK, KmeansSeedLo))
+          import s.implicits._
+          val cent = rows.toSeq.toDF("cell", "i", "c")
+          val assign = cellRanks(f, n, cent)
+            .filter(col("arn") === 1).select("vec_id", "cell")
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft-ivf-index").toString
+          Tables.embeddings(s, d).join(assign, "vec_id")
+            .select("cell", "vec_id", "embedding")
+            .write.mode("overwrite").partitionBy("cell").parquet(dir)
+          dir
+        } finally Checkpoints.release(nPin)
+      } finally Checkpoints.release(fPin)
+    })
+    // partition-column type inference narrows cell to int; restore long
+    s.read.parquet(path).withColumn("cell", col("cell").cast("long"))
+  }
+
+  /** Explicit build step (CREATE INDEX analog): trains the quantizer
+    * and materializes the inverted file for `d` if not already built.
+    * Queries trigger the build lazily on first use; a production
+    * deployment — and [[graft.Bench]]'s warm-up — runs it up front so
+    * query timings measure serving, not index construction. */
+  def buildIvf(s: SparkSession, d: String): Unit = {
+    ivfIndex(s, d)
+    ()
+  }
+
+  /** Test hook: drop the per-dataset model/index caches so a spec can
+    * exercise the build path deterministically. */
+  private[graft] def clearIvfCaches(): Unit = {
+    modelCache.clear()
+    indexCache.clear()
   }
 
   /** Relational max-cosine cell ranking against a trained centroid
@@ -362,11 +458,12 @@ object SimOps {
     * c`iters`, one (cn, d, a, u, c+1) block per Lloyd iteration, all
     * arithmetic spelled exactly as the Spark side computes it. Assumes
     * CTEs `f` and `n` are already defined. */
-  private def kmeansCtes(iters: Int): String = {
+  private def kmeansCtes(iters: Int, k: Int = KmeansK,
+      seedLo: Int = KmeansSeedLo): String = {
     val sb = new StringBuilder(
-      """c0 AS (
-        |  SELECT vec_id AS cell, i, v AS c FROM f WHERE vec_id BETWEEN 100 AND 107
-        |)""".stripMargin)
+      s"""c0 AS (
+         |  SELECT vec_id AS cell, i, v AS c FROM f WHERE vec_id BETWEEN $seedLo AND ${seedLo + k - 1}
+         |)""".stripMargin)
     for (t <- 0 until iters) {
       sb.append(s""", cn$t AS (
          |  SELECT cell, sqrt(${xsumHiSql("c * c")}) AS cnrm FROM c$t GROUP BY cell
@@ -403,21 +500,31 @@ object SimOps {
     * assignment uses the exact relational cosine (bit-identical to the
     * oracle); candidates get the native-rank margin + DECIMAL-exact
     * re-rank. A corpus vector lives in exactly one cell, so the probe
-    * join cannot duplicate a (qid, cid) pair. */
+    * join cannot duplicate a (qid, cid) pair.
+    *
+    * Build/serve split: [[trainedModel]] (centroids) and [[ivfIndex]]
+    * (the cell-partitioned inverted file) run ONCE per dataset; a query
+    * only ranks probe cells for its own ≤20 vectors and joins the
+    * probed cells of the index — no corpus-wide pass per query. */
   private def simIvfN(nprobe: Int): Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, d)
-    val f = flat(emb)
-    val n = norms(f)
+    val inv = ivfIndex(s, d) // builds model + index together on a cold cache
     val cent = trainedModel(s, d)
-    val ranks = cellRanks(f, n, cent)
-    val assigned = emb.select(col("vec_id"), col("embedding"))
-      .join(ranks.filter(col("arn") === 1).select("vec_id", "cell"), "vec_id")
-    val qprobe = ranks.filter(col("vec_id") < 20 && col("arn") <= nprobe)
+    // Probe-cell ranking runs over the QUERY vectors only: the vec_id<20
+    // filter sits below the flat/norms/dot pipeline, so its posexplode
+    // and DECIMAL accumulation touch ≤20 rows — per-vector arithmetic is
+    // independent, so the ranks (and the oracle hash) are identical to
+    // ranking the whole corpus and keeping 20 rows, at none of the cost.
+    // The corpus side serves purely from the materialized inverted file.
+    val qemb = emb.filter(col("vec_id") < 20)
+    val qf = flat(qemb)
+    val qn = norms(qf)
+    val qprobe = cellRanks(qf, qn, cent).filter(col("arn") <= nprobe)
       .select(col("vec_id").as("qid"), col("cell"))
-      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("ea")), "qid")
+      .join(qemb.select(col("vec_id").as("qid"), col("embedding").as("ea")), "qid")
     val wN = Window.partitionBy("qid").orderBy(col("ncos").desc, col("cid").asc)
-    val cand = assigned.select(col("vec_id").as("cid"), col("cell"), col("embedding").as("eb"))
+    val cand = inv.select(col("vec_id").as("cid"), col("cell"), col("embedding").as("eb"))
       .join(broadcast(qprobe), Seq("cell"))
       .filter(col("cid") =!= col("qid"))
       .withColumn("ncos", expr("graft_cosine(ea, eb)"))

@@ -556,28 +556,40 @@ object TextOps {
 
   private[graft] def connectedComponents(e0: DataFrame,
       maxRounds: Int = MaxPropagationRounds): DataFrame = {
-    val edges = e0.unionByName(
-      e0.select(col("dst").as("src"), col("src").as("dst"))).localCheckpoint()
-    var comp = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0) {
-      require(rounds < maxRounds,
-        s"connected components still propagating after $maxRounds rounds — " +
-          "component diameter exceeds the near-dup posture; raise maxRounds " +
-          "deliberately or pre-split the graph")
-      rounds += 1
-      val msgs = edges.join(comp, edges("src") === comp("id"))
-        .select(col("dst").as("id"), col("comp"))
-      val next = comp.unionByName(msgs)
-        .groupBy("id").agg(min("comp").as("comp")).localCheckpoint()
-      changed = next
-        .join(comp.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev")).count()
-      comp = next
-    }
-    comp
+    val (edges, edgesPin) = Checkpoints.pin(e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst"))))
+    try {
+      var (comp, pin) = Checkpoints.pin(
+        edges.select(col("src").as("id")).distinct()
+          .withColumn("comp", col("id")))
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0) {
+        require(rounds < maxRounds,
+          s"connected components still propagating after $maxRounds rounds — " +
+            "component diameter exceeds the near-dup posture; raise maxRounds " +
+            "deliberately or pre-split the graph")
+        rounds += 1
+        val msgs = edges.join(comp, edges("src") === comp("id"))
+          .select(col("dst").as("id"), col("comp"))
+        val (next, nextPin) = Checkpoints.pin(comp.unionByName(msgs)
+          .groupBy("id").agg(min("comp").as("comp")))
+        changed = next
+          .join(comp.withColumnRenamed("comp", "prev"), "id")
+          .filter(col("comp") =!= col("prev")).count()
+        // the superseded round's block is dead once `next` is pinned and
+        // compared; release it so the loop holds ONE node-sized block,
+        // not one per round
+        Checkpoints.release(pin)
+        comp = next
+        pin = nextPin
+      }
+      // the label table outlives this loop (its consumer's action runs
+      // later), so swap the final pin for a parquet round-trip — at
+      // scale, CC labels are a table you persist anyway
+      try Checkpoints.materialize(comp, "graft-cc-labels")
+      finally Checkpoints.release(pin)
+    } finally Checkpoints.release(edgesPin)
   }
 
   /** Audit companion to [[connectedComponents]] (mirror of
@@ -643,6 +655,70 @@ object TextOps {
        |ORDER BY keeper_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t13
+  /** Membership cap for [[componentAudit]]: a near-dup component larger
+    * than this is almost certainly boilerplate/template text chaining
+    * unrelated documents, not a genuine duplicate cluster. */
+  val MaxComponentMembers = 8
+
+  /** [[oversizedComponents]] as a declared query (the t12 pattern
+    * applied to the clustering dimension): every connected component of
+    * the near-dup graph whose membership exceeds [[MaxComponentMembers]].
+    * Empty on a healthy corpus — and declared precisely so that the
+    * giant-component failure mode surfaces as oracle-checked audit DATA
+    * (schema + hash gated even at zero rows), not as a silently wrong
+    * keeper assignment downstream. */
+  val componentAudit: Q = (s, d) => {
+    val e0 = dedupMinhash(s, d).filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    oversizedComponents(connectedComponents(e0), MaxComponentMembers)
+      .select(col("comp").as("comp_id"), col("n_members"))
+      .orderBy("comp_id")
+  }
+
+  val componentAuditSql: String = {
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, s${2 * b} || s${2 * b + 1} AS key FROM sig").mkString("\nUNION ALL\n")
+    val matches = Seeds.map(i => s"(CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH RECURSIVE sh AS (
+       |$shinglesSql
+       |), sig AS (
+       |$signaturesSql
+       |), bands AS (
+       |$bandSelects
+       |), ok AS (
+       |  SELECT band, key FROM bands GROUP BY band, key
+       |  HAVING count(*) <= $MaxBucketMembers
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |  JOIN ok ON ok.band = a.band AND ok.key = a.key
+       |), pairs AS (
+       |  SELECT cand.doc_a, cand.doc_b
+       |  FROM cand
+       |  JOIN sig a ON cand.doc_a = a.doc_id
+       |  JOIN sig b ON cand.doc_b = b.doc_id
+       |  WHERE CAST($matches AS DOUBLE) / ${Seeds.size} >= 0.5
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), comp AS (
+       |  SELECT src AS id, least(src, min(dst)) AS comp
+       |  FROM reach GROUP BY src
+       |)
+       |SELECT comp AS comp_id, CAST(count(*) AS BIGINT) AS n_members
+       |FROM comp
+       |GROUP BY comp
+       |HAVING count(*) > $MaxComponentMembers
+       |ORDER BY comp_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- t12
   /** The [[MaxBucketMembers]] escape hatch as a first-class audit query:
     * every LSH band bucket whose membership exceeds the pair-expansion
@@ -673,6 +749,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "t13_component_audit" -> componentAudit,
     "t12_bucket_audit" -> bucketAudit,
     "t11_dedup_components" -> dedupComponents,
     "t10_quality_score" -> qualityScore,
@@ -687,6 +764,7 @@ object TextOps {
     "t08_ngram_jaccard" -> ngramJaccard)
 
   val oracle: Map[String, String] = Map(
+    "t13_component_audit" -> componentAuditSql,
     "t12_bucket_audit" -> bucketAuditSql,
     "t11_dedup_components" -> dedupComponentsSql,
     "t10_quality_score" -> qualityScoreSql,

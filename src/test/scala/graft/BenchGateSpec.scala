@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench regression gate's pure comparison logic: what counts as a
+  * regression, what the noise floor and allowlist exempt, and that the
+  * artifact parsing reads the driver's contract line. */
+class BenchGateSpec extends AnyFunSuite {
+
+  test("check flags >2x regressions above the floor, nothing else") {
+    val prev = Map("a" -> 1.0, "b" -> 0.5, "c" -> 0.1, "d" -> 4.0)
+    val curr = Map(
+      "a" -> 2.5,  // 2.5x -> regression
+      "b" -> 0.9,  // 1.8x -> fine
+      "c" -> 1.0,  // 10x but prev below the noise floor -> exempt
+      "d" -> 3.0,  // faster -> fine
+      "e" -> 9.0)  // new query, no baseline -> exempt
+    val r = BenchGate.check(prev, curr, allow = Set.empty)
+    assert(r == Map("a" -> (1.0, 2.5)), s"wrong regressions: $r")
+  }
+
+  test("allowlist exempts a named query") {
+    val prev = Map("a" -> 1.0, "b" -> 1.0)
+    val curr = Map("a" -> 5.0, "b" -> 5.0)
+    val r = BenchGate.check(prev, curr, allow = Set("a"))
+    assert(r == Map("b" -> (1.0, 5.0)))
+  }
+
+  test("parseQueries reads the BENCH contract line and the truncated driver tail") {
+    val line = """{"metric":"total","value":80.17,"unit":"sec",""" +
+      """"queries":{"q01_agg":1.25,"v05_sim_ivf":8.54,"t12_bucket_audit":0.0,"neg":-1.0E-2},""" +
+      """"sf":"/root/testdata/sf0.1"}"""
+    val q = BenchGate.parseQueries(line)
+    // only declared-query-shaped names count; stray keys ("neg", and in
+    // the tail fallback "value"/"cpus") never pollute the baseline
+    assert(q == Map("q01_agg" -> 1.25, "v05_sim_ivf" -> 8.54,
+      "t12_bucket_audit" -> 0.0), s"parsed: $q")
+    assert(BenchGate.parseQueries("{}").isEmpty)
+    assert(BenchGate.parseQueries("""{"queries":{}}""").isEmpty)
+    // the driver's BENCH_r<N>.json keeps only a truncated stdout tail —
+    // no "queries" key; the query-shaped pairs still parse
+    val tail = """{"n":"5","cpus":"32","tail":"stats\":0.64,\"q04_quality_neighbor\":0.38,""" +
+      """\"q05_quality_filter_applied\":1.58},\"sf\":\"/root/testdata/sf0.1\"}"}"""
+    val t = BenchGate.parseQueries(tail)
+    assert(t == Map("q04_quality_neighbor" -> 0.38,
+      "q05_quality_filter_applied" -> 1.58), s"parsed tail: $t")
+  }
+
+  test("sfMatches pins the baseline to the same scale factor") {
+    assert(BenchGate.sfMatches("""{"sf":"/root/testdata/sf0.1"}""",
+      "/root/testdata/sf0.1"))
+    assert(BenchGate.sfMatches("""{"sf":"0.1"}""", "/root/testdata/sf0.1"))
+    assert(!BenchGate.sfMatches("""{"sf":"0.01"}""", "/root/testdata/sf0.1"))
+    assert(!BenchGate.sfMatches("""{"metric":"total"}""", "/root/testdata/sf0.1"))
+  }
+
+  test("report emits a verdict the contract line can embed") {
+    val pass = BenchGate.report(Some("BENCH_r05.json"), Map.empty)
+    assert(pass.contains("\"pass\":true") && pass.contains("BENCH_r05.json"))
+    val fail = BenchGate.report(None, Map("a" -> (1.0, 2.5)))
+    assert(fail.contains("\"pass\":false") && fail.contains("\"a\":[1.0,2.5]"))
+  }
+}

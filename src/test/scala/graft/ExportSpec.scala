@@ -117,6 +117,58 @@ class ExportSpec extends SparkSpecBase {
     }
   }
 
+  test("geotiff strips are bounded: tall frames chunk at RowsPerStrip and round-trip") {
+    // 150 rows -> 3 strips per band (64+64+22); every codec path must
+    // reassemble the plane bit for bit from bounded strips
+    val g = ops.GridSpec(west = -50.0, north = 10.0,
+      pxLon = 0.01, pxLat = -0.01, width = 40, height = 150)
+    val vals = Array.tabulate(g.width * g.height)(i =>
+      if (i % 11 == 0) ops.GeoTiff.Nodata else ((i * 31) % 997) / 997.0f)
+    val bands = Seq("NDVI" -> vals, "EVI" -> vals.map(-_))
+    for (compress <- Seq(true, false)) {
+      val dec = ops.GeoTiff.decode(ops.GeoTiff.encode(g, "2024-06-01", bands,
+        compress = compress))
+      assert(dec.width == 40 && dec.height == 150)
+      assert(dec.bands.head.sameElements(vals), s"compress=$compress NDVI strips garbled")
+      assert(dec.bands(1).sameElements(bands(1)._2), s"compress=$compress EVI strips garbled")
+    }
+    // decode stays backward-compatible with the single-strip layout
+    // (RowsPerStrip = full height)
+    val single = ops.GeoTiff.decode(ops.GeoTiff.encode(g, "2024-06-01", bands,
+      rowsPerStrip = g.height))
+    assert(single.bands.head.sameElements(vals), "single-strip layout regressed")
+  }
+
+  test("geotiff LZW write path (tag 5) round-trips, including repetitive payloads") {
+    val g = ops.GridSpec(west = 0.0, north = 0.0,
+      pxLon = 0.01, pxLat = -0.01, width = 64, height = 130)
+    // three payload shapes: constant (maximal table reuse), repetitive,
+    // and pseudo-random (worst case, exercises table resets)
+    val rnd = new scala.util.Random(42)
+    val payloads = Seq(
+      Array.fill(g.width * g.height)(1.5f),
+      Array.tabulate(g.width * g.height)(i => (i % 17) / 17.0f),
+      Array.fill(g.width * g.height)(rnd.nextFloat()))
+    payloads.zipWithIndex.foreach { case (vals, pi) =>
+      val bands = Seq("NDVI" -> vals, "EVI" -> vals.map(v => -v))
+      val enc = ops.GeoTiff.encode(g, "2024-06-01", bands, lzw = true)
+      val dec = ops.GeoTiff.decode(enc)
+      assert(dec.compression == 5, s"payload $pi: wrong compression tag")
+      assert(dec.bands.head.sameElements(vals), s"payload $pi: NDVI LZW garbled")
+      assert(dec.bands(1).sameElements(bands(1)._2), s"payload $pi: EVI LZW garbled")
+    }
+    // and the raw LZW codec survives sizes that cross the 9->10->11->12
+    // bit-width boundaries and the table-reset point
+    val big = Array.tabulate(300000)(i => ((i * 7919) ^ (i >> 3)).toByte)
+    assert(ops.GeoTiff.lzwDecode(ops.GeoTiff.lzwEncode(big), big.length)
+      .sameElements(big), "LZW boundary-crossing round-trip failed")
+    for (n <- Seq(0, 1, 2, 253, 254, 255, 256, 300, 511, 1000)) {
+      val data = Array.tabulate(n)(i => (i % 251).toByte)
+      assert(ops.GeoTiff.lzwDecode(ops.GeoTiff.lzwEncode(data), n)
+        .sameElements(data), s"LZW round-trip failed at n=$n")
+    }
+  }
+
   test("geotiff frames deflate-compress: measurably smaller, identical content") {
     val g = ops.Resample.SrcGrid
     // repetitive-but-nontrivial payload, like real raster frames

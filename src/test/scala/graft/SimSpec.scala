@@ -103,6 +103,51 @@ class SimSpec extends SparkSpecBase {
       s"within-cell cosine $ownAvg does not beat cross-cell $otherAvg")
   }
 
+  test("IVF build/serve split: index cached, no corpus pass per query, no leaked blocks") {
+    SimOps.clearIvfCaches()
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // first call trains the model AND materializes the inverted file
+    assert(SimOps.simIvf(spark, sf).count() > 0)
+    // the build step releases every checkpoint pin it took
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"IVF build leaked persistent RDD blocks: $leaked")
+    // the index is built once: a second lookup serves the same files
+    val files1 = SimOps.ivfIndex(spark, sf).inputFiles.toSet
+    val files2 = SimOps.ivfIndex(spark, sf).inputFiles.toSet
+    assert(files1.nonEmpty && files1 == files2, "inverted file rebuilt per query")
+    // a second IVF query runs NO corpus-wide assignment: its only
+    // embeddings scans are pruned to the query vectors at the source
+    val p = SimOps.simIvfProbe2(spark, sf).queryExecution.sparkPlan.toString
+    assert(p.contains("graft-ivf-index"),
+      s"serve plan does not read the materialized inverted file:\n$p")
+    val corpusScans = p.split('\n').filter(l =>
+      l.contains("FileScan") && l.contains("embeddings.parquet") &&
+        !l.contains("LessThan(vec_id,20)"))
+    assert(corpusScans.isEmpty,
+      s"serve plan scans the full corpus:\n${corpusScans.mkString("\n")}\nin:\n$p")
+  }
+
+  test("quantizer size and seed rule are parameters of the trainer") {
+    // a 4-cell model seeded from vectors 200-203, next to the default
+    // 8-cell/100-107 model, out of the same parameterized trainer
+    val m4 = SimOps.trainedModel(spark, sf, k = 4, seedLo = 200)
+    val cells4 = m4.select("cell").distinct().as[Long].collect().toSet
+    assert(m4.count() == 4 * 64, "k=4 model is not 4 cells x 64 dims")
+    assert(cells4 == Set(200L, 201L, 202L, 203L), s"wrong seed cells: $cells4")
+    val m8 = SimOps.trainedModel(spark, sf)
+    assert(m8.count() == 8 * 64)
+    assert(m8.select("cell").distinct().as[Long].collect().toSet ==
+      (100L to 107L).toSet)
+    // training is deterministic: a fresh (uncached) run reproduces the
+    // k=4 model bit for bit
+    val snap = m4.orderBy("cell", "i").collect()
+    SimOps.clearIvfCaches()
+    val again = SimOps.trainedModel(spark, sf, k = 4, seedLo = 200)
+      .orderBy("cell", "i").collect()
+    assert(snap.sameElements(again), "k=4 training is not deterministic")
+  }
+
   test("LSH candidates are a subset of the brute-force universe, same bucket only") {
     val lsh = SimOps.simLsh(spark, sf).select("qid", "cid").as[(Long, Long)].collect().toSet
     val topkAll = SimOps.simTopk(spark, sf).select("qid").distinct().count()

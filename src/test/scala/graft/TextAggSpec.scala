@@ -70,6 +70,18 @@ class TextAggSpec extends SparkSpecBase {
     assert(comp.forall(_._2 == 1L), s"chain did not converge: ${comp.toSeq}")
   }
 
+  test("connected components releases every checkpoint block it pins") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
+    val comp = TextOps.connectedComponents(edges)
+    // the result outlives the loop (parquet-materialized, not pinned):
+    // consuming it works even though all loop blocks are gone
+    assert(comp.count() == 6L)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"CC loop leaked persistent RDD blocks: $leaked")
+  }
+
   test("component audit flags components past the membership cap") {
     // one 4-member component, one pair: cap=3 flags only the big one
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst")

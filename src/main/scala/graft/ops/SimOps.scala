@@ -300,24 +300,17 @@ object SimOps {
     * block per iteration into the BlockManager. The returned frame is
     * still pinned; the caller releases it once collected
     * (Checkpoints.rddOf). */
-  private[graft] def trainCentroids(f: DataFrame, n: DataFrame,
+  private[graft] def trainCentroids(emb: DataFrame, f: DataFrame, n: DataFrame,
       iters: Int = KmeansIters, k: Int = KmeansK,
       seedLo: Int = KmeansSeedLo): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     var (cent, pin) = Checkpoints.pin(
       f.filter(col("vec_id").between(seedLo, seedLo + k - 1))
         .select(col("vec_id").as("cell"), col("i"), col("v").as("c")))
     for (_ <- 1 to iters) {
-      val cn = cent.groupBy("cell").agg(sqrt(xsumHi(col("c") * col("c"))).as("cnrm"))
-      val dots = f.join(broadcast(cent), Seq("i"))
-        .groupBy("vec_id", "cell").agg(xsumHi(col("v") * col("c")).as("dot"))
-      val wA = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cell").asc)
-      val assign = dots.join(n, "vec_id").join(broadcast(cn), "cell")
-        .select(col("vec_id"), col("cell"),
-          (col("dot") / (col("nrm") * col("cnrm"))).as("cos"))
-        .withColumn("arn", row_number().over(wA))
-        .filter(col("arn") === 1)
-        .select("vec_id", "cell")
+      import emb.sparkSession.implicits._
+      val centRows = cent.select("cell", "i", "c")
+        .as[(Long, Long, Double)].collect()
+      val assign = exactAssign(emb, f, n, cent, centRows)
       val upd = f.join(assign, "vec_id")
         .groupBy("cell", "i")
         .agg((xsumHi(col("v")) / count(lit(1))).as("cnew"))
@@ -330,6 +323,50 @@ object SimOps {
       pin = nextPin
     }
     cent
+  }
+
+  /** How many native-ranked cells per vector enter the exact re-rank in
+    * [[exactAssign]]: the true exact argmax falls outside the top-3
+    * only if four cells sit within the native prune's error (~1e-7,
+    * float-cast centroids + double accumulation) of each other — orders
+    * of magnitude below any real quantizer's cell separation. */
+  private val AssignMargin = 3
+
+  /** Corpus→cell argmax, two-stage exact — the v01 pattern applied to
+    * quantization. Stage 1 (prune): the codegen'd graft_cosine ranks
+    * all k cells per vector over PACKED arrays (k evals/vector, no
+    * explode, broadcast of a k-row relation) and keeps the top
+    * [[AssignMargin]]. Stage 2 (exact): only those (vector, cell)
+    * pairs flow through the flattened DECIMAL dot/norm arithmetic the
+    * oracle computes — corpus × margin rows instead of corpus × k —
+    * and the row_number argmax with the cell tie-break reproduces
+    * [[cellRanks]]' rank-1 bit for bit. */
+  private def exactAssign(emb: DataFrame, f: DataFrame, n: DataFrame,
+      cent: DataFrame, centRows: Array[(Long, Long, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import emb.sparkSession.implicits._
+    val packed = centRows.groupBy(_._1).toSeq
+      .map { case (cell, rs) => (cell, rs.sortBy(_._2).map(_._3.toFloat)) }
+      .toDF("cell", "cf")
+    val wP = Window.partitionBy("vec_id").orderBy(col("ncos").desc, col("cell").asc)
+    val cand = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(packed))
+      .select(col("vec_id"), col("cell"),
+        expr("graft_cosine(embedding, cf)").as("ncos"))
+      .withColumn("prk", row_number().over(wP))
+      .filter(col("prk") <= AssignMargin)
+      .select("vec_id", "cell")
+    val cn = cent.groupBy("cell").agg(sqrt(xsumHi(col("c") * col("c"))).as("cnrm"))
+    val wA = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cell").asc)
+    f.join(cand, "vec_id")
+      .join(broadcast(cent), Seq("cell", "i"))
+      .groupBy("vec_id", "cell").agg(xsumHi(col("v") * col("c")).as("dot"))
+      .join(n, "vec_id").join(broadcast(cn), "cell")
+      .select(col("vec_id"), col("cell"),
+        (col("dot") / (col("nrm") * col("cnrm"))).as("cos"))
+      .withColumn("arn", row_number().over(wA))
+      .filter(col("arn") === 1)
+      .select("vec_id", "cell")
   }
 
   /** Train-once / serve-many: the trained quantizer is MODEL-sized
@@ -347,9 +384,9 @@ object SimOps {
   /** Train on an already-pinned (f, n) pair and collect the model rows,
     * releasing the final centroid snapshot — the shared core of
     * [[trainedModel]] and [[ivfIndex]]'s one-pass build. */
-  private def trainAndCollect(s: SparkSession, f: DataFrame, n: DataFrame,
-      k: Int, seedLo: Int): Array[(Long, Long, Double)] = {
-    val cent = trainCentroids(f, n, KmeansIters, k, seedLo)
+  private def trainAndCollect(s: SparkSession, emb: DataFrame, f: DataFrame,
+      n: DataFrame, k: Int, seedLo: Int): Array[(Long, Long, Double)] = {
+    val cent = trainCentroids(emb, f, n, KmeansIters, k, seedLo)
     try {
       import s.implicits._
       cent.select("cell", "i", "c").as[(Long, Long, Double)].collect()
@@ -364,10 +401,11 @@ object SimOps {
       // from parquet per round; both pins — and the final centroid
       // snapshot — are released once the 512 model rows are collected,
       // so training leaves NOTHING in the BlockManager
-      val (f, fPin) = Checkpoints.pin(flat(Tables.embeddings(s, d)))
+      val emb = Tables.embeddings(s, d)
+      val (f, fPin) = Checkpoints.pin(flat(emb))
       try {
         val (n, nPin) = Checkpoints.pin(norms(f))
-        try trainAndCollect(s, f, n, k, seedLo)
+        try trainAndCollect(s, emb, f, n, k, seedLo)
         finally Checkpoints.release(nPin)
       } finally Checkpoints.release(fPin)
     })
@@ -397,19 +435,19 @@ object SimOps {
     val path = indexCache.computeIfAbsent(d, _ => {
       // one flat/norms pass feeds BOTH training (if the model is not
       // yet cached) and the corpus→cell assignment
-      val (f, fPin) = Checkpoints.pin(flat(Tables.embeddings(s, d)))
+      val emb = Tables.embeddings(s, d)
+      val (f, fPin) = Checkpoints.pin(flat(emb))
       try {
         val (n, nPin) = Checkpoints.pin(norms(f))
         try {
           val rows = modelCache.computeIfAbsent(s"$d|$KmeansK|$KmeansSeedLo",
-            _ => trainAndCollect(s, f, n, KmeansK, KmeansSeedLo))
+            _ => trainAndCollect(s, emb, f, n, KmeansK, KmeansSeedLo))
           import s.implicits._
           val cent = rows.toSeq.toDF("cell", "i", "c")
-          val assign = cellRanks(f, n, cent)
-            .filter(col("arn") === 1).select("vec_id", "cell")
+          val assign = exactAssign(emb, f, n, cent, rows)
           val dir = java.nio.file.Files
             .createTempDirectory("graft-ivf-index").toString
-          Tables.embeddings(s, d).join(assign, "vec_id")
+          emb.join(assign, "vec_id")
             .select("cell", "vec_id", "embedding")
             .write.mode("overwrite").partitionBy("cell").parquet(dir)
           dir

@@ -68,7 +68,7 @@ class SimSpec extends SparkSpecBase {
     val emb = Tables.embeddings(spark, sf)
     val f = SimOps.flat(emb)
     val n = SimOps.norms(f)
-    val cent = SimOps.trainCentroids(f, n)
+    val cent = SimOps.trainCentroids(emb, f, n)
     // training actually learned something: at least one component left
     // its seed value
     val seeds = f.filter(col("vec_id").between(100, 107))

@@ -16,3 +16,23 @@ object TiffDump {
     println("wrote /tmp/t_{deflate,none,lzw}.tif")
   }
 }
+
+/** Companion dump for devtools/imgcheck.py: one PNG and one animated
+  * GIF with deterministic payloads for the independent parser. */
+object ImgDump {
+  def main(args: Array[String]): Unit = {
+    val (w, h) = (40, 25)
+    val px = Array.tabulate(w * h)(i =>
+      if (i % 13 == 0) 0
+      else 0xff000000 | ops.Raster.RdYlGn((i * 7) % 255))
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/t.png"),
+      ops.Raster.Png.encode(w, h, px))
+    val palette = ops.Raster.RdYlGn :+ 0xffffff
+    val frames = (0 until 3).map(f =>
+      ops.Raster.Gif.Frame(Array.tabulate(w * h)(i =>
+        ((i * 3 + f * 11) % 256).toByte), 50))
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/t.gif"),
+      ops.Raster.Gif.encode(w, h, palette, frames))
+    println("wrote /tmp/t.png /tmp/t.gif")
+  }
+}

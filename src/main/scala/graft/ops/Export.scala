@@ -111,6 +111,107 @@ object Export {
       }
   }
 
+  /** PNG frame sink — visualize_dataset.py:343-355 (export_all_frames):
+    * one colormapped RGBA frame per date per variable, NDVI normalized
+    * over (−0.2, 1.0) and EVI over (−0.2, 2.0) through the RdYlGn
+    * colormap (visualize_dataset.py:102, 119), missing cells
+    * transparent (matplotlib's masked-pixel default). Same
+    * `foreachPartition` whole-file writer shape as [[writeGeoTiffs]]:
+    * frames co-locate by date, each task encodes complete files, and
+    * the pixel→color mapping runs on the executors. */
+  def writePngFrames(cube: DataFrame, outDir: String, grid: GridSpec): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val (w, h) = (grid.width, grid.height)
+    dateFrames(cube)
+      .foreachPartition { (rows: Iterator[Row]) =>
+        var cur: String = null
+        var ndvi: Array[Double] = null
+        var evi: Array[Double] = null
+        def rgba(v: Double, vmin: Double, vmax: Double): Int =
+          if (v.isNaN) 0
+          else 0xff000000 | Raster.RdYlGn(math.min(
+            Raster.colorIndex(v, vmin, vmax), 254))
+        def flush(): Unit = if (cur != null) {
+          Seq(("ndvi", ndvi, 1.0), ("evi", evi, 2.0)).foreach {
+            case (name, vals, vmax) =>
+              val px = vals.map(rgba(_, -0.2, vmax))
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(outDir, s"${name}_$cur.png"),
+                Raster.Png.encode(w, h, px))
+          }
+        }
+        rows.foreach { r =>
+          val d = r.getString(0)
+          if (d != cur) {
+            flush(); cur = d
+            ndvi = Array.fill(w * h)(Double.NaN)
+            evi = Array.fill(w * h)(Double.NaN)
+          }
+          val idx = r.getInt(1) * w + r.getInt(2)
+          if (!r.isNullAt(3)) ndvi(idx) = r.getDouble(3)
+          if (!r.isNullAt(4)) evi(idx) = r.getDouble(4)
+        }
+        flush()
+      }
+  }
+
+  /** Animated-GIF sink — visualize_dataset.py:357-414 (create_gif):
+    * the chronological NDVI frame sequence as one looping GIF89a, PIL's
+    * `duration=500` ms → 50 cs per frame, `loop=0` forever
+    * (visualize_dataset.py:398-404). The per-frame work — same-day
+    * dedup, pixel→palette-index mapping — runs distributed; only the
+    * palette-index rasters (w×h BYTES per date, already
+    * colormap-quantized) come back for sequential file assembly, since
+    * a GIF is one ordered stream. Like the reference's, this sink is
+    * for visualization-scale grids: at 100 TB the cube is
+    * [[exportFrame]]-downsampled first, which is also what a GIF of a
+    * raster IS. */
+  def writeGif(cube: DataFrame, outPath: String, grid: GridSpec,
+      variable: String = "ndvi", vmin: Double = -0.2, vmax: Double = 1.0,
+      delayCs: Int = 50): Unit = {
+    val (w, h) = (grid.width, grid.height)
+    val spark = cube.sparkSession
+    import spark.implicits._
+    val frames = dateFrames(cube)
+      .select(col("d"), col("y"), col("x"),
+        col(variable).cast("double").as("v"))
+      .mapPartitions { rows =>
+        val acc = scala.collection.mutable.LinkedHashMap.empty[String, Array[Byte]]
+        rows.foreach { r =>
+          val arr = acc.getOrElseUpdate(r.getString(0),
+            Array.fill(w * h)(255.toByte)) // nodata index
+          if (!r.isNullAt(3))
+            arr(r.getInt(1) * w + r.getInt(2)) =
+              Raster.colorIndex(r.getDouble(3), vmin, vmax).toByte
+        }
+        acc.iterator
+      }
+      .collect().sortBy(_._1)
+    val palette = Raster.RdYlGn :+ 0xffffff // 255 = nodata, white background
+    val gif = Raster.Gif.encode(w, h, palette,
+      frames.map { case (_, idx) => Raster.Gif.Frame(idx, delayCs) }.toSeq)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(outPath).toAbsolutePath.getParent)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath), gif)
+    ()
+  }
+
+  /** Shared frame preparation for the image sinks: same-day dedup
+    * (latest scene wins, like [[writeGeoTiffs]]) and date co-location
+    * so each task holds whole frames in (y, x) order. */
+  private def dateFrames(cube: DataFrame): DataFrame =
+    cube
+      .select(date_format(col("time"), "yyyy-MM-dd").as("d"),
+        col("y"), col("x"), col("time"),
+        col("ndvi").cast("double").as("ndvi"),
+        col("evi").cast("double").as("evi"))
+      .groupBy("d", "y", "x")
+      .agg(expr("max_by(named_struct('ndvi', ndvi, 'evi', evi), time)").as("v"))
+      .select(col("d"), col("y"), col("x"),
+        col("v.ndvi").as("ndvi"), col("v.evi").as("evi"))
+      .repartition(col("d"))
+      .sortWithinPartitions("d", "y", "x")
+
   /** Events sink — pipeline.py:167-171: one JSON file of event records. */
   def writeEventsJson(events: DataFrame, out: String): Unit =
     events.coalesce(1).write.mode(SaveMode.Overwrite).json(out)

@@ -1,0 +1,411 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** Dependency-free raster image codecs for the visualization sinks
+  * (SURVEY.md §2.2 sink_png_frames / sink_gif; reference
+  * visualize_dataset.py:343-355 frame export, 357-414 animated GIF).
+  * The reference renders NDVI/EVI frames through matplotlib's RdYlGn
+  * colormap (visualize_dataset.py:102, 119: `cmap='RdYlGn',
+  * vmin=-0.2, vmax=1.0` for NDVI, vmax=2.0 for EVI) and assembles a
+  * 500 ms/frame looping GIF with PIL (visualize_dataset.py:398-404).
+  * Like [[GeoTiff]], these are pure byte-level functions that run
+  * inside executor-side writers — no image library exists in this
+  * environment, and the decoders back the spec round-trips.
+  */
+object Raster {
+
+  // ------------------------------------------------------------ colormap
+  /** ColorBrewer RdYlGn-11 anchors — the data behind matplotlib's
+    * 'RdYlGn' (public ColorBrewer palette). */
+  private val RdYlGnAnchors: Array[(Int, Int, Int)] = Array(
+    (165, 0, 38), (215, 48, 39), (244, 109, 67), (253, 174, 97),
+    (254, 224, 139), (255, 255, 191), (217, 239, 139), (166, 217, 106),
+    (102, 189, 99), (26, 152, 80), (0, 104, 55))
+
+  /** 255-entry RdYlGn lookup table (linear interpolation across the 11
+    * anchors); index 255 is reserved for nodata. Packed 0xRRGGBB. */
+  val RdYlGn: Array[Int] = Array.tabulate(255) { i =>
+    val t = i * 10.0 / 254.0
+    val j = math.min(t.toInt, 9)
+    val f = t - j
+    val (r0, g0, b0) = RdYlGnAnchors(j)
+    val (r1, g1, b1) = RdYlGnAnchors(j + 1)
+    def mix(a: Int, b: Int) = math.round(a + (b - a) * f).toInt
+    (mix(r0, r1) << 16) | (mix(g0, g1) << 8) | mix(b0, b1)
+  }
+
+  /** Palette index for a value under (vmin, vmax) normalization:
+    * 0..254 through the colormap, 255 for missing — matplotlib's
+    * Normalize + under/over clamping (visualize_dataset.py:102). */
+  def colorIndex(v: Double, vmin: Double, vmax: Double): Int =
+    if (v.isNaN) 255
+    else {
+      val t = (v - vmin) / (vmax - vmin)
+      val c = math.max(0.0, math.min(1.0, t))
+      math.round(c * 254).toInt
+    }
+
+  // ----------------------------------------------------------------- PNG
+  /** Minimal RGBA PNG encoder: 8-bit color type 6, filter 0 scanlines,
+    * one zlib IDAT. Nodata pixels carry alpha 0 (matplotlib renders
+    * masked cells transparent over the figure background). */
+  object Png {
+
+    private val Signature =
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+    private def chunk(out: java.io.ByteArrayOutputStream, typ: String,
+        data: Array[Byte]): Unit = {
+      def be(v: Int): Array[Byte] = Array(
+        (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      out.write(be(data.length))
+      val tb = typ.getBytes(StandardCharsets.US_ASCII)
+      out.write(tb)
+      out.write(data)
+      val crc = new CRC32()
+      crc.update(tb)
+      crc.update(data)
+      out.write(be(crc.getValue.toInt))
+    }
+
+    /** `rgba(i)` is 0xAARRGGBB row-major. */
+    def encode(width: Int, height: Int, rgba: Array[Int]): Array[Byte] = {
+      require(rgba.length == width * height,
+        s"${rgba.length} pixels != $width x $height")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Signature)
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+      ihdr.putInt(width).putInt(height)
+        .put(8.toByte).put(6.toByte) // bit depth 8, color type RGBA
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+      chunk(out, "IHDR", ihdr.array())
+      val raw = new Array[Byte](height * (1 + width * 4))
+      var p = 0
+      for (y <- 0 until height) {
+        raw(p) = 0 // filter: None
+        p += 1
+        for (x <- 0 until width) {
+          val v = rgba(y * width + x)
+          raw(p) = ((v >>> 16) & 0xff).toByte     // R
+          raw(p + 1) = ((v >>> 8) & 0xff).toByte  // G
+          raw(p + 2) = (v & 0xff).toByte          // B
+          raw(p + 3) = ((v >>> 24) & 0xff).toByte // A
+          p += 4
+        }
+      }
+      val d = new Deflater()
+      d.setInput(raw)
+      d.finish()
+      val zs = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) zs.write(buf, 0, d.deflate(buf))
+      d.end()
+      chunk(out, "IDAT", zs.toByteArray)
+      chunk(out, "IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+
+    /** Parse back what [[encode]] writes (filter-0 RGBA only). */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+      require(bytes.take(8).sameElements(Signature), "not a PNG")
+      val b = java.nio.ByteBuffer.wrap(bytes)
+      b.position(8)
+      var w = 0
+      var h = 0
+      val idat = new java.io.ByteArrayOutputStream()
+      var done = false
+      while (!done) {
+        val len = b.getInt
+        val tb = new Array[Byte](4)
+        b.get(tb)
+        val typ = new String(tb, StandardCharsets.US_ASCII)
+        val data = new Array[Byte](len)
+        b.get(data)
+        val storedCrc = b.getInt
+        val crc = new CRC32()
+        crc.update(tb)
+        crc.update(data)
+        require(crc.getValue.toInt == storedCrc, s"bad CRC on $typ")
+        typ match {
+          case "IHDR" =>
+            val ib = java.nio.ByteBuffer.wrap(data)
+            w = ib.getInt
+            h = ib.getInt
+            require(ib.get() == 8 && ib.get() == 6, "decoder reads 8-bit RGBA only")
+          case "IDAT" => idat.write(data)
+          case "IEND" => done = true
+          case _ => ()
+        }
+      }
+      val inf = new Inflater()
+      inf.setInput(idat.toByteArray)
+      val raw = new Array[Byte](h * (1 + w * 4))
+      var at = 0
+      while (at < raw.length && !inf.finished())
+        at += inf.inflate(raw, at, raw.length - at)
+      inf.end()
+      require(at == raw.length, s"IDAT inflated $at, want ${raw.length}")
+      val px = new Array[Int](w * h)
+      for (y <- 0 until h) {
+        val row = y * (1 + w * 4)
+        require(raw(row) == 0, s"row $y uses filter ${raw(row)}, decoder reads 0")
+        for (x <- 0 until w) {
+          val p = row + 1 + x * 4
+          px(y * w + x) = ((raw(p + 3) & 0xff) << 24) |
+            ((raw(p) & 0xff) << 16) | ((raw(p + 1) & 0xff) << 8) |
+            (raw(p + 2) & 0xff)
+        }
+      }
+      (w, h, px)
+    }
+  }
+
+  // ----------------------------------------------------------------- GIF
+  /** Animated GIF89a encoder: one global 256-color table, NETSCAPE
+    * infinite loop, per-frame graphic control (centisecond delay,
+    * PIL's `duration` -- visualize_dataset.py:398-404), GIF-flavor LZW
+    * (LSB-first packing, no early change). Frames are full-canvas
+    * palette-index rasters. */
+  object Gif {
+
+    /** GIF LZW with 8-bit min code size: codes start at 9 bits,
+      * Clear=256, EOI=257. Width triggers are the lag-consistent pair
+      * (encoder bumps after its add at nextCode == 1<<w, the decoder —
+      * one table entry behind — at (1<<w)-1), with the same
+      * phantom-add-at-flush as the TIFF codec ([[GeoTiff]]). */
+    private[graft] def lzwEncode(data: Array[Byte]): Array[Byte] = {
+      val Clear = 256
+      val Eoi = 257
+      val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+      var bitBuf = 0L
+      var bitCnt = 0
+      var width = 9
+      def put(code: Int): Unit = {
+        bitBuf |= code.toLong << bitCnt // LSB-first
+        bitCnt += width
+        while (bitCnt >= 8) {
+          out.write((bitBuf & 0xff).toInt)
+          bitBuf >>>= 8
+          bitCnt -= 8
+        }
+      }
+      var table = new java.util.HashMap[Int, Int]()
+      var nextCode = 258
+      def key(prefix: Int, k: Int): Int = (prefix << 8) | k
+      put(Clear)
+      var prefix = -1
+      var i = 0
+      while (i < data.length) {
+        val k = data(i) & 0xff
+        if (prefix < 0) prefix = k
+        else {
+          val ext = table.getOrDefault(key(prefix, k), -1)
+          if (ext >= 0) prefix = ext
+          else {
+            put(prefix)
+            if (nextCode >= 4094) {
+              put(Clear)
+              table = new java.util.HashMap[Int, Int]()
+              nextCode = 258
+              width = 9
+            } else {
+              table.put(key(prefix, k), nextCode)
+              nextCode += 1
+              if (nextCode == (1 << width) && width < 12) width += 1
+            }
+            prefix = k
+          }
+        }
+        i += 1
+      }
+      if (prefix >= 0) {
+        put(prefix)
+        nextCode += 1
+        if (nextCode == (1 << width) && width < 12) width += 1
+      }
+      put(Eoi)
+      if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
+      out.toByteArray
+    }
+
+    private[graft] def lzwDecode(data: Array[Byte], expected: Int): Array[Byte] = {
+      val Clear = 256
+      val Eoi = 257
+      val out = new Array[Byte](expected)
+      var at = 0
+      var bitBuf = 0L
+      var bitCnt = 0
+      var pos = 0
+      var width = 9
+      def read(): Int = {
+        while (bitCnt < width) {
+          require(pos < data.length, "GIF LZW stream truncated")
+          bitBuf |= (data(pos) & 0xffL) << bitCnt
+          bitCnt += 8
+          pos += 1
+        }
+        val code = (bitBuf & ((1 << width) - 1)).toInt
+        bitBuf >>>= width
+        bitCnt -= width
+        code
+      }
+      val prefixOf = new Array[Int](4096)
+      val byteOf = new Array[Byte](4096)
+      var nextCode = 258
+      def emit(code: Int): Byte = {
+        var c = code
+        var len = 0
+        while (c >= 258) { len += 1; c = prefixOf(c) }
+        len += 1
+        require(at + len <= expected, s"GIF LZW overflow: $at + $len > $expected")
+        var w = at + len - 1
+        c = code
+        while (c >= 258) { out(w) = byteOf(c); w -= 1; c = prefixOf(c) }
+        out(w) = c.toByte
+        at += len
+        out(w)
+      }
+      var old = -1
+      var done = false
+      while (!done && at < expected) {
+        val code = read()
+        if (code == Eoi) done = true
+        else if (code == Clear) {
+          nextCode = 258
+          width = 9
+          old = -1
+        } else if (old < 0) {
+          require(code < 256, s"GIF LZW: non-literal first code $code")
+          emit(code)
+          old = code
+        } else {
+          val first =
+            if (code < nextCode) emit(code)
+            else {
+              require(code == nextCode, s"GIF LZW: code $code ahead of table")
+              var c = old
+              while (c >= 258) c = prefixOf(c)
+              val f = c.toByte
+              val start = at
+              emit(old)
+              require(at < expected, "GIF LZW overflow in KwKwK")
+              out(at) = f
+              at += 1
+              out(start)
+            }
+          if (nextCode < 4094) {
+            prefixOf(nextCode) = old
+            byteOf(nextCode) = first
+            nextCode += 1
+            if (nextCode == (1 << width) - 1 && width < 12) width += 1
+          }
+          old = code
+        }
+      }
+      require(at == expected, s"GIF LZW produced $at, want $expected")
+      out
+    }
+
+    /** One frame: full-canvas palette indices + delay in centiseconds. */
+    final case class Frame(indices: Array[Byte], delayCs: Int)
+
+    /** `palette`: 256 packed 0xRRGGBB entries. `loop = 0` is forever
+      * (PIL `loop=0`, visualize_dataset.py:403). */
+    def encode(width: Int, height: Int, palette: Array[Int],
+        frames: Seq[Frame], loop: Int = 0): Array[Byte] = {
+      require(palette.length == 256, s"palette ${palette.length} != 256")
+      require(frames.nonEmpty, "at least one frame")
+      frames.foreach(f => require(f.indices.length == width * height,
+        s"frame ${f.indices.length} != $width x $height"))
+      val out = new java.io.ByteArrayOutputStream()
+      def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+      out.write("GIF89a".getBytes(StandardCharsets.US_ASCII))
+      u16(width)
+      u16(height)
+      out.write(0xf7) // GCT present, 8-bit resolution, 256 entries
+      out.write(255)  // background = nodata index
+      out.write(0)    // square pixels
+      palette.foreach { c =>
+        out.write((c >>> 16) & 0xff); out.write((c >>> 8) & 0xff); out.write(c & 0xff)
+      }
+      // NETSCAPE2.0 loop extension
+      out.write(0x21); out.write(0xff); out.write(11)
+      out.write("NETSCAPE2.0".getBytes(StandardCharsets.US_ASCII))
+      out.write(3); out.write(1); u16(loop); out.write(0)
+      frames.foreach { f =>
+        out.write(0x21); out.write(0xf9); out.write(4)
+        out.write(0) // disposal none, no transparency
+        u16(f.delayCs)
+        out.write(0) // transparent index (unused)
+        out.write(0)
+        out.write(0x2c) // image descriptor: full canvas, no local table
+        u16(0); u16(0); u16(width); u16(height); out.write(0)
+        out.write(8) // LZW min code size
+        val lzw = lzwEncode(f.indices)
+        var off = 0
+        while (off < lzw.length) {
+          val n = math.min(255, lzw.length - off)
+          out.write(n)
+          out.write(lzw, off, n)
+          off += n
+        }
+        out.write(0) // block terminator
+      }
+      out.write(0x3b) // trailer
+      out.toByteArray
+    }
+
+    /** Parse back what [[encode]] writes. Returns (width, height,
+      * palette, frames). */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Int], Seq[Frame]) = {
+      require(new String(bytes, 0, 6, StandardCharsets.US_ASCII) == "GIF89a",
+        "not a GIF89a")
+      var p = 6
+      def u8(): Int = { val v = bytes(p) & 0xff; p += 1; v }
+      def u16(): Int = { val v = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8); p += 2; v }
+      val w = u16()
+      val h = u16()
+      val packed = u8()
+      require((packed & 0x80) != 0, "no global color table")
+      val gctSize = 2 << (packed & 7)
+      u8(); u8() // background, aspect
+      val palette = Array.fill(gctSize)((u8() << 16) | (u8() << 8) | u8())
+      val frames = Seq.newBuilder[Frame]
+      var delay = 0
+      var done = false
+      while (!done) {
+        u8() match {
+          case 0x3b => done = true
+          case 0x21 => // extension
+            val label = u8()
+            if (label == 0xf9) {
+              require(u8() == 4, "bad GCE size")
+              u8() // flags
+              delay = u16()
+              u8() // transparent index
+              require(u8() == 0, "GCE not terminated")
+            } else {
+              var n = u8()
+              while (n != 0) { p += n; n = u8() }
+            }
+          case 0x2c =>
+            u16(); u16()
+            val fw = u16()
+            val fh = u16()
+            require(fw == w && fh == h, "decoder reads full-canvas frames only")
+            require((u8() & 0x80) == 0, "decoder reads GCT frames only")
+            require(u8() == 8, "decoder reads 8-bit min code size only")
+            val data = new java.io.ByteArrayOutputStream()
+            var n = u8()
+            while (n != 0) { data.write(bytes, p, n); p += n; n = u8() }
+            frames += Frame(lzwDecode(data.toByteArray, w * h), delay)
+          case other =>
+            throw new IllegalArgumentException(f"unexpected GIF block 0x$other%02x")
+        }
+      }
+      (w, h, palette, frames.result())
+    }
+  }
+}

@@ -64,8 +64,11 @@ object Export {
     * `foreachPartition` object-store writer shape (here the target is a
     * directory path; swapping in a cloud filesystem stream changes one
     * line). A frame is width×height float32 ×2 — megabytes, not a
-    * driver-side collect. */
-  def writeGeoTiffs(cube: DataFrame, outDir: String, grid: GridSpec): Unit = {
+    * driver-side collect. `lzw = true` writes TIFF compression 5 for
+    * byte-level parity with the reference's `compress='lzw'`
+    * (arcgis.py:76); the Deflate default is the documented equivalent. */
+  def writeGeoTiffs(cube: DataFrame, outDir: String, grid: GridSpec,
+      lzw: Boolean = false): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val (w, h) = (grid.width, grid.height)
     cube
@@ -89,7 +92,8 @@ object Export {
         var ndvi: Array[Float] = null
         var evi: Array[Float] = null
         def flush(): Unit = if (cur != null) {
-          val bytes = GeoTiff.encode(grid, cur, Seq("NDVI" -> ndvi, "EVI" -> evi))
+          val bytes = GeoTiff.encode(grid, cur,
+            Seq("NDVI" -> ndvi, "EVI" -> evi), lzw = lzw)
           java.nio.file.Files.write(
             java.nio.file.Paths.get(outDir, s"$cur.tif"), bytes)
         }

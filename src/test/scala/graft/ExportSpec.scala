@@ -157,6 +157,17 @@ class ExportSpec extends SparkSpecBase {
       assert(dec.bands.head.sameElements(vals), s"payload $pi: NDVI LZW garbled")
       assert(dec.bands(1).sameElements(bands(1)._2), s"payload $pi: EVI LZW garbled")
     }
+    // the sink-level flag writes tag-5 frames the distributed source
+    // reads back (reference parity end to end: arcgis.py:76)
+    val out = Files.createTempDirectory("gtiff-lzw").toString
+    val day = cube.filter(to_date(col("time")) === lit("1996-03-15"))
+    val t0 = day.agg(min("time")).head().get(0)
+    Export.writeGeoTiffs(day.filter(col("time") === lit(t0)), out,
+      ops.Resample.SrcGrid, lzw = true)
+    val sunk = ops.GeoTiff.decode(Files.readAllBytes(
+      new java.io.File(out, "1996-03-15.tif").toPath))
+    assert(sunk.compression == 5, s"sink wrote tag ${sunk.compression}")
+    assert(ops.GeoTiff.readCube(spark, out).count() == 32 * 32)
     // and the raw LZW codec survives sizes that cross the 9->10->11->12
     // bit-width boundaries and the table-reset point
     val big = Array.tabulate(300000)(i => ((i * 7919) ^ (i >> 3)).toByte)

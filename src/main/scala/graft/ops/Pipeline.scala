@@ -32,6 +32,15 @@ object Pipeline {
       .filter(col("contamination_pct") <= Quality.MaxContaminationPct &&
         col("valid_pct") >= Quality.MinValidPct)
       .select("tile_id", "time")
+    // `gated` feeds both the scene-stats branch and the filtered-cube
+    // branch, so Catalyst re-evaluates the scan + QC + semi-join
+    // subtree per consumer. Deliberately left declarative: both gates
+    // are broadcast semi-joins (the big side never shuffles), and a
+    // measured parquet materialization of this stage cost MORE at
+    // sf0.1 than the recompute it saved. At 100 TB the pipeline runs
+    // through [[runAndWrite]], where writeGranuleCache persists
+    // exactly this stage (processor.py:349-366) and downstream stages
+    // read the cache instead of re-scanning the facts.
     val gated = px.join(gatedGranules, Seq("tile_id", "time"), "left_semi")
 
     // 3. scene-level quality filter (quality.py:29-91): keep scenes the

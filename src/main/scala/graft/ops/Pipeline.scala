@@ -21,28 +21,33 @@ object Pipeline {
 
   final case class Result(cube: DataFrame, sceneStats: DataFrame, events: DataFrame)
 
-  /** Run the full flow over the testdata pixel relation. */
-  def run(spark: SparkSession, dir: String): Result = {
-    // 1. scan + indices + masks (processor.py:165-301)
+  /** Stage 1 — scan + indices + masks + per-granule QC gate
+    * (processor.py:165-301, 280-292): aggregate, filter, semi-join
+    * survivors back to the pixel relation. This is exactly the relation
+    * the reference persists as its granule cache (processor.py:349-366).
+    *
+    * `gated` feeds both the scene-stats branch and the filtered-cube
+    * branch downstream, so Catalyst re-evaluates the scan + QC +
+    * semi-join subtree per consumer in the one-shot [[run]] form.
+    * Deliberately left declarative there: both gates are broadcast
+    * semi-joins (the big side never shuffles), and a measured parquet
+    * materialization of this stage cost MORE at sf0.1 than the
+    * recompute it saved. The production [[runAndWrite]] flow persists
+    * this stage through `Export.writeGranuleCache` and feeds the rest
+    * of the DAG from the cache — one fact scan, like the reference. */
+  private[graft] def gatedPixels(spark: SparkSession, dir: String): DataFrame = {
     val px = PixelOps.withIndices(Pixels.pixels(spark, dir))
-
-    // 2. per-granule QC gate (processor.py:280-292): aggregate, filter,
-    //    semi-join survivors back to the pixel relation
     val gatedGranules = Quality.granuleQc(spark, dir)
       .filter(col("contamination_pct") <= Quality.MaxContaminationPct &&
         col("valid_pct") >= Quality.MinValidPct)
       .select("tile_id", "time")
-    // `gated` feeds both the scene-stats branch and the filtered-cube
-    // branch, so Catalyst re-evaluates the scan + QC + semi-join
-    // subtree per consumer. Deliberately left declarative: both gates
-    // are broadcast semi-joins (the big side never shuffles), and a
-    // measured parquet materialization of this stage cost MORE at
-    // sf0.1 than the recompute it saved. At 100 TB the pipeline runs
-    // through [[runAndWrite]], where writeGranuleCache persists
-    // exactly this stage (processor.py:349-366) and downstream stages
-    // read the cache instead of re-scanning the facts.
-    val gated = px.join(gatedGranules, Seq("tile_id", "time"), "left_semi")
+    px.join(gatedGranules, Seq("tile_id", "time"), "left_semi")
+  }
 
+  /** Stages 2-5 from an already-gated pixel relation (any source: the
+    * live [[gatedPixels]] plan or a granule-cache read-back). Needs
+    * columns (tile_id, time, date, y, x, ndvi_c, evi_c). */
+  private[graft] def fromGated(gated: DataFrame): Result = {
     // 3. scene-level quality filter (quality.py:29-91): keep scenes the
     //    neighbor pass doesn't reject (skip entirely when < 3 scenes,
     //    quality.py:19-21)
@@ -80,11 +85,32 @@ object Pipeline {
     Result(cube, scenes, events)
   }
 
+  /** Run the full flow over the testdata pixel relation as ONE
+    * declarative DAG (the oracle-gated p05/p06 form). */
+  def run(spark: SparkSession, dir: String): Result =
+    fromGated(gatedPixels(spark, dir))
+
   /** Run and persist through the standard sinks (pipeline.py:167-187),
     * including per-date GeoTIFF frames on the reference grid
-    * (arcgis.py:60-101: export follows the cube write). */
+    * (arcgis.py:60-101: export follows the cube write).
+    *
+    * Production shape: stage 1 lands in the granule cache first
+    * (processor.py:349-366) and every downstream stage reads the cache
+    * — the fact relation is scanned ONCE no matter how many branches
+    * consume the gated pixels, and a later incremental run anti-joins
+    * against the same cache (m03). */
   def runAndWrite(spark: SparkSession, dir: String, outDir: String): Result = {
-    val r = run(spark, dir)
+    val cacheDir = s"$outDir/granule_cache"
+    Export.writeGranuleCache(
+      gatedPixels(spark, dir)
+        .select("tile_id", "time", "date", "y", "x", "ndvi_c", "evi_c"),
+      cacheDir)
+    // tile_id is a partition column in the cache layout; read-back
+    // type inference narrows it, so restore the long key
+    val cached = spark.read.parquet(cacheDir)
+      .select(col("tile_id").cast("long"), col("time"), col("date"),
+        col("y"), col("x"), col("ndvi_c"), col("evi_c"))
+    val r = fromGated(cached)
     Export.writeCube(r.cube, s"$outDir/cube")
     Export.writeEventsJson(r.events, s"$outDir/events")
     Export.writeIndexJson(spark, r.cube, s"$outDir/index")

@@ -48,6 +48,14 @@ class PipelineSpec extends SparkSpecBase {
     val r = Pipeline.runAndWrite(spark, sf, out)
     val cubeBack = spark.read.parquet(s"$out/cube")
     assert(cubeBack.count() == r.cube.count())
+    // production flow lands the gated stage in the granule cache and
+    // feeds the rest of the DAG from it (one fact scan): the cache
+    // holds exactly the gated pixels and the cube derives from it
+    val cache = spark.read.parquet(s"$out/granule_cache")
+    assert(cache.count() == Pipeline.gatedPixels(spark, sf).count(),
+      "granule cache does not hold the gated stage")
+    assert(r.cube.queryExecution.executedPlan.toString.contains("granule_cache"),
+      "cube plan does not read from the granule cache")
     assert(spark.read.json(s"$out/index").count() == 1)
     assert(spark.read.json(s"$out/style").count() == 6)
     // GeoTIFF frames: one parseable file per cube date, correct grid

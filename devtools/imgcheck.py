@@ -69,8 +69,8 @@ def gif_lzw_decode(data, expected):
         if len(table) < 4094:
             table.append(table[old] + entry[:1])
             # decoder trigger sits one entry below the encoder's
-            # (lag-consistent pair, no early change in GIF)
-            if len(table) == (1 << width) - 1 and width < 12:
+            # ((1<<w)+1): the canonical giflib pair, no early change
+            if len(table) == (1 << width) and width < 12:
                 width += 1
         old = code
     assert len(out) == expected, f'{len(out)} != {expected}'

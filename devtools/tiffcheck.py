@@ -47,7 +47,7 @@ def lzw_decode(data, expected):
         out += entry
         if len(table) < 4094:
             table.append(table[old] + entry[:1])
-            if len(table) == (1 << width) - 2 and width < 12:
+            if len(table) == (1 << width) - 1 and width < 12:
                 width += 1
         old = code
     assert len(out) == expected, f"LZW gave {len(out)}, want {expected}"

@@ -62,7 +62,10 @@ object BenchGate {
   private[graft] def sfMatches(json: String, sfDir: String): Boolean =
     "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(json).exists { m =>
       val v = m.group(1)
-      v == sfDir || sfDir.endsWith("sf" + v) || sfDir.endsWith(v)
+      // exact dir, or the bare scale factor as a full "sf<v>" path
+      // segment — a bare-suffix match would cross scale factors
+      // ("sf0.1".endsWith("1") is true for an sf1 baseline)
+      v == sfDir || sfDir == "sf" + v || sfDir.endsWith("/sf" + v)
     }
 
   /** The freshest usable baseline for `sfDir`: an explicit
@@ -81,19 +84,25 @@ object BenchGate {
       if (!Files.isDirectory(d)) Seq.empty
       else {
         import scala.jdk.CollectionConverters._
-        Files.list(d).iterator().asScala.toSeq
+        val stream = Files.list(d)
+        try stream.iterator().asScala.toSeq
           .flatMap(p => rx.findFirstMatchIn(p.getFileName.toString)
             .map(m => (m.group(1).toInt, p)))
           .sortBy(-_._1).map(_._2)
+        finally stream.close()
       }
     }
     (explicit ++ local ++ rounds).iterator.flatMap { p =>
-      val text = new String(Files.readAllBytes(p),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val qs = parseQueries(text)
-      if (qs.nonEmpty && sfMatches(text, sfDir))
-        Some((p.getFileName.toString, qs))
-      else None
+      // an unreadable candidate must not abort the bench (the gate is
+      // advisory; the timing artifact matters more) — skip it
+      try {
+        val text = new String(Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val qs = parseQueries(text)
+        if (qs.nonEmpty && sfMatches(text, sfDir))
+          Some((p.getFileName.toString, qs))
+        else None
+      } catch { case _: java.io.IOException => None }
     }.nextOption()
   }
 

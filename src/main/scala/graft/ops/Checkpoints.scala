@@ -46,8 +46,25 @@ object Checkpoints {
     * feeds later queries. Longs/doubles/float-arrays round-trip exactly
     * through parquet, so hashes are unaffected. */
   def materialize(df: DataFrame, prefix: String = "graft-mat"): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    val dir = scopedTempDir(prefix).toString
     df.write.mode("overwrite").parquet(dir)
     df.sparkSession.read.parquet(dir)
+  }
+
+  /** Temp table directory that is removed at JVM exit: repeated loop
+    * materializations / index builds must not accumulate dead parquet
+    * under the system temp dir across a long session. */
+  private[graft] def scopedTempDir(prefix: String): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.io.File): Unit = {
+        val kids = p.listFiles()
+        if (kids != null) kids.foreach(rm)
+        p.delete()
+        ()
+      }
+      rm(dir.toFile)
+    }))
+    dir
   }
 }

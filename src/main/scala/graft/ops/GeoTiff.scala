@@ -62,8 +62,14 @@ object GeoTiff {
     inf.setInput(data)
     val out = new Array[Byte](expected)
     var at = 0
-    while (at < expected && !inf.finished())
-      at += inf.inflate(out, at, expected - at)
+    var stalled = false
+    while (at < expected && !inf.finished() && !stalled) {
+      val n = inf.inflate(out, at, expected - at)
+      // truncated strip: inflate() returns 0 wanting input that will
+      // never come — fail instead of spinning
+      stalled = n == 0 && inf.needsInput()
+      at += n
+    }
     inf.end()
     require(at == expected, s"inflated $at bytes, expected $expected")
     out
@@ -72,158 +78,21 @@ object GeoTiff {
   // ------------------------------------------------------------- TIFF LZW
   // The reference's literal codec (arcgis.py:76, compress='lzw'): MSB-
   // first bit packing, 9→12-bit codes, ClearCode 256 / EOI 257, and the
-  // spec's "early change" (the code width bumps one entry early — TIFF6
-  // §13). Deflate remains the default write path; LZW sits behind a flag
-  // for byte-level reference parity.
+  // spec's "early change" (the code width bumps one entry early vs the
+  // GIF timing — TIFF6 §13, libtiff convention, validated against the
+  // JDK's javax.imageio TIFF codec in ExportSpec). Deflate remains the
+  // default write path; LZW sits behind a flag for byte-level reference
+  // parity.
 
   /** TIFF-flavor LZW compression of one strip. */
-  private[graft] def lzwEncode(raw: Array[Byte]): Array[Byte] = {
-    val Clear = 256
-    val Eoi = 257
-    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
-    var bitBuf = 0L
-    var bitCnt = 0
-    var width = 9
-    def put(code: Int): Unit = {
-      bitBuf = (bitBuf << width) | code
-      bitCnt += width
-      while (bitCnt >= 8) {
-        out.write(((bitBuf >>> (bitCnt - 8)) & 0xff).toInt)
-        bitCnt -= 8
-      }
-    }
-    // table: (prefix code, next byte) -> code
-    var table = new java.util.HashMap[Int, Int]()
-    var nextCode = 258
-    def key(prefix: Int, k: Int): Int = (prefix << 8) | k
-    put(Clear)
-    var prefix = -1
-    var i = 0
-    while (i < raw.length) {
-      val k = raw(i) & 0xff
-      if (prefix < 0) prefix = k
-      else {
-        val ext = table.getOrDefault(key(prefix, k), -1)
-        if (ext >= 0) prefix = ext
-        else {
-          put(prefix)
-          if (nextCode >= 4093) {
-            // table full: flush + reset (mirrored by the decoder)
-            put(Clear)
-            table = new java.util.HashMap[Int, Int]()
-            nextCode = 258
-            width = 9
-          } else {
-            table.put(key(prefix, k), nextCode)
-            nextCode += 1
-            // early change: the width grows one entry before the code
-            // space is exhausted (TIFF6 LZW convention)
-            if (nextCode == (1 << width) - 1 && width < 12) width += 1
-          }
-          prefix = k
-        }
-      }
-      i += 1
-    }
-    if (prefix >= 0) {
-      put(prefix)
-      // phantom table entry for the flushed code: the decoder adds one
-      // while processing it, and the width rules stay in lockstep only
-      // if the encoder counts it too (libtiff does the same)
-      nextCode += 1
-      if (nextCode == (1 << width) - 1 && width < 12) width += 1
-    }
-    put(Eoi)
-    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
-    out.toByteArray
-  }
+  private[graft] def lzwEncode(raw: Array[Byte]): Array[Byte] =
+    Lzw.encode(raw, msbFirst = true, encBumpAt = w => 1 << w)
 
   /** Inverse of [[lzwEncode]] (and of any spec-conforming TIFF LZW
     * writer without the horizontal-differencing predictor). */
-  private[graft] def lzwDecode(data: Array[Byte], expected: Int): Array[Byte] = {
-    val Clear = 256
-    val Eoi = 257
-    val out = new Array[Byte](expected)
-    var at = 0
-    var bitBuf = 0L
-    var bitCnt = 0
-    var pos = 0
-    var width = 9
-    def read(): Int = {
-      while (bitCnt < width) {
-        require(pos < data.length, "LZW stream truncated (no EOI)")
-        bitBuf = (bitBuf << 8) | (data(pos) & 0xff)
-        bitCnt += 8
-        pos += 1
-      }
-      val code = ((bitBuf >>> (bitCnt - width)) & ((1 << width) - 1)).toInt
-      bitCnt -= width
-      code
-    }
-    // table entries 258+ as (prefix code, appended byte); literals implicit
-    val prefixOf = new Array[Int](4096)
-    val byteOf = new Array[Byte](4096)
-    var nextCode = 258
-    def emit(code: Int): Byte = {
-      // write string for `code` ending at buffer position; returns first byte
-      var c = code
-      var len = 0
-      while (c >= 258) { len += 1; c = prefixOf(c) }
-      len += 1
-      require(at + len <= expected, s"LZW overflow: $at + $len > $expected")
-      var w = at + len - 1
-      c = code
-      while (c >= 258) { out(w) = byteOf(c); w -= 1; c = prefixOf(c) }
-      out(w) = c.toByte
-      at += len
-      out(w)
-    }
-    var old = -1
-    var done = false
-    while (!done && at < expected) {
-      val code = read()
-      if (code == Eoi) done = true
-      else if (code == Clear) {
-        nextCode = 258
-        width = 9
-        old = -1
-      } else {
-        if (old < 0) {
-          // first code after a clear: must be a literal
-          require(code < 256, s"LZW: non-literal first code $code")
-          emit(code)
-          old = code
-        } else {
-          val first =
-            if (code < nextCode) emit(code)
-            else {
-              // KwKwK case: string(old) + firstChar(string(old))
-              require(code == nextCode, s"LZW: code $code ahead of table")
-              var c = old
-              while (c >= 258) c = prefixOf(c)
-              val f = c.toByte
-              val start = at
-              emit(old)
-              require(at < expected, "LZW overflow in KwKwK")
-              out(at) = f
-              at += 1
-              out(start)
-            }
-          if (nextCode < 4094) {
-            prefixOf(nextCode) = old
-            byteOf(nextCode) = first
-            nextCode += 1
-            // the decoder's table lags the encoder's by one entry, so
-            // its early-change trigger sits one code lower
-            if (nextCode == (1 << width) - 2 && width < 12) width += 1
-          }
-          old = code
-        }
-      }
-    }
-    require(at == expected, s"LZW produced $at bytes, expected $expected")
-    out
-  }
+  private[graft] def lzwDecode(data: Array[Byte], expected: Int): Array[Byte] =
+    Lzw.decode(data, expected, msbFirst = true,
+      decBumpAt = w => (1 << w) - 1, label = "TIFF")
 
   /** Encode one date frame: exactly two band planes (NDVI, EVI — the
     * reference's fixed band set), row-major `height * width` float32

@@ -143,8 +143,14 @@ object Raster {
       inf.setInput(idat.toByteArray)
       val raw = new Array[Byte](h * (1 + w * 4))
       var at = 0
-      while (at < raw.length && !inf.finished())
-        at += inf.inflate(raw, at, raw.length - at)
+      var stalled = false
+      while (at < raw.length && !inf.finished() && !stalled) {
+        val n = inf.inflate(raw, at, raw.length - at)
+        // a truncated IDAT makes inflate() return 0 wanting more input
+        // that will never come — fail instead of spinning
+        stalled = n == 0 && inf.needsInput()
+        at += n
+      }
       inf.end()
       require(at == raw.length, s"IDAT inflated $at, want ${raw.length}")
       val px = new Array[Int](w * h)
@@ -171,142 +177,17 @@ object Raster {
   object Gif {
 
     /** GIF LZW with 8-bit min code size: codes start at 9 bits,
-      * Clear=256, EOI=257. Width triggers are the lag-consistent pair
-      * (encoder bumps after its add at nextCode == 1<<w, the decoder —
-      * one table entry behind — at (1<<w)-1), with the same
-      * phantom-add-at-flush as the TIFF codec ([[GeoTiff]]). */
-    private[graft] def lzwEncode(data: Array[Byte]): Array[Byte] = {
-      val Clear = 256
-      val Eoi = 257
-      val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
-      var bitBuf = 0L
-      var bitCnt = 0
-      var width = 9
-      def put(code: Int): Unit = {
-        bitBuf |= code.toLong << bitCnt // LSB-first
-        bitCnt += width
-        while (bitCnt >= 8) {
-          out.write((bitBuf & 0xff).toInt)
-          bitBuf >>>= 8
-          bitCnt -= 8
-        }
-      }
-      var table = new java.util.HashMap[Int, Int]()
-      var nextCode = 258
-      def key(prefix: Int, k: Int): Int = (prefix << 8) | k
-      put(Clear)
-      var prefix = -1
-      var i = 0
-      while (i < data.length) {
-        val k = data(i) & 0xff
-        if (prefix < 0) prefix = k
-        else {
-          val ext = table.getOrDefault(key(prefix, k), -1)
-          if (ext >= 0) prefix = ext
-          else {
-            put(prefix)
-            if (nextCode >= 4094) {
-              put(Clear)
-              table = new java.util.HashMap[Int, Int]()
-              nextCode = 258
-              width = 9
-            } else {
-              table.put(key(prefix, k), nextCode)
-              nextCode += 1
-              if (nextCode == (1 << width) && width < 12) width += 1
-            }
-            prefix = k
-          }
-        }
-        i += 1
-      }
-      if (prefix >= 0) {
-        put(prefix)
-        nextCode += 1
-        if (nextCode == (1 << width) && width < 12) width += 1
-      }
-      put(Eoi)
-      if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
-      out.toByteArray
-    }
+      * Clear=256, EOI=257, LSB-first packing, and the GIF width
+      * timing — encoder widens after its add at nextCode == (1<<w)+1,
+      * the decoder (one table entry behind) at 1<<w. One code LATER
+      * than TIFF's early-change pair; validated against the JDK's
+      * javax.imageio GIF codec in RasterSpec. */
+    private[graft] def lzwEncode(data: Array[Byte]): Array[Byte] =
+      Lzw.encode(data, msbFirst = false, encBumpAt = w => (1 << w) + 1)
 
-    private[graft] def lzwDecode(data: Array[Byte], expected: Int): Array[Byte] = {
-      val Clear = 256
-      val Eoi = 257
-      val out = new Array[Byte](expected)
-      var at = 0
-      var bitBuf = 0L
-      var bitCnt = 0
-      var pos = 0
-      var width = 9
-      def read(): Int = {
-        while (bitCnt < width) {
-          require(pos < data.length, "GIF LZW stream truncated")
-          bitBuf |= (data(pos) & 0xffL) << bitCnt
-          bitCnt += 8
-          pos += 1
-        }
-        val code = (bitBuf & ((1 << width) - 1)).toInt
-        bitBuf >>>= width
-        bitCnt -= width
-        code
-      }
-      val prefixOf = new Array[Int](4096)
-      val byteOf = new Array[Byte](4096)
-      var nextCode = 258
-      def emit(code: Int): Byte = {
-        var c = code
-        var len = 0
-        while (c >= 258) { len += 1; c = prefixOf(c) }
-        len += 1
-        require(at + len <= expected, s"GIF LZW overflow: $at + $len > $expected")
-        var w = at + len - 1
-        c = code
-        while (c >= 258) { out(w) = byteOf(c); w -= 1; c = prefixOf(c) }
-        out(w) = c.toByte
-        at += len
-        out(w)
-      }
-      var old = -1
-      var done = false
-      while (!done && at < expected) {
-        val code = read()
-        if (code == Eoi) done = true
-        else if (code == Clear) {
-          nextCode = 258
-          width = 9
-          old = -1
-        } else if (old < 0) {
-          require(code < 256, s"GIF LZW: non-literal first code $code")
-          emit(code)
-          old = code
-        } else {
-          val first =
-            if (code < nextCode) emit(code)
-            else {
-              require(code == nextCode, s"GIF LZW: code $code ahead of table")
-              var c = old
-              while (c >= 258) c = prefixOf(c)
-              val f = c.toByte
-              val start = at
-              emit(old)
-              require(at < expected, "GIF LZW overflow in KwKwK")
-              out(at) = f
-              at += 1
-              out(start)
-            }
-          if (nextCode < 4094) {
-            prefixOf(nextCode) = old
-            byteOf(nextCode) = first
-            nextCode += 1
-            if (nextCode == (1 << width) - 1 && width < 12) width += 1
-          }
-          old = code
-        }
-      }
-      require(at == expected, s"GIF LZW produced $at, want $expected")
-      out
-    }
+    private[graft] def lzwDecode(data: Array[Byte], expected: Int): Array[Byte] =
+      Lzw.decode(data, expected, msbFirst = false,
+        decBumpAt = w => 1 << w, label = "GIF")
 
     /** One frame: full-canvas palette indices + delay in centiseconds. */
     final case class Frame(indices: Array[Byte], delayCs: Int)
@@ -360,8 +241,8 @@ object Raster {
     /** Parse back what [[encode]] writes. Returns (width, height,
       * palette, frames). */
     def decode(bytes: Array[Byte]): (Int, Int, Array[Int], Seq[Frame]) = {
-      require(new String(bytes, 0, 6, StandardCharsets.US_ASCII) == "GIF89a",
-        "not a GIF89a")
+      val magic = new String(bytes, 0, 6, StandardCharsets.US_ASCII)
+      require(magic == "GIF89a" || magic == "GIF87a", s"not a GIF: $magic")
       var p = 6
       def u8(): Int = { val v = bytes(p) & 0xff; p += 1; v }
       def u16(): Int = { val v = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8); p += 2; v }
@@ -395,12 +276,28 @@ object Raster {
             val fw = u16()
             val fh = u16()
             require(fw == w && fh == h, "decoder reads full-canvas frames only")
-            require((u8() & 0x80) == 0, "decoder reads GCT frames only")
+            val iflags = u8()
+            require((iflags & 0x80) == 0, "decoder reads GCT frames only")
             require(u8() == 8, "decoder reads 8-bit min code size only")
             val data = new java.io.ByteArrayOutputStream()
             var n = u8()
             while (n != 0) { data.write(bytes, p, n); p += n; n = u8() }
-            frames += Frame(lzwDecode(data.toByteArray, w * h), delay)
+            val raw = lzwDecode(data.toByteArray, w * h)
+            // GIF interlacing (flag 0x40): the stream carries rows in
+            // four passes (every 8th from 0, from 4, every 4th from 2,
+            // every 2nd from 1) — restore natural row order
+            val px =
+              if ((iflags & 0x40) == 0) raw
+              else {
+                val order = (0 until h by 8) ++ (4 until h by 8) ++
+                  (2 until h by 4) ++ (1 until h by 2)
+                val out = new Array[Byte](w * h)
+                order.zipWithIndex.foreach { case (row, src) =>
+                  System.arraycopy(raw, src * w, out, row * w, w)
+                }
+                out
+              }
+            frames += Frame(px, delay)
           case other =>
             throw new IllegalArgumentException(f"unexpected GIF block 0x$other%02x")
         }

@@ -445,8 +445,7 @@ object SimOps {
           import s.implicits._
           val cent = rows.toSeq.toDF("cell", "i", "c")
           val assign = exactAssign(emb, f, n, cent, rows)
-          val dir = java.nio.file.Files
-            .createTempDirectory("graft-ivf-index").toString
+          val dir = Checkpoints.scopedTempDir("graft-ivf-index").toString
           emb.join(assign, "vec_id")
             .select("cell", "vec_id", "embedding")
             .write.mode("overwrite").partitionBy("cell").parquet(dir)

@@ -52,6 +52,9 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.sfMatches("""{"sf":"0.1"}""", "/root/testdata/sf0.1"))
     assert(!BenchGate.sfMatches("""{"sf":"0.01"}""", "/root/testdata/sf0.1"))
     assert(!BenchGate.sfMatches("""{"metric":"total"}""", "/root/testdata/sf0.1"))
+    // bare-number suffixes must not match across scale factors
+    assert(!BenchGate.sfMatches("""{"sf":"1"}""", "/root/testdata/sf0.1"))
+    assert(!BenchGate.sfMatches("""{"sf":"0.1"}""", "/root/testdata/sf0.01"))
   }
 
   test("report emits a verdict the contract line can embed") {

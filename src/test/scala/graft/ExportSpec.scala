@@ -180,6 +180,95 @@ class ExportSpec extends SparkSpecBase {
     }
   }
 
+  test("TIFF LZW agrees with the JDK imageio TIFF codec in both directions") {
+    // our encoder/decoder pair round-trips regardless of width timing,
+    // so the libtiff-convention check needs an independent codec: the
+    // JDK ships a TIFF plugin. Forward: a minimal 8-bit gray TIFF
+    // carrying our LZW strip must read back pixel-perfect. Reverse: a
+    // JDK-written LZW TIFF's strip must decode through our lzwDecode.
+    import java.nio.{ByteBuffer, ByteOrder}
+    val (w, h) = (128, 128) // 16k random bytes: all width bumps + reset
+    val rnd = new scala.util.Random(13)
+    val pixels = Array.fill(w * h)(rnd.nextInt(256).toByte)
+
+    // --- forward: wrap our LZW stream in a minimal grayscale TIFF
+    val lzw = ops.GeoTiff.lzwEncode(pixels)
+    val forward = {
+      val ifdPos = 8 + lzw.length + (lzw.length & 1)
+      val entries = Seq[(Int, Int, Int, Int)](
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8), (259, 3, 1, 5),
+        (262, 3, 1, 1), (273, 4, 1, 8), (277, 3, 1, 1), (278, 4, 1, h),
+        (279, 4, 1, lzw.length))
+      val b = ByteBuffer.allocate(ifdPos + 2 + entries.size * 12 + 4)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdPos)
+      b.put(lzw)
+      if ((lzw.length & 1) == 1) b.put(0.toByte)
+      b.putShort(entries.size.toShort)
+      entries.foreach { case (tag, typ, cnt, v) =>
+        b.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt)
+        if (typ == 3) { b.putShort(v.toShort); b.putShort(0) } else b.putInt(v)
+      }
+      b.putInt(0)
+      b.array()
+    }
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(forward))
+    assert(img != null, "JDK TIFF reader refused our LZW strip")
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img.getRaster.getSample(x, y, 0) & 0xff) ==
+        (pixels(y * w + x) & 0xff),
+        s"($x,$y): JDK decoded our TIFF LZW stream differently")
+
+    // --- reverse: JDK writes LZW, our decoder reads the strip
+    val gray = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    gray.getRaster.setDataElements(0, 0, w, h, pixels)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tif").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("LZW")
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(gray, null, null), param)
+    ios.close()
+    val jdkTiff = baos.toByteArray
+    // parse the JDK file's IFD for strip offsets/counts + RowsPerStrip
+    val jb = ByteBuffer.wrap(jdkTiff).order(
+      if (jdkTiff(0) == 'I') ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    val ifd = jb.getInt(4)
+    val n = jb.getShort(ifd) & 0xffff
+    val tags = (0 until n).map { i =>
+      val e = ifd + 2 + i * 12
+      (jb.getShort(e) & 0xffff) -> ((jb.getShort(e + 2) & 0xffff, jb.getInt(e + 4), e + 8))
+    }.toMap
+    def arr(tag: Int): Seq[Int] = {
+      val (typ, cnt, at) = tags(tag)
+      val size = if (typ == 3) 2 else 4
+      val base = if (size * cnt <= 4) at else jb.getInt(at)
+      (0 until cnt).map(i =>
+        if (typ == 3) jb.getShort(base + i * 2) & 0xffff else jb.getInt(base + i * 4))
+    }
+    assert(arr(259).head == 5, s"JDK wrote compression ${arr(259).head}, not LZW")
+    // no predictor (or predictor 1): our decoder does not undo differencing
+    val predictor = if (tags.contains(317)) arr(317).head else 1
+    assert(predictor == 1, s"JDK used predictor $predictor; disable it in the test")
+    val rps = arr(278).head
+    val offs = arr(273)
+    val cnts = arr(279)
+    val got = new Array[Byte](w * h)
+    var at = 0
+    offs.indices.foreach { si =>
+      val rows = math.min(rps, h - si * rps)
+      val strip = ops.GeoTiff.lzwDecode(
+        java.util.Arrays.copyOfRange(jdkTiff, offs(si), offs(si) + cnts(si)),
+        w * rows)
+      System.arraycopy(strip, 0, got, at, strip.length)
+      at += strip.length
+    }
+    assert(got.sameElements(pixels), "our decoder misread the JDK's LZW strips")
+  }
+
   test("geotiff frames deflate-compress: measurably smaller, identical content") {
     val g = ops.Resample.SrcGrid
     // repetitive-but-nontrivial payload, like real raster frames

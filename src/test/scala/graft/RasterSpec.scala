@@ -84,6 +84,54 @@ class RasterSpec extends SparkSpecBase {
     assert(nf.head.indices.sameElements(noisy.indices))
   }
 
+  test("JDK imageio accepts our PNG and GIF byte-for-byte (independent codec oracle)") {
+    // a round-trip through our own encoder/decoder pair cannot catch an
+    // LZW width-timing drift (both sides would drift in lockstep); the
+    // JDK's GIF/PNG codecs are a genuinely independent implementation
+    val rnd = new scala.util.Random(5)
+    val (w, h) = (128, 128) // 16k random pixels: crosses 9->10->11->12 bit
+                            // widths AND the 4093 table reset
+    val palette = Raster.RdYlGn :+ 0xffffff
+    val idx = Array.fill(w * h)(rnd.nextInt(256).toByte)
+    val gif = Raster.Gif.encode(w, h, palette, Seq(Raster.Gif.Frame(idx, 50)))
+    val gimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    assert(gimg != null, "JDK refused our GIF")
+    assert(gimg.getWidth == w && gimg.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val want = 0xff000000 | palette(idx(y * w + x) & 0xff)
+      assert(gimg.getRGB(x, y) == want,
+        f"GIF ($x,$y): JDK read 0x${gimg.getRGB(x, y)}%08x, we wrote 0x$want%08x")
+    }
+    val px = Array.fill(w * h)(rnd.nextInt())
+    val png = Raster.Png.encode(w, h, px)
+    val pimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(pimg != null, "JDK refused our PNG")
+    for (y <- 0 until h; x <- 0 until w)
+      assert(pimg.getRGB(x, y) == px(y * w + x), s"PNG ($x,$y) mismatch")
+  }
+
+  test("our GIF decoder reads a JDK-encoded GIF (reverse direction)") {
+    val (w, h) = (96, 80)
+    val rnd = new scala.util.Random(9)
+    val idx = Array.fill(w * h)(rnd.nextInt(256).toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256,
+      Array.tabulate(256)(i => ((i * 37) % 256).toByte),
+      Array.tabulate(256)(i => ((i * 11) % 256).toByte),
+      Array.tabulate(256)(i => ((i * 3) % 256).toByte))
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    img.getRaster.setDataElements(0, 0, w, h, idx)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", baos), "JDK has no GIF writer?")
+    val (dw, dh, dpal, frames) = Raster.Gif.decode(baos.toByteArray)
+    assert(dw == w && dh == h && frames.size == 1)
+    // compare COLORS, not raw indices: the writer may reorder its table
+    for (i <- 0 until w * h)
+      assert(dpal(frames.head.indices(i) & 0xff) ==
+        (cm.getRGB(idx(i) & 0xff) & 0xffffff),
+        s"pixel $i color mismatch against the JDK encoder")
+  }
+
   test("PNG frame sink renders the reference colormap semantics per date") {
     val out = Files.createTempDirectory("png-frames").toString
     val day = cube.filter(to_date(col("time")) === lit("1996-03-15"))

@@ -93,8 +93,11 @@ object BenchGate {
       }
     }
     (explicit ++ local ++ rounds).iterator.flatMap { p =>
-      // an unreadable candidate must not abort the bench (the gate is
-      // advisory; the timing artifact matters more) — skip it
+      // an unreadable or corrupt candidate must not abort the bench
+      // (the gate is advisory; the timing artifact matters more): a
+      // truncated value like `"p01":5e` throws NumberFormatException
+      // out of parseQueries, not just IOException — skip on anything
+      // non-fatal
       try {
         val text = new String(Files.readAllBytes(p),
           java.nio.charset.StandardCharsets.UTF_8)
@@ -102,7 +105,7 @@ object BenchGate {
         if (qs.nonEmpty && sfMatches(text, sfDir))
           Some((p.getFileName.toString, qs))
         else None
-      } catch { case _: java.io.IOException => None }
+      } catch { case scala.util.control.NonFatal(_) => None }
     }.nextOption()
   }
 

@@ -53,9 +53,14 @@ object Checkpoints {
 
   /** Temp table directory that is removed at JVM exit: repeated loop
     * materializations / index builds must not accumulate dead parquet
-    * under the system temp dir across a long session. */
-  private[graft] def scopedTempDir(prefix: String): java.nio.file.Path = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    * under the system temp dir beyond the session. ONE static hook
+    * drains the registry — a hook Thread per directory would pile up
+    * unboundedly in loop-heavy sessions and all start concurrently at
+    * exit. */
+  private val tempDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  private lazy val cleanupHook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(p: java.io.File): Unit = {
         val kids = p.listFiles()
@@ -63,8 +68,18 @@ object Checkpoints {
         p.delete()
         ()
       }
-      rm(dir.toFile)
+      var d = tempDirs.poll()
+      while (d != null) {
+        rm(d.toFile)
+        d = tempDirs.poll()
+      }
     }))
+  }
+
+  private[graft] def scopedTempDir(prefix: String): java.nio.file.Path = {
+    cleanupHook
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    tempDirs.add(dir)
     dir
   }
 }

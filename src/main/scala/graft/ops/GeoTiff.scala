@@ -57,23 +57,8 @@ object GeoTiff {
     out.toByteArray
   }
 
-  private def inflate(data: Array[Byte], expected: Int): Array[Byte] = {
-    val inf = new java.util.zip.Inflater()
-    inf.setInput(data)
-    val out = new Array[Byte](expected)
-    var at = 0
-    var stalled = false
-    while (at < expected && !inf.finished() && !stalled) {
-      val n = inf.inflate(out, at, expected - at)
-      // truncated strip: inflate() returns 0 wanting input that will
-      // never come — fail instead of spinning
-      stalled = n == 0 && inf.needsInput()
-      at += n
-    }
-    inf.end()
-    require(at == expected, s"inflated $at bytes, expected $expected")
-    out
-  }
+  private def inflate(data: Array[Byte], expected: Int): Array[Byte] =
+    Zlib.inflateExact(data, expected, "TIFF strip")
 
   // ------------------------------------------------------------- TIFF LZW
   // The reference's literal codec (arcgis.py:76, compress='lzw'): MSB-

@@ -18,6 +18,28 @@ package graft.ops
   * round-trip through this pair alone cannot catch a timing bug,
   * because encoder and decoder would drift in lockstep.
   */
+/** Shared zlib inflate for the PNG and TIFF decoders: exact expected
+  * size, and a stall check that fails on truncated or
+  * preset-dictionary streams instead of spinning (all input is set up
+  * front, so a zero-byte round can never become progress later). */
+private[ops] object Zlib {
+  def inflateExact(data: Array[Byte], expected: Int, label: String): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new Array[Byte](expected)
+    var at = 0
+    var stalled = false
+    while (at < expected && !inf.finished() && !stalled) {
+      val n = inf.inflate(out, at, expected - at)
+      stalled = n == 0
+      at += n
+    }
+    inf.end()
+    require(at == expected, s"$label inflated $at bytes, expected $expected")
+    out
+  }
+}
+
 private[ops] object Lzw {
 
   private val Clear = 256

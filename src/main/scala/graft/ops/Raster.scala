@@ -139,20 +139,7 @@ object Raster {
           case _ => ()
         }
       }
-      val inf = new Inflater()
-      inf.setInput(idat.toByteArray)
-      val raw = new Array[Byte](h * (1 + w * 4))
-      var at = 0
-      var stalled = false
-      while (at < raw.length && !inf.finished() && !stalled) {
-        val n = inf.inflate(raw, at, raw.length - at)
-        // a truncated IDAT makes inflate() return 0 wanting more input
-        // that will never come — fail instead of spinning
-        stalled = n == 0 && inf.needsInput()
-        at += n
-      }
-      inf.end()
-      require(at == raw.length, s"IDAT inflated $at, want ${raw.length}")
+      val raw = Zlib.inflateExact(idat.toByteArray, h * (1 + w * 4), "PNG IDAT")
       val px = new Array[Int](w * h)
       for (y <- 0 until h) {
         val row = y * (1 + w * 4)

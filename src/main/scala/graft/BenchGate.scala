@@ -57,16 +57,20 @@ object BenchGate {
   }
 
   /** A baseline only gates a run at the SAME scale factor: the artifact
-    * records either the full sf dir (contract line) or the bare number
-    * (driver artifact). */
-  private[graft] def sfMatches(json: String, sfDir: String): Boolean =
-    "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(json).exists { m =>
+    * records either the full sf dir (contract line, quoted string) or
+    * the bare scale-factor NUMBER (the driver's BENCH_r<N>.json writes
+    * `"sf": 0.1` unquoted, with the contract line quote-escaped inside
+    * its `tail` field — so unescape first, like [[parseQueries]]). */
+  private[graft] def sfMatches(json: String, sfDir: String): Boolean = {
+    val text = json.replace("\\\"", "\"")
+    "\"sf\"\\s*:\\s*\"?([^\",}\\s]+)\"?".r.findFirstMatchIn(text).exists { m =>
       val v = m.group(1)
       // exact dir, or the bare scale factor as a full "sf<v>" path
       // segment — a bare-suffix match would cross scale factors
       // ("sf0.1".endsWith("1") is true for an sf1 baseline)
       v == sfDir || sfDir == "sf" + v || sfDir.endsWith("/sf" + v)
     }
+  }
 
   /** The freshest usable baseline for `sfDir`: an explicit
     * `SPARK_GRAFT_BENCH_PREV` path, else BENCH_local.json (the full

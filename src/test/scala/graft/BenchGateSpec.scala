@@ -55,6 +55,16 @@ class BenchGateSpec extends AnyFunSuite {
     // bare-number suffixes must not match across scale factors
     assert(!BenchGate.sfMatches("""{"sf":"1"}""", "/root/testdata/sf0.1"))
     assert(!BenchGate.sfMatches("""{"sf":"0.1"}""", "/root/testdata/sf0.01"))
+    // the driver's BENCH_r<N>.json writes sf as a bare NUMBER and
+    // quote-escapes the contract line inside its tail field — both
+    // forms must match, so a cross-round baseline is actually found
+    assert(BenchGate.sfMatches("""{"n": 5, "sf": 0.1, "tail": "..."}""",
+      "/root/testdata/sf0.1"))
+    assert(!BenchGate.sfMatches("""{"n": 5, "sf": 0.01, "tail": "..."}""",
+      "/root/testdata/sf0.1"))
+    assert(BenchGate.sfMatches(
+      """{"n": 5, "tail": "...,\"sf\":\"/root/testdata/sf0.1\"}"}""",
+      "/root/testdata/sf0.1"))
   }
 
   test("report emits a verdict the contract line can embed") {

@@ -19,7 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  final case class Result(cube: DataFrame, sceneStats: DataFrame, events: DataFrame)
+  /** `cube` is chronologically sorted for the sinks (the reference
+    * writes its cube time-ordered, pipeline.py:167-187); `cubeRaw` is
+    * the SAME relation before that presentation sort. Downstream
+    * aggregation (p05 summary, the event day-series) must consume
+    * `cubeRaw`: Catalyst keeps a sort under an aggregate when the agg
+    * functions are float (EliminateSorts only drops order-irrelevant
+    * integral aggs), so deriving from `cube` pays a range-partitioning
+    * exchange + global sort of the full merged cube that the next
+    * groupBy immediately destroys. */
+  final case class Result(cube: DataFrame, cubeRaw: DataFrame,
+      sceneStats: DataFrame, events: DataFrame)
 
   /** Stage 1 — scan + indices + masks + per-granule QC gate
     * (processor.py:165-301, 280-292): aggregate, filter, semi-join
@@ -66,23 +76,24 @@ object Pipeline {
       .select("time")
     val filtered = gated.join(keepScenes, Seq("time"), "left_semi")
 
-    // 4. same-day merge (merger.py:56-93) + chronological order
-    val cube = filtered
+    // 4. same-day merge (merger.py:56-93); chronological order applied
+    //    only on the sink-facing relation (see Result scaladoc)
+    val cubeRaw = filtered
       .groupBy(col("date"), col("y"), col("x"))
       .agg(avg("ndvi_c").as("ndvi"), avg("evi_c").as("evi"),
         countDistinct("tile_id", "time").as("num_granules_merged"))
       .withColumn("time", col("date").cast("timestamp"))
-      .orderBy("time", "y", "x")
+    val cube = cubeRaw.orderBy("time", "y", "x")
 
     // 5. scene series + event detection (quality.py:105-181) over the
     //    merged cube's daily means
-    val daySeries = cube.groupBy(col("date").as("day"))
+    val daySeries = cubeRaw.groupBy(col("date").as("day"))
       .agg(avg("ndvi").as("vmean"))
     val events = Events.detectDrops(daySeries,
       dropThreshold = PipeDropThreshold,
       recoveryThreshold = PipeRecoveryThreshold)
 
-    Result(cube, scenes, events)
+    Result(cube, cubeRaw, scenes, events)
   }
 
   /** Run the full flow over the testdata pixel relation as ONE
@@ -126,7 +137,7 @@ object Pipeline {
     * under the hash gate, so a wiring regression (a dropped semi-join, a
     * filter applied pre-gate) fails correctness, not just a spec. */
   val pipelineSummaryQ: (SparkSession, String) => DataFrame = (s, d) => {
-    val cube = run(s, d).cube
+    val cube = run(s, d).cubeRaw
     cube.groupBy(col("date"))
       .agg(count(lit(1)).as("n_cells"),
         sum("num_granules_merged").as("n_granules"),

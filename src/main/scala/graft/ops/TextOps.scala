@@ -570,18 +570,24 @@ object TextOps {
             "component diameter exceeds the near-dup posture; raise maxRounds " +
             "deliberately or pre-split the graph")
         rounds += 1
+        // carry each node's OWN label through the same aggregation that
+        // takes the neighbor minimum: convergence detection is then a
+        // filter-count on the pinned round result instead of a second
+        // keyed join-shuffle per round. Every dst is also a src (the
+        // edge list is symmetrized above), so `prev` is never null.
         val msgs = edges.join(comp, edges("src") === comp("id"))
-          .select(col("dst").as("id"), col("comp"))
-        val (next, nextPin) = Checkpoints.pin(comp.unionByName(msgs)
-          .groupBy("id").agg(min("comp").as("comp")))
-        changed = next
-          .join(comp.withColumnRenamed("comp", "prev"), "id")
-          .filter(col("comp") =!= col("prev")).count()
+          .select(col("dst").as("id"), col("comp"), lit(false).as("self"))
+        val (next, nextPin) = Checkpoints.pin(
+          comp.withColumn("self", lit(true)).unionByName(msgs)
+            .groupBy("id")
+            .agg(min(col("comp")).as("comp"),
+              min(when(col("self"), col("comp"))).as("prev")))
+        changed = next.filter(col("comp") =!= col("prev")).count()
         // the superseded round's block is dead once `next` is pinned and
         // compared; release it so the loop holds ONE node-sized block,
         // not one per round
         Checkpoints.release(pin)
-        comp = next
+        comp = next.select("id", "comp")
         pin = nextPin
       }
       // the label table outlives this loop (its consumer's action runs

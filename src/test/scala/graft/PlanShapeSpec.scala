@@ -57,6 +57,25 @@ class PlanShapeSpec extends SparkSpecBase {
       s"cosine path shuffled on the flattened index:\n$p")
   }
 
+  test("pipeline analytics sort once: no mid-DAG range exchange under the aggregates") {
+    // the cube's chronological orderBy is presentation-only (Result.cube);
+    // p05/p06 aggregate from Result.cubeRaw. EliminateSorts does NOT
+    // remove a sort under a float avg, so consuming the sorted relation
+    // would re-introduce a range-partitioning exchange + global sort of
+    // the full merged cube below the groupBy — the single allowed range
+    // exchange is each query's final ORDER BY.
+    // p06's detector window already collapses the day series to a single
+    // partition, so its final sort needs no range exchange at all — the
+    // bound is "at most the final one", which the removed regression
+    // (a SECOND range exchange below the groupBy) still violates.
+    for (q <- Seq("p05_pipeline_summary", "p06_pipeline_events")) {
+      val p = plan(q)
+      val nRange = "rangepartitioning".r.findAllIn(p).length
+      assert(nRange <= 1,
+        s"$q: expected at most the final presentation sort, found $nRange range exchanges in:\n$p")
+    }
+  }
+
   test("label-pair stats run on the packed arrays: no explode, no pair-key shuffle") {
     val p = plan("v03_label_sim_stats")
     assert(p.contains("graft_cosine"), s"native expression missing from:\n$p")

@@ -575,15 +575,13 @@ object SimOps {
       .orderBy("qid", "rk")
   }
 
-  /** Oracle template for [[simIvfN]]: the identical k-means chain, cell
-    * ranking (exact DECIMAL cosines, row_number with the cell
-    * tie-break) and top-3. */
-  private def simIvfNSql(nprobe: Int): String =
-    s"""WITH f AS (
-       |$flatSql
-       |), n AS (
-       |$normsSql
-       |), ${kmeansCtes(KmeansIters)}, cnf AS (
+  /** Oracle CTEs ranking every vector's cosine against the FINAL trained
+    * centroids (`cnf` cell norms, `df` dots, `acr` ranked) — the exact
+    * arithmetic [[cellRanks]] computes. Assumes `f`, `n` and the k-means
+    * chain (through c[[KmeansIters]]) are in scope; shared by the v05/v07
+    * serve oracles and the v09 inverted-file oracle. */
+  private def assignRankCtes: String =
+    s"""cnf AS (
        |  SELECT cell, sqrt(${xsumHiSql("c * c")}) AS cnrm
        |  FROM c$KmeansIters GROUP BY cell
        |), df AS (
@@ -596,7 +594,17 @@ object SimOps {
        |      ORDER BY df.dot / (n.nrm * cnf.cnrm) DESC, df.cell ASC) AS arn
        |  FROM df JOIN n ON df.vec_id = n.vec_id
        |          JOIN cnf ON df.cell = cnf.cell
-       |), assign AS (
+       |)""".stripMargin
+
+  /** Oracle template for [[simIvfN]]: the identical k-means chain, cell
+    * ranking (exact DECIMAL cosines, row_number with the cell
+    * tie-break) and top-3. */
+  private def simIvfNSql(nprobe: Int): String =
+    s"""WITH f AS (
+       |$flatSql
+       |), n AS (
+       |$normsSql
+       |), ${kmeansCtes(KmeansIters)}, $assignRankCtes, assign AS (
        |  SELECT vec_id, cell FROM acr WHERE arn = 1
        |), qcells AS (
        |  SELECT vec_id AS qid, cell FROM acr WHERE vec_id < 20 AND arn <= $nprobe
@@ -652,6 +660,29 @@ object SimOps {
        |), ${kmeansCtes(KmeansIters)}
        |SELECT cell, i, c FROM c$KmeansIters
        |ORDER BY cell, i""".stripMargin
+
+  // ---------------------------------------------------------------- v09
+  /** The materialized inverted file itself as a declared relation: every
+    * corpus vector's trained cell, READ BACK from the cell-partitioned
+    * parquet index [[ivfIndex]] writes at build time. v08 oracle-gates
+    * the quantizer (centroids); this gates the OTHER half of the index —
+    * the corpus→cell assignment — and, because the Spark side serves
+    * from the materialized table rather than the live assignment plan,
+    * a hash match also proves the index round-trips losslessly through
+    * its parquet layout (partition-column cell included). Together
+    * v08+v09 pin the complete build artifact the v05/v07 serve path
+    * depends on. */
+  val ivfIndexQ: Q = (s, d) =>
+    ivfIndex(s, d).select(col("vec_id"), col("cell")).orderBy("vec_id")
+
+  val ivfIndexSql: String =
+    s"""WITH f AS (
+       |$flatSql
+       |), n AS (
+       |$normsSql
+       |), ${kmeansCtes(KmeansIters)}, $assignRankCtes
+       |SELECT vec_id, cell FROM acr WHERE arn = 1
+       |ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------- v06
   /** Embedding-cosine near-duplicate pairs over the WHOLE corpus: 4-bit
@@ -744,7 +775,8 @@ object SimOps {
     "v04_sim_topk_native" -> simTopkNativeExact,
     "v05_sim_ivf" -> simIvf,
     "v07_sim_ivf_probe2" -> simIvfProbe2,
-    "v08_kmeans_model" -> kmeansModelQ)
+    "v08_kmeans_model" -> kmeansModelQ,
+    "v09_ivf_index" -> ivfIndexQ)
 
   val oracle: Map[String, String] = Map(
     "v08_kmeans_model" -> kmeansModelSql,
@@ -754,5 +786,6 @@ object SimOps {
     "v03_label_sim_stats" -> labelSimStatsSql,
     "v04_sim_topk_native" -> simTopkSql,
     "v05_sim_ivf" -> simIvfSql,
-    "v07_sim_ivf_probe2" -> simIvfProbe2Sql)
+    "v07_sim_ivf_probe2" -> simIvfProbe2Sql,
+    "v09_ivf_index" -> ivfIndexSql)
 }

@@ -754,7 +754,137 @@ object TextOps {
        |ORDER BY band, key""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t14
+  /** Eval docs for the decontamination audit: the held-out set is the
+    * first [[EvalDocs]] documents (a stand-in for a benchmark/eval
+    * suite shipped beside the corpus). */
+  val EvalDocs = 20
+
+  /** N-gram width for contamination matching. Real pipelines use ~13
+    * whitespace tokens (the GPT-3/Gopher rule); this corpus draws from a
+    * ~30-word synthetic vocabulary, so 4-grams sit at the same
+    * discrimination point (3-grams collide on 76% of documents by
+    * chance, 4-grams on ~7% — genuine overlap, not noise). */
+  val DecontamN = 4
+
+  /** Exploded (doc_id, s) n-grams of width `n`; documents shorter than
+    * `n` tokens contribute nothing (filtered BEFORE `sequence`, which
+    * would otherwise generate a descending [1, 0] range). */
+  private[graft] def ngrams(doc: DataFrame, n: Int): DataFrame = {
+    val cat = (0 until n).map(j => s"try_element_at(ts, g + $j)")
+      .mkString(", ' ', ")
+    doc.select(col("doc_id"), toks.as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ts) - ${n - 1}), g -> concat($cat))")).as("s"))
+  }
+
+  /** Train/eval decontamination audit — the benchmark-leakage check a
+    * training pipeline runs before a corpus ships: any training document
+    * sharing a [[DecontamN]]-gram with a held-out eval document is
+    * contaminated, reported with how many distinct n-grams leak and how
+    * many eval documents it collides with.
+    *
+    * Scale posture: the eval n-gram set is EVAL-sized (thousands of
+    * docs), not corpus-sized, so it broadcasts; the 100 TB training side
+    * streams through the broadcast join with no shuffle before the final
+    * per-doc aggregate (map-side combined). This is the one dedup-family
+    * op whose join is legitimately broadcast — the build side is bounded
+    * by the eval suite, never by the corpus. */
+  val decontaminate: Q = (s, d) => {
+    val g = ngrams(Tables.documents(s, d), DecontamN)
+    val ev = g.filter(col("doc_id") < EvalDocs)
+      .select(col("doc_id").as("eval_id"), col("s")).distinct()
+    g.filter(col("doc_id") >= EvalDocs)
+      .join(broadcast(ev), "s")
+      .groupBy("doc_id")
+      .agg(countDistinct("s").as("n_hits"),
+        countDistinct("eval_id").as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String = {
+    val cat = (0 until DecontamN).map(j => s"ts[g.g+$j]").mkString(" || ' ' || ")
+    s"""WITH g AS (
+       |  SELECT doc_id, $cat AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |  LATERAL (SELECT unnest(generate_series(1, len(ts) - ${DecontamN - 1})) AS g) g
+       |  WHERE len(ts) >= $DecontamN
+       |), ev AS (
+       |  SELECT DISTINCT doc_id AS eval_id, s FROM g WHERE doc_id < $EvalDocs
+       |), hits AS (
+       |  SELECT g.doc_id, g.s, ev.eval_id
+       |  FROM g JOIN ev ON g.s = ev.s
+       |  WHERE g.doc_id >= $EvalDocs
+       |)
+       |SELECT doc_id, count(DISTINCT s) AS n_hits,
+       |  count(DISTINCT eval_id) AS n_eval_docs
+       |FROM hits GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t15
+  /** Token budget per packed training shard. */
+  val PackBudget = 2048L
+
+  /** Coarse range width for the distributed prefix sum: doc_ids are
+    * grouped into [[PackRange]]-wide ranges whose per-range totals form
+    * the (small) relation the only unpartitioned window runs over. */
+  val PackRange = 64L
+
+  /** Sequence packing — assign documents, in doc_id order, to fixed
+    * token-budget training shards (each doc goes wholly into the shard
+    * where its cumulative token offset falls), and emit the shard
+    * manifest. This is the sample-packing step that turns a deduped
+    * corpus into fixed-size training chunks.
+    *
+    * Scale posture: a naive `sum(tok) OVER (ORDER BY doc_id)` is a
+    * single-reducer global window — the classic scale trap. This is the
+    * two-level distributed prefix sum instead: per-range token totals
+    * (corpus/[[PackRange]] rows) take the only unpartitioned window;
+    * range offsets broadcast back; the per-document cumulative sum runs
+    * partitioned BY RANGE. At 100 TB the ranges relation is
+    * file-count-sized and every corpus-sized stage shuffles on its own
+    * bounded key. The oracle spells the single-window form — same
+    * associative sum, same result. */
+  val sequencePack: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, d).select(col("doc_id"),
+      size(toks).cast("long").as("tok"),
+      expr(s"doc_id div $PackRange").as("rng"))
+    val wR = Window.orderBy("rng")
+    val offs = t.groupBy("rng").agg(sum("tok").as("rtok"))
+      .select(col("rng"), (sum("rtok").over(wR) - col("rtok")).as("roff"))
+    val wD = Window.partitionBy("rng").orderBy("doc_id")
+    t.join(broadcast(offs), "rng")
+      .select(col("doc_id"), col("tok"),
+        (col("roff") + sum("tok").over(wD) - col("tok")).as("gstart"))
+      .select(col("doc_id"), col("tok"),
+        floor(col("gstart") / PackBudget).as("shard_id"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard_id")
+  }
+
+  val sequencePackSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |  FROM documents
+       |), p AS (
+       |  SELECT doc_id, tok,
+       |    CAST(floor(CAST(sum(tok) OVER (ORDER BY doc_id) - tok AS DOUBLE)
+       |               / $PackBudget) AS BIGINT) AS shard_id
+       |  FROM t
+       |)
+       |SELECT shard_id, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM p GROUP BY shard_id
+       |ORDER BY shard_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t15_sequence_pack" -> sequencePack,
+    "t14_decontaminate" -> decontaminate,
     "t13_component_audit" -> componentAudit,
     "t12_bucket_audit" -> bucketAudit,
     "t11_dedup_components" -> dedupComponents,
@@ -770,6 +900,8 @@ object TextOps {
     "t08_ngram_jaccard" -> ngramJaccard)
 
   val oracle: Map[String, String] = Map(
+    "t15_sequence_pack" -> sequencePackSql,
+    "t14_decontaminate" -> decontaminateSql,
     "t13_component_audit" -> componentAuditSql,
     "t12_bucket_audit" -> bucketAuditSql,
     "t11_dedup_components" -> dedupComponentsSql,

@@ -128,6 +128,22 @@ class SimSpec extends SparkSpecBase {
       s"serve plan scans the full corpus:\n${corpusScans.mkString("\n")}\nin:\n$p")
   }
 
+  test("materialized inverted file equals the live exact assignment, one cell per vector") {
+    val inv = SimOps.ivfIndexQ(spark, sf)
+      .as[(Long, Long)].collect()
+    val emb = Tables.embeddings(spark, sf)
+    assert(inv.length == emb.count(), "index does not cover the corpus")
+    assert(inv.map(_._1).distinct.length == inv.length,
+      "a vector is assigned to more than one cell")
+    // serving from the parquet index is bit-identical to ranking live
+    // against the trained centroids (rank-1 with the cell tie-break)
+    val f = SimOps.flat(emb)
+    val live = SimOps.cellRanks(f, SimOps.norms(f), SimOps.trainedModel(spark, sf))
+      .filter(col("arn") === 1)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(inv.toMap == live, "index drifted from the live assignment")
+  }
+
   test("quantizer size and seed rule are parameters of the trainer") {
     // a 4-cell model seeded from vectors 200-203, next to the default
     // 8-cell/100-107 model, out of the same parameterized trainer

@@ -92,6 +92,63 @@ class TextAggSpec extends SparkSpecBase {
     assert(TextOps.oversizedComponents(comp, cap = 4).count() == 0L)
   }
 
+  test("ngrams: width-n windows only, short documents contribute nothing") {
+    val doc = Seq((1L, "a b c d e"), (2L, "x y z"), (3L, "p q r s"))
+      .toDF("doc_id", "text")
+    val g = TextOps.ngrams(doc, 4).as[(Long, String)].collect().toSet
+    assert(g == Set((1L, "a b c d"), (1L, "b c d e"), (3L, "p q r s")),
+      s"wrong 4-grams: $g")
+  }
+
+  test("decontamination agrees with a driver-side recomputation on testdata") {
+    // independent ground truth: re-derive every doc's 4-gram set with
+    // plain Scala string windows and intersect against the eval set
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def grams(t: String): Set[(String, Int)] = {
+      val ts = t.split(" ")
+      (0 to ts.length - TextOps.DecontamN)
+        .map(i => (ts.slice(i, i + TextOps.DecontamN).mkString(" "), 0)).toSet
+    }
+    val evalGrams = docs.filter(_._1 < TextOps.EvalDocs)
+      .flatMap { case (id, t) => grams(t).map(g => (g._1, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = docs.filter(_._1 >= TextOps.EvalDocs).flatMap { case (id, t) =>
+      val hits = grams(t).map(_._1).filter(evalGrams.contains)
+      if (hits.isEmpty) None
+      else Some((id, hits.size.toLong, hits.flatMap(evalGrams).size.toLong))
+    }.sortBy(_._1).toSeq
+    val got = TextOps.decontaminate(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expected, s"decontamination mismatch:\n got $got\n exp $expected")
+    assert(got.forall(_._1 >= TextOps.EvalDocs), "an eval doc leaked into the audit")
+  }
+
+  test("sequence packing: two-level prefix sum equals the naive global window; totals preserved") {
+    import org.apache.spark.sql.expressions.Window
+    val manifest = TextOps.sequencePack(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // naive single-window form (the oracle's shape) computed inline
+    val naive = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+      .withColumn("gstart", sum("tok").over(Window.orderBy("doc_id")) - col("tok"))
+      .select(col("doc_id"), col("tok"),
+        floor(col("gstart") / TextOps.PackBudget).as("shard_id"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(manifest == naive, "two-level prefix sum drifted from the naive form")
+    // shards are contiguous from 0 and conserve docs and tokens
+    assert(manifest.map(_._1) == (0L until manifest.length).toSeq)
+    val (nd, nt) = Tables.documents(spark, sf)
+      .select(count(lit(1)), sum(size(split(col("text"), " ")).cast("long")))
+      .as[(Long, Long)].head()
+    assert(manifest.map(_._2).sum == nd, "docs lost or duplicated across shards")
+    assert(manifest.map(_._3).sum == nt, "tokens lost or duplicated across shards")
+  }
+
   test("Aggregator handles empty input and null shingles") {
     val sigs = Seq((1L, Option.empty[String]), (1L, Some("a b c")))
       .toDF("doc_id", "s")

@@ -882,7 +882,71 @@ object TextOps {
        |FROM p GROUP BY shard_id
        |ORDER BY shard_id""".stripMargin
 
+  // ---------------------------------------------------------------- t16
+  /** Repetition thresholds (the Gopher-rule shape: a document whose
+    * n-gram mass concentrates in repeats is boilerplate/spam): flag when
+    * more than 30% of trigram occurrences are repeats of an
+    * already-seen trigram, or the single most frequent bigram accounts
+    * for more than 18% of bigram occurrences. */
+  val DupTrigramMax = 0.30
+  val TopBigramMax = 0.18
+
+  /** Repetition-based quality filter — duplicate-trigram fraction and
+    * top-bigram concentration per document, with the keep/drop verdict.
+    * Complements t10's length/punctuation/stopword score with the
+    * repetition dimension real filter stacks (Gopher, C4) apply.
+    *
+    * Scale posture: two explode → keyed-aggregate passes (doc_id and
+    * (doc_id, gram) keys, map-side combined) — the t03/t07 shape; no
+    * self-join, no window over more than one document's grams. */
+  val repetitionScore: Q = (s, d) => repetitionStats(Tables.documents(s, d))
+
+  private[graft] def repetitionStats(doc: DataFrame): DataFrame = {
+    val tri = ngrams(doc, 3).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"), countDistinct("s").as("n_tri_d"))
+    val big = ngrams(doc, 2).groupBy("doc_id", "s")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_big"), max("n").as("top_big"))
+    val dupFrac = (col("n_tri") - col("n_tri_d")).cast("double") / col("n_tri")
+    val topFrac = col("top_big").cast("double") / col("n_big")
+    tri.join(big, "doc_id")
+      .select(col("doc_id"), r6(dupFrac).as("dup_trigram_frac"),
+        r6(topFrac).as("top_bigram_frac"),
+        (dupFrac > DupTrigramMax || topFrac > TopBigramMax).as("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionScoreSql: String =
+    s"""WITH t3 AS (
+       |  SELECT doc_id, ts[g.g] || ' ' || ts[g.g+1] || ' ' || ts[g.g+2] AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |  LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS g) g
+       |  WHERE len(ts) >= 3
+       |), t2 AS (
+       |  SELECT doc_id, ts[g.g] || ' ' || ts[g.g+1] AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |  LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS g) g
+       |  WHERE len(ts) >= 2
+       |), tri AS (
+       |  SELECT doc_id, count(*) AS n_tri, count(DISTINCT s) AS n_tri_d
+       |  FROM t3 GROUP BY doc_id
+       |), bigc AS (
+       |  SELECT doc_id, s, count(*) AS n FROM t2 GROUP BY doc_id, s
+       |), big AS (
+       |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_big, max(n) AS top_big
+       |  FROM bigc GROUP BY doc_id
+       |)
+       |SELECT tri.doc_id,
+       |  0.0 + round(CAST(n_tri - n_tri_d AS DOUBLE) / n_tri, 6) AS dup_trigram_frac,
+       |  0.0 + round(CAST(top_big AS DOUBLE) / n_big, 6) AS top_bigram_frac,
+       |  (CAST(n_tri - n_tri_d AS DOUBLE) / n_tri > $DupTrigramMax
+       |   OR CAST(top_big AS DOUBLE) / n_big > $TopBigramMax) AS repetitive
+       |FROM tri JOIN big ON tri.doc_id = big.doc_id
+       |ORDER BY tri.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t16_repetition_score" -> repetitionScore,
     "t15_sequence_pack" -> sequencePack,
     "t14_decontaminate" -> decontaminate,
     "t13_component_audit" -> componentAudit,
@@ -900,6 +964,7 @@ object TextOps {
     "t08_ngram_jaccard" -> ngramJaccard)
 
   val oracle: Map[String, String] = Map(
+    "t16_repetition_score" -> repetitionScoreSql,
     "t15_sequence_pack" -> sequencePackSql,
     "t14_decontaminate" -> decontaminateSql,
     "t13_component_audit" -> componentAuditSql,

@@ -124,6 +124,18 @@ class TextAggSpec extends SparkSpecBase {
     assert(got.forall(_._1 >= TextOps.EvalDocs), "an eval doc leaked into the audit")
   }
 
+  test("repetition score: hand-computed fractions, verdict on both thresholds") {
+    // "a b a b a b": trigrams {aba, bab, aba, bab} -> dup 2/4 = 0.5;
+    //                bigrams {ab x3, ba x2} -> top 3/5 = 0.6  => repetitive
+    // "q w e r t y u": all grams distinct -> dup 0, top 1/6    => clean
+    val doc = Seq((1L, "a b a b a b"), (2L, "q w e r t y u"))
+      .toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(doc)
+      .as[(Long, Double, Double, Boolean)].collect().toSeq
+    assert(got == Seq((1L, 0.5, 0.6, true), (2L, 0.0, 0.166667, false)),
+      s"wrong repetition stats: $got")
+  }
+
   test("sequence packing: two-level prefix sum equals the naive global window; totals preserved") {
     import org.apache.spark.sql.expressions.Window
     val manifest = TextOps.sequencePack(spark, sf)

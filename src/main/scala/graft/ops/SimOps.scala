@@ -684,6 +684,80 @@ object SimOps {
        |SELECT vec_id, cell FROM acr WHERE arn = 1
        |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- v10
+  /** Recall@3 of the served IVF index against the exact brute-force
+    * ranking — the ANN quality metric, declared as data: per query
+    * vector, the fraction of the true top-3 neighbors the nprobe=1
+    * serve path returns. An index rebuild, a quantizer change, or a
+    * probe-path bug shows up here as a recall drop BEFORE it ships —
+    * the eval harness a production vector store runs after every build.
+    * Both inputs are themselves oracle-gated (v01 exact, v05 served),
+    * so this gates their composition: the join and the per-query census.
+    *
+    * Scale posture: both sides are (queries × 3) rows — the corpus-sized
+    * work happens once inside the two already-measured pipelines; the
+    * metric join is broadcast-trivial. */
+  val ivfRecall: Q = (s, d) => {
+    val exact = simTopk(s, d).filter(col("rk") <= 3).select("qid", "cid")
+    val served = simIvf(s, d).select(col("qid"), col("cid"), lit(1).as("hit"))
+    exact.join(broadcast(served), Seq("qid", "cid"), "left")
+      .groupBy("qid")
+      .agg(r6(count(col("hit")).cast("double") / 3).as("recall3"))
+      .orderBy("qid")
+  }
+
+  val ivfRecallSql: String =
+    s"""WITH f AS (
+       |$flatSql
+       |), n AS (
+       |$normsSql
+       |), ${kmeansCtes(KmeansIters)}, $assignRankCtes, assign AS (
+       |  SELECT vec_id, cell FROM acr WHERE arn = 1
+       |), qcells AS (
+       |  SELECT vec_id AS qid, cell FROM acr WHERE vec_id < 20 AND arn <= 1
+       |), fc AS (
+       |  SELECT f.vec_id, f.i, f.v, assign.cell
+       |  FROM f JOIN assign ON f.vec_id = assign.vec_id
+       |), qv AS (
+       |  SELECT qc.qid, qc.cell, f.i, f.v AS qv
+       |  FROM qcells qc JOIN f ON f.vec_id = qc.qid
+       |), dotsi AS (
+       |  SELECT qv.qid, fc.vec_id AS cid, ${xsumHiSql("qv.qv * fc.v")} AS dot
+       |  FROM fc JOIN qv ON fc.cell = qv.cell AND fc.i = qv.i AND fc.vec_id <> qv.qid
+       |  GROUP BY qv.qid, fc.vec_id
+       |), cosi AS (
+       |  SELECT dotsi.qid, dotsi.cid, dotsi.dot / (nq.nrm * nc.nrm) AS cosine
+       |  FROM dotsi JOIN n nq ON dotsi.qid = nq.vec_id
+       |             JOIN n nc ON dotsi.cid = nc.vec_id
+       |), ivf AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
+       |    FROM cosi) t
+       |  WHERE rk <= 3
+       |), qe AS (
+       |  SELECT vec_id AS qid, i, v AS qv FROM f WHERE vec_id < 20
+       |), dotse AS (
+       |  SELECT qe.qid, f.vec_id AS cid, ${xsumHiSql("qe.qv * f.v")} AS dot
+       |  FROM f JOIN qe ON f.i = qe.i AND f.vec_id <> qe.qid
+       |  GROUP BY qe.qid, f.vec_id
+       |), cose AS (
+       |  SELECT dotse.qid, dotse.cid, dotse.dot / (nq.nrm * nc.nrm) AS cosine
+       |  FROM dotse JOIN n nq ON dotse.qid = nq.vec_id
+       |             JOIN n nc ON dotse.cid = nc.vec_id
+       |), exact AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
+       |    FROM cose) t
+       |  WHERE rk <= 3
+       |)
+       |SELECT exact.qid,
+       |  0.0 + round(CAST(count(ivf.cid) AS DOUBLE) / 3, 6) AS recall3
+       |FROM exact LEFT JOIN ivf ON exact.qid = ivf.qid AND exact.cid = ivf.cid
+       |GROUP BY exact.qid
+       |ORDER BY exact.qid""".stripMargin
+
   // ---------------------------------------------------------------- v06
   /** Embedding-cosine near-duplicate pairs over the WHOLE corpus: 4-bit
     * sign-LSH bucketing (16 buckets) prunes to same-bucket pairs before
@@ -776,7 +850,8 @@ object SimOps {
     "v05_sim_ivf" -> simIvf,
     "v07_sim_ivf_probe2" -> simIvfProbe2,
     "v08_kmeans_model" -> kmeansModelQ,
-    "v09_ivf_index" -> ivfIndexQ)
+    "v09_ivf_index" -> ivfIndexQ,
+    "v10_ivf_recall" -> ivfRecall)
 
   val oracle: Map[String, String] = Map(
     "v08_kmeans_model" -> kmeansModelSql,
@@ -787,5 +862,6 @@ object SimOps {
     "v04_sim_topk_native" -> simTopkSql,
     "v05_sim_ivf" -> simIvfSql,
     "v07_sim_ivf_probe2" -> simIvfProbe2Sql,
-    "v09_ivf_index" -> ivfIndexSql)
+    "v09_ivf_index" -> ivfIndexSql,
+    "v10_ivf_recall" -> ivfRecallSql)
 }

@@ -144,6 +144,24 @@ class SimSpec extends SparkSpecBase {
     assert(inv.toMap == live, "index drifted from the live assignment")
   }
 
+  test("IVF recall@3 equals the driver-side intersection of served and exact top-3") {
+    val exact = SimOps.simTopk(spark, sf).filter(col("rk") <= 3)
+      .select("qid", "cid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val served = SimOps.simIvf(spark, sf)
+      .select("qid", "cid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = SimOps.ivfRecall(spark, sf)
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == exact.keySet, "recall census lost a query vector")
+    got.foreach { case (qid, r) =>
+      val expected = math.round(1e6 *
+        exact(qid).intersect(served.getOrElse(qid, Set.empty)).size / 3.0) / 1e6
+      assert(r == expected, s"qid $qid: recall $r, expected $expected")
+      assert(r >= 0.0 && r <= 1.0)
+    }
+  }
+
   test("quantizer size and seed rule are parameters of the trainer") {
     // a 4-cell model seeded from vectors 200-203, next to the default
     // 8-cell/100-107 model, out of the same parameterized trainer

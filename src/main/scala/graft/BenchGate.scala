@@ -18,18 +18,24 @@ object BenchGate {
 
   /** A query counts as regressed when it exceeds Factor× its previous
     * time AND the previous time is above the noise floor (sub-Floor
-    * queries flip multi-× on scheduler jitter alone). */
+    * queries flip multi-× on scheduler jitter alone) AND the absolute
+    * slowdown exceeds DeltaSec (a 0.25→0.55 s flutter is co-tenant
+    * noise even though both bounds above pass; a real regression of the
+    * r5 kind costs whole seconds). */
   val Factor = 2.0
   val FloorSec = 0.2
+  val DeltaSec = 0.5
 
   /** Regressions as name -> (previousSec, currentSec). `allow` names
     * queries exempted deliberately (a feature that is known to cost). */
   def check(prev: Map[String, Double], curr: Map[String, Double],
       allow: Set[String], factor: Double = Factor,
-      floor: Double = FloorSec): Map[String, (Double, Double)] =
+      floor: Double = FloorSec,
+      delta: Double = DeltaSec): Map[String, (Double, Double)] =
     curr.collect {
       case (name, t) if !allow.contains(name) &&
-          prev.get(name).exists(p => p >= floor && t > factor * p) =>
+          prev.get(name).exists(p => p >= floor && t > factor * p &&
+            t - p > delta) =>
         name -> (prev(name), t)
     }
 

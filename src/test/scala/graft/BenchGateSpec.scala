@@ -8,13 +8,14 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchGateSpec extends AnyFunSuite {
 
   test("check flags >2x regressions above the floor, nothing else") {
-    val prev = Map("a" -> 1.0, "b" -> 0.5, "c" -> 0.1, "d" -> 4.0)
+    val prev = Map("a" -> 1.0, "b" -> 0.5, "c" -> 0.1, "d" -> 4.0, "f" -> 0.25)
     val curr = Map(
-      "a" -> 2.5,  // 2.5x -> regression
+      "a" -> 2.5,  // 2.5x and +1.5s -> regression
       "b" -> 0.9,  // 1.8x -> fine
       "c" -> 1.0,  // 10x but prev below the noise floor -> exempt
       "d" -> 3.0,  // faster -> fine
-      "e" -> 9.0)  // new query, no baseline -> exempt
+      "e" -> 9.0,  // new query, no baseline -> exempt
+      "f" -> 0.6)  // 2.4x but only +0.35s -> sub-delta flutter, exempt
     val r = BenchGate.check(prev, curr, allow = Set.empty)
     assert(r == Map("a" -> (1.0, 2.5)), s"wrong regressions: $r")
   }

@@ -498,14 +498,11 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val qualityScoreSql: String =
-    s"""SELECT doc_id, stop_ratio, digit_ratio, punct_ratio, quality,
-       |  CASE WHEN quality >= 0.8 THEN 'high'
-       |       WHEN quality >= 0.5 THEN 'medium' ELSE 'low' END AS bucket,
-       |  (CASE WHEN quality >= 0.8 THEN 'high'
-       |        WHEN quality >= 0.5 THEN 'medium' ELSE 'low' END) <> 'low' AS keep
-       |FROM (
-       |  SELECT doc_id,
+  /** Inner relation of the t10 oracle — (doc_id, stop_ratio,
+    * digit_ratio, punct_ratio, quality), all rounded; shared with the
+    * t17 funnel's quality gate. */
+  private def qualitySqlBody: String =
+    s"""SELECT doc_id,
        |    0.0 + round(stop_ratio, 6) AS stop_ratio,
        |    0.0 + round(digit_ratio, 6) AS digit_ratio,
        |    0.0 + round(punct_ratio, 6) AS punct_ratio,
@@ -520,7 +517,16 @@ object TextOps {
        |        / len(string_split(text, ' ')) AS stop_ratio,
        |      CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text) AS digit_ratio,
        |      CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / length(text) AS punct_ratio
-       |    FROM documents))
+       |    FROM documents)""".stripMargin
+
+  val qualityScoreSql: String =
+    s"""SELECT doc_id, stop_ratio, digit_ratio, punct_ratio, quality,
+       |  CASE WHEN quality >= 0.8 THEN 'high'
+       |       WHEN quality >= 0.5 THEN 'medium' ELSE 'low' END AS bucket,
+       |  (CASE WHEN quality >= 0.8 THEN 'high'
+       |        WHEN quality >= 0.5 THEN 'medium' ELSE 'low' END) <> 'low' AS keep
+       |FROM (
+       |  $qualitySqlBody)
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- t11
@@ -803,9 +809,11 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val decontaminateSql: String = {
+  /** Oracle CTEs (g, ev, hits) behind the contamination audit; shared
+    * with the t17 funnel's decontamination gate. */
+  private def decontamCtes: String = {
     val cat = (0 until DecontamN).map(j => s"ts[g.g+$j]").mkString(" || ' ' || ")
-    s"""WITH g AS (
+    s"""g AS (
        |  SELECT doc_id, $cat AS s
        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
        |  LATERAL (SELECT unnest(generate_series(1, len(ts) - ${DecontamN - 1})) AS g) g
@@ -816,12 +824,15 @@ object TextOps {
        |  SELECT g.doc_id, g.s, ev.eval_id
        |  FROM g JOIN ev ON g.s = ev.s
        |  WHERE g.doc_id >= $EvalDocs
-       |)
+       |)""".stripMargin
+  }
+
+  val decontaminateSql: String =
+    s"""WITH $decontamCtes
        |SELECT doc_id, count(DISTINCT s) AS n_hits,
        |  count(DISTINCT eval_id) AS n_eval_docs
        |FROM hits GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
-  }
 
   // ---------------------------------------------------------------- t15
   /** Token budget per packed training shard. */
@@ -917,26 +928,31 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Oracle CTEs (t3, t2, tri, big) behind the repetition stats; shared
+    * with the t17 funnel's repetition gate. */
+  private def repetitionCtes: String =
+    """t3 AS (
+      |  SELECT doc_id, ts[g.g] || ' ' || ts[g.g+1] || ' ' || ts[g.g+2] AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |  LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS g) g
+      |  WHERE len(ts) >= 3
+      |), t2 AS (
+      |  SELECT doc_id, ts[g.g] || ' ' || ts[g.g+1] AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |  LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS g) g
+      |  WHERE len(ts) >= 2
+      |), tri AS (
+      |  SELECT doc_id, count(*) AS n_tri, count(DISTINCT s) AS n_tri_d
+      |  FROM t3 GROUP BY doc_id
+      |), bigc AS (
+      |  SELECT doc_id, s, count(*) AS n FROM t2 GROUP BY doc_id, s
+      |), big AS (
+      |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_big, max(n) AS top_big
+      |  FROM bigc GROUP BY doc_id
+      |)""".stripMargin
+
   val repetitionScoreSql: String =
-    s"""WITH t3 AS (
-       |  SELECT doc_id, ts[g.g] || ' ' || ts[g.g+1] || ' ' || ts[g.g+2] AS s
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-       |  LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS g) g
-       |  WHERE len(ts) >= 3
-       |), t2 AS (
-       |  SELECT doc_id, ts[g.g] || ' ' || ts[g.g+1] AS s
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-       |  LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS g) g
-       |  WHERE len(ts) >= 2
-       |), tri AS (
-       |  SELECT doc_id, count(*) AS n_tri, count(DISTINCT s) AS n_tri_d
-       |  FROM t3 GROUP BY doc_id
-       |), bigc AS (
-       |  SELECT doc_id, s, count(*) AS n FROM t2 GROUP BY doc_id, s
-       |), big AS (
-       |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_big, max(n) AS top_big
-       |  FROM bigc GROUP BY doc_id
-       |)
+    s"""WITH $repetitionCtes
        |SELECT tri.doc_id,
        |  0.0 + round(CAST(n_tri - n_tri_d AS DOUBLE) / n_tri, 6) AS dup_trigram_frac,
        |  0.0 + round(CAST(top_big AS DOUBLE) / n_big, 6) AS top_bigram_frac,
@@ -945,7 +961,115 @@ object TextOps {
        |FROM tri JOIN big ON tri.doc_id = big.doc_id
        |ORDER BY tri.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t17
+  /** Near-dup threshold the funnel drops at (estimated Jaccard from the
+    * 8-permutation signature, the t06/t11 edge rule). */
+  val FunnelJaccard = 0.5
+
+  /** The complete curation funnel as one declared relation — the
+    * LLM-data analog of p05's pipeline summary: per-stage survivor
+    * counts for exact dedup (keep lowest doc_id per md5), near-dup drop
+    * (lose to a lower-id stage-1 survivor in a ≥[[FunnelJaccard]]
+    * banding pair — the single-pass pairwise rule; t11's connected
+    * components is the transitive variant), the t10 quality gate
+    * (medium+high buckets), the t16 repetition gate (short docs with no
+    * trigrams pass), and the t14 decontamination gate. Hash-gating the
+    * six counts proves the COMPOSITION of the whole text family, not
+    * just each filter alone.
+    *
+    * Scale posture: every stage is a doc_id set refined by semi/anti
+    * joins against per-doc flags that are themselves map-side-combined
+    * aggregates or pure projections — no stage joins two corpus-sized
+    * relations on a non-key, and the stage census is a six-row union. */
+  val curationFunnel: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val doc = Tables.documents(s, d)
+    val k1 = doc.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .withColumn("m", min("doc_id").over(Window.partitionBy("h")))
+      .filter(col("doc_id") === col("m")).select("doc_id")
+    val drop2 = dedupMinhash(s, d).filter(col("est_jaccard") >= FunnelJaccard)
+      .join(k1.select(col("doc_id").as("doc_a")), "doc_a")
+      .select(col("doc_b").as("doc_id")).distinct()
+    val k2 = k1.join(drop2, Seq("doc_id"), "left_anti")
+    val k3 = k2.join(qualityScore(s, d).filter(col("keep")).select("doc_id"), "doc_id")
+    val k4 = k3.join(repetitionStats(doc).filter(col("repetitive")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    val k5 = k4.join(decontaminate(s, d).select("doc_id"), Seq("doc_id"), "left_anti")
+    Seq(doc -> "00_total", k1 -> "01_exact_dedup", k2 -> "02_near_dedup",
+      k3 -> "03_quality", k4 -> "04_repetition", k5 -> "05_decontaminated")
+      .map { case (df, st) =>
+        df.agg(count(lit(1)).as("n_docs")).select(lit(st).as("stage"), col("n_docs"))
+      }
+      .reduce(_ union _)
+      .orderBy("stage")
+  }
+
+  val curationFunnelSql: String = {
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, s${2 * b} || s${2 * b + 1} AS key FROM sig").mkString("\nUNION ALL\n")
+    val matches = Seeds.map(i => s"(CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH sh AS (
+       |$shinglesSql
+       |), sig AS (
+       |$signaturesSql
+       |), bands AS (
+       |$bandSelects
+       |), ok AS (
+       |  SELECT band, key FROM bands GROUP BY band, key
+       |  HAVING count(*) <= $MaxBucketMembers
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |  JOIN ok ON ok.band = a.band AND ok.key = a.key
+       |), est AS (
+       |  SELECT cand.doc_a, cand.doc_b,
+       |    CAST($matches AS DOUBLE) / ${Seeds.size} AS est
+       |  FROM cand
+       |  JOIN sig a ON cand.doc_a = a.doc_id
+       |  JOIN sig b ON cand.doc_b = b.doc_id
+       |), k1 AS (
+       |  SELECT d.doc_id
+       |  FROM documents d
+       |  JOIN (SELECT md5(text) AS h, min(doc_id) AS m
+       |        FROM documents GROUP BY md5(text)) g
+       |    ON md5(d.text) = g.h AND d.doc_id = g.m
+       |), drop2 AS (
+       |  SELECT DISTINCT e.doc_b AS doc_id
+       |  FROM est e JOIN k1 ON e.doc_a = k1.doc_id
+       |  WHERE e.est >= $FunnelJaccard
+       |), k2 AS (
+       |  SELECT doc_id FROM k1
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM drop2)
+       |), q AS (
+       |  $qualitySqlBody
+       |), k3 AS (
+       |  SELECT k2.doc_id FROM k2 JOIN q ON k2.doc_id = q.doc_id
+       |  WHERE q.quality >= 0.5
+       |), $repetitionCtes, rep AS (
+       |  SELECT tri.doc_id FROM tri JOIN big ON tri.doc_id = big.doc_id
+       |  WHERE CAST(n_tri - n_tri_d AS DOUBLE) / n_tri > $DupTrigramMax
+       |     OR CAST(top_big AS DOUBLE) / n_big > $TopBigramMax
+       |), k4 AS (
+       |  SELECT doc_id FROM k3
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM rep)
+       |), $decontamCtes, cont AS (
+       |  SELECT DISTINCT doc_id FROM hits
+       |), k5 AS (
+       |  SELECT doc_id FROM k4
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+       |)
+       |SELECT '00_total' AS stage, count(*) AS n_docs FROM documents
+       |UNION ALL SELECT '01_exact_dedup', count(*) FROM k1
+       |UNION ALL SELECT '02_near_dedup', count(*) FROM k2
+       |UNION ALL SELECT '03_quality', count(*) FROM k3
+       |UNION ALL SELECT '04_repetition', count(*) FROM k4
+       |UNION ALL SELECT '05_decontaminated', count(*) FROM k5
+       |ORDER BY stage""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "t17_curation_funnel" -> curationFunnel,
     "t16_repetition_score" -> repetitionScore,
     "t15_sequence_pack" -> sequencePack,
     "t14_decontaminate" -> decontaminate,
@@ -964,6 +1088,7 @@ object TextOps {
     "t08_ngram_jaccard" -> ngramJaccard)
 
   val oracle: Map[String, String] = Map(
+    "t17_curation_funnel" -> curationFunnelSql,
     "t16_repetition_score" -> repetitionScoreSql,
     "t15_sequence_pack" -> sequencePackSql,
     "t14_decontaminate" -> decontaminateSql,

@@ -136,6 +136,24 @@ class TextAggSpec extends SparkSpecBase {
       s"wrong repetition stats: $got")
   }
 
+  test("curation funnel: stages shrink monotonically from known anchors") {
+    val stages = TextOps.curationFunnel(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    assert(stages.map(_._1) == Seq("00_total", "01_exact_dedup",
+      "02_near_dedup", "03_quality", "04_repetition", "05_decontaminated"))
+    val counts = stages.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"a funnel stage grew: $stages")
+    assert(counts.last > 0, "funnel drained the whole corpus")
+    // anchors: total is the corpus, stage 1 is the distinct-hash count
+    val doc = Tables.documents(spark, sf)
+    assert(counts.head == doc.count())
+    val distinctHashes = doc
+      .select(md5(col("text").cast("binary"))).distinct().count()
+    assert(counts(1) == distinctHashes,
+      s"exact-dedup stage ${counts(1)} != $distinctHashes distinct hashes")
+  }
+
   test("sequence packing: two-level prefix sum equals the naive global window; totals preserved") {
     import org.apache.spark.sql.expressions.Window
     val manifest = TextOps.sequencePack(spark, sf)

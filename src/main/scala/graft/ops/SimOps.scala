@@ -758,6 +758,54 @@ object SimOps {
        |GROUP BY exact.qid
        |ORDER BY exact.qid""".stripMargin
 
+  // ---------------------------------------------------------------- v11
+  /** Int8 scalar-quantization error census — the embedding-compression
+    * prep a serving stack runs before shipping a vector index: each
+    * vector is quantized to int8 against its own max-abs scale
+    * (q = round(v·127/m), dequantized q·m/127), and the per-label
+    * mean/max reconstruction error says whether 8-bit serving is safe
+    * for that slice of the corpus.
+    *
+    * Determinism: round() ties go away from zero in BOTH engines, the
+    * per-element error is one fixed IEEE-double formula, and the mean
+    * accumulates via DECIMAL(38,18) sums — so the census hash-matches at
+    * any parallelism. Zero vectors (m = 0) are excluded identically on
+    * both sides. Scale posture: one flatten + two keyed aggregates
+    * (vec_id then label), all map-side combined; no joins beyond the
+    * corpus-keyed m/label lookups. */
+  val quantizeError: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val f = flat(emb)
+    val m = f.groupBy("vec_id").agg(max(abs(col("v"))).as("m"))
+    f.join(m, "vec_id").filter(col("m") > 0)
+      .select(col("vec_id"),
+        abs(col("v") - round(col("v") * 127.0 / col("m"), 0) * col("m") / 127.0)
+          .as("err"))
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy("label")
+      .agg(r6(xsumHi(col("err")) / count(lit(1))).as("avg_err"),
+        r6(max(col("err"))).as("max_err"))
+      .orderBy("label")
+  }
+
+  val quantizeErrorSql: String =
+    s"""WITH f AS (
+       |$flatSql
+       |), m AS (
+       |  SELECT vec_id, max(abs(v)) AS m FROM f GROUP BY vec_id
+       |), e AS (
+       |  SELECT f.vec_id,
+       |    abs(f.v - round(f.v * 127.0 / m.m) * m.m / 127.0) AS err
+       |  FROM f JOIN m ON f.vec_id = m.vec_id
+       |  WHERE m.m > 0
+       |)
+       |SELECT emb.label,
+       |  0.0 + round(${xsumHiSql("e.err")} / count(*), 6) AS avg_err,
+       |  0.0 + round(max(e.err), 6) AS max_err
+       |FROM e JOIN embeddings emb ON e.vec_id = emb.vec_id
+       |GROUP BY emb.label
+       |ORDER BY emb.label""".stripMargin
+
   // ---------------------------------------------------------------- v06
   /** Embedding-cosine near-duplicate pairs over the WHOLE corpus: 4-bit
     * sign-LSH bucketing (16 buckets) prunes to same-bucket pairs before
@@ -851,7 +899,8 @@ object SimOps {
     "v07_sim_ivf_probe2" -> simIvfProbe2,
     "v08_kmeans_model" -> kmeansModelQ,
     "v09_ivf_index" -> ivfIndexQ,
-    "v10_ivf_recall" -> ivfRecall)
+    "v10_ivf_recall" -> ivfRecall,
+    "v11_quantize_error" -> quantizeError)
 
   val oracle: Map[String, String] = Map(
     "v08_kmeans_model" -> kmeansModelSql,
@@ -863,5 +912,6 @@ object SimOps {
     "v05_sim_ivf" -> simIvfSql,
     "v07_sim_ivf_probe2" -> simIvfProbe2Sql,
     "v09_ivf_index" -> ivfIndexSql,
-    "v10_ivf_recall" -> ivfRecallSql)
+    "v10_ivf_recall" -> ivfRecallSql,
+    "v11_quantize_error" -> quantizeErrorSql)
 }

@@ -1068,7 +1068,48 @@ object TextOps {
        |ORDER BY stage""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t18
+  /** Source-mixture census and sampling weights — the data-mixing step
+    * that follows curation: per source, document and token counts, the
+    * source's share of the token budget, and the repeat/sampling weight
+    * that would equalize the mixture (target = uniform across sources;
+    * weight = total/(n_sources · source_tokens), >1 means upsample).
+    *
+    * Scale posture: one map-side-combined groupBy(source); the analytic
+    * windows run UNPARTITIONED but over the already-aggregated
+    * source-count-sized relation (the p05 pattern), never the corpus. */
+  val sourceMixture: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.documents(s, d).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks).cast("long")).as("n_tokens"))
+    val all = Window.partitionBy()
+    per
+      .withColumn("tot", sum("n_tokens").over(all))
+      .withColumn("nsrc", count(lit(1)).over(all))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        r6(col("n_tokens").cast("double") / col("tot")).as("token_share"),
+        r6(col("tot").cast("double") / (col("nsrc") * col("n_tokens")))
+          .as("mix_weight"))
+      .orderBy("source")
+  }
+
+  val sourceMixtureSql: String =
+    """WITH per AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |)
+      |SELECT source, n_docs, n_tokens,
+      |  0.0 + round(CAST(n_tokens AS DOUBLE)
+      |    / CAST(sum(n_tokens) OVER () AS BIGINT), 6) AS token_share,
+      |  0.0 + round(CAST(sum(n_tokens) OVER () AS DOUBLE)
+      |    / (count(*) OVER () * n_tokens), 6) AS mix_weight
+      |FROM per
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t18_source_mixture" -> sourceMixture,
     "t17_curation_funnel" -> curationFunnel,
     "t16_repetition_score" -> repetitionScore,
     "t15_sequence_pack" -> sequencePack,
@@ -1088,6 +1129,7 @@ object TextOps {
     "t08_ngram_jaccard" -> ngramJaccard)
 
   val oracle: Map[String, String] = Map(
+    "t18_source_mixture" -> sourceMixtureSql,
     "t17_curation_funnel" -> curationFunnelSql,
     "t16_repetition_score" -> repetitionScoreSql,
     "t15_sequence_pack" -> sequencePackSql,

@@ -162,6 +162,23 @@ class SimSpec extends SparkSpecBase {
     }
   }
 
+  test("int8 quantization error is bounded by half a quantization step") {
+    val census = SimOps.quantizeError(spark, sf)
+      .as[(Int, Double, Double)].collect()
+    assert(census.length == 10, "expected one census row per label")
+    // per element |v - deq| <= 0.5 * m/127; the census max is bounded by
+    // the corpus-wide largest scale (6dp rounding absorbed by the slack)
+    val maxScale = Tables.embeddings(spark, sf)
+      .select(max(expr("array_max(transform(embedding, x -> abs(x)))")))
+      .as[Float].head()
+    val bound = 0.5 * maxScale / 127.0 + 1e-6
+    census.foreach { case (label, avgErr, maxErr) =>
+      assert(avgErr >= 0 && avgErr <= maxErr,
+        s"label $label: avg $avgErr above max $maxErr")
+      assert(maxErr <= bound, s"label $label: max err $maxErr above $bound")
+    }
+  }
+
   test("quantizer size and seed rule are parameters of the trainer") {
     // a 4-cell model seeded from vectors 200-203, next to the default
     // 8-cell/100-107 model, out of the same parameterized trainer

@@ -179,6 +179,18 @@ class TextAggSpec extends SparkSpecBase {
     assert(manifest.map(_._3).sum == nt, "tokens lost or duplicated across shards")
   }
 
+  test("source mixture: shares sum to one, weights equalize the token budget") {
+    val rows = TextOps.sourceMixture(spark, sf)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4,
+      s"token shares sum to ${rows.map(_._4).sum}")
+    // weight * source_tokens is the same equalized slice for every source
+    val slices = rows.map(r => r._5 * r._3)
+    assert(slices.max - slices.min < slices.max * 1e-4,
+      s"weights do not equalize the mixture: ${slices.toSeq}")
+  }
+
   test("Aggregator handles empty input and null shingles") {
     val sigs = Seq((1L, Option.empty[String]), (1L, Some("a b c")))
       .toDF("doc_id", "s")

@@ -136,6 +136,46 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Generate"), s"fingerprint regressed to explode:\n$p")
   }
 
+  test("decontamination broadcasts the eval n-grams, streams the corpus") {
+    val p = plan("t14_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval n-gram join is not broadcast:\n$p")
+    // the build side must be the eval-filtered branch, bounded by the
+    // eval suite — never the training corpus
+    val bx = p.indexOf("BroadcastExchange")
+    assert(bx >= 0, s"no BroadcastExchange in:\n$p")
+    assert(p.indexOf("doc_id#", bx) >= 0 && p.contains("< 20"),
+      s"broadcast side is not the eval-filtered branch:\n$p")
+  }
+
+  test("sequence packing: the per-document window is range-partitioned, never global") {
+    val p = plan("t15_sequence_pack")
+    // the corpus-sized cumulative sum must exchange on the coarse range
+    // key; a SinglePartition exchange under a corpus Window would be the
+    // single-reducer prefix-sum trap
+    assert("hashpartitioning\\(rng#\\d".r.findFirstIn(p).isDefined,
+      s"per-doc cumsum is not partitioned by range:\n$p")
+    assert("Window".r.findAllIn(p).length >= 2,
+      s"expected the range-offset and per-doc windows:\n$p")
+    // every SinglePartition exchange must sit above an aggregate (the
+    // range-offsets window input / the shard census), never above a raw
+    // document scan — that would be the single-reducer prefix-sum trap
+    p.split("Exchange SinglePartition").drop(1).foreach { after =>
+      // section text up to the next exchange describes this branch input
+      val branch = after.split("Exchange ").head
+      assert(branch.contains("HashAggregate") || !branch.contains("Scan"),
+        s"a raw scan feeds a single-partition exchange:\n$p")
+    }
+  }
+
+  test("quantization census combines map-side at both aggregation levels") {
+    val p = plan("v11_quantize_error")
+    val nAgg = "HashAggregate".r.findAllIn(p).length
+    assert(nAgg >= 4, s"expected partial+final pairs for vec and label aggs:\n$p")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"corpus lookup joins lost their co-located/broadcast shape:\n$p")
+  }
+
   test("whole-stage codegen covers the band-math expression block") {
     // codegen spans only materialize in the AQE-finalized executed plan,
     // where they render as the `*(n)` stage prefix

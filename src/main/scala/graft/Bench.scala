@@ -21,6 +21,12 @@ object Bench {
       try ops.SimOps.buildIvf(spark, sfDir) catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
+    // Same for the dedup family's signature table (see TextOps.sigIndex).
+    val sigBuildSec = {
+      val t0 = System.nanoTime()
+      try ops.TextOps.buildSigIndex(spark, sfDir) catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -47,7 +53,7 @@ object Bench {
       case None => Map.empty[String, (Double, Double)]
     }
     val gate = BenchGate.report(baseline.map(_._1), regressions)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ivf_build":$ivfBuildSec,"sf":"$sfDir","gate":$gate}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ivf_build":$ivfBuildSec,"sig_build":$sigBuildSec,"sf":"$sfDir","gate":$gate}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -136,6 +136,20 @@ class TextAggSpec extends SparkSpecBase {
       s"wrong repetition stats: $got")
   }
 
+  test("signature index: built once, bit-identical to the live lineage") {
+    TextOps.clearSigCache()
+    val cols = "doc_id" +: (0 until 8).map(i => s"s$i")
+    val live = TextOps.signatures(Tables.documents(spark, sf))
+      .select(cols.map(col): _*).orderBy("doc_id").collect()
+    val idx = TextOps.sigIndex(spark, sf)
+      .select(cols.map(col): _*).orderBy("doc_id").collect()
+    assert(idx.sameElements(live), "index drifted from the live signatures")
+    // built once: a second lookup serves the same parquet files
+    val f1 = TextOps.sigIndex(spark, sf).inputFiles.toSet
+    val f2 = TextOps.sigIndex(spark, sf).inputFiles.toSet
+    assert(f1.nonEmpty && f1 == f2, "signature table rebuilt per query")
+  }
+
   test("curation funnel: stages shrink monotonically from known anchors") {
     val stages = TextOps.curationFunnel(spark, sf)
       .as[(String, Long)].collect().toSeq

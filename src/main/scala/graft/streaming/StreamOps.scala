@@ -86,6 +86,22 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming document-ingest curation — the LLM-data ingest face of
+    * the batch t05/t10 stages: exact content-hash dedup whose state the
+    * ingest watermark evicts (an at-least-once crawler redelivers
+    * documents; the hash table must not grow with the stream), then the
+    * cheap per-row quality gate, yielding an append-only curated feed.
+    * Near-dup/decontamination stay batch jobs over the curated table —
+    * their corpus-wide joins have no bounded-state streaming form. */
+  def curateDocs(docs: DataFrame, watermark: String = "1 hour",
+      minChars: Int = 20): DataFrame =
+    docs
+      .withWatermark("ingest_ts", watermark)
+      .withColumn("h", md5(col("text").cast("binary")))
+      .dropDuplicatesWithinWatermark("h")
+      .filter(length(col("text")) >= minChars)
+      .select("doc_id", "ingest_ts", "text")
+
   /** Stream-static enrichment: join each streaming event against a
     * static dimension table (e.g. the granule/tile catalog) — Spark
     * broadcasts or re-reads the static side per micro-batch, no

@@ -209,6 +209,45 @@ class StreamingSpec extends SparkSpecBase {
       s"resume lost or duplicated state: $got")
   }
 
+  test("document-ingest curation dedups by content across a kill, gates short docs") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("curate").toFile.getAbsolutePath
+    val rawDir = s"$base/raw"; val outDir = s"$base/curated"; val ckpt = s"$base/ckpt"
+    val schema = StructType(Seq(
+      StructField("ingest_ts", TimestampType), StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def writeRaw(rows: Seq[(Timestamp, Long, String)]): Unit =
+      rows.toDF("ingest_ts", "doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(rawDir)
+    def start() = StreamOps.curateDocs(
+        spark.readStream.schema(schema).parquet(rawDir))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    val longA = "a clean document with plenty of characters in it"
+    val longB = "another clean document with plenty of characters"
+    // run 1: a dup pair (same text, different ids), one short doc
+    writeRaw(Seq(
+      (ts("2024-01-01 10:00:00"), 1L, longA),
+      (ts("2024-01-01 10:00:30"), 2L, longA),  // content dup of 1
+      (ts("2024-01-01 10:01:00"), 3L, "too short")))
+    val q1 = start(); q1.processAllAvailable(); q1.stop() // kill mid-stream
+    val run1 = spark.read.schema(schema).parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(run1 == Set(1L), s"run 1 should keep only doc 1, got $run1")
+    // run 2 (same checkpoint): the crawler REDELIVERS doc 1's content
+    // inside the watermark horizon and ships one genuinely new doc — the
+    // recovered hash state must drop the replay, not re-emit it
+    writeRaw(Seq(
+      (ts("2024-01-01 10:20:00"), 9L, longA),  // replay across restart
+      (ts("2024-01-01 10:21:00"), 4L, longB)))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val run2 = spark.read.schema(schema).parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(run2 == Set(1L, 4L),
+      s"resume re-emitted a replayed document or lost a new one: $run2")
+  }
+
   test("ingest dedup drops replayed observations across triggers, state watermark-bounded") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]

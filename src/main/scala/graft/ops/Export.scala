@@ -259,4 +259,18 @@ object Export {
 
   def writeStyleJson(spark: SparkSession, out: String): Unit =
     styleRecords(spark).coalesce(1).write.mode(SaveMode.Overwrite).json(out)
+
+  /** Packed-shard sink: materialize the t15 token-budget assignment as a
+    * shard-partitioned parquet corpus (`shard_id=N/` directories), the
+    * layout a training dataloader consumes — each shard is one
+    * self-contained unit of ~PackBudget tokens, and the t15 manifest is
+    * its table of contents. Partition pruning on shard_id gives a loader
+    * O(1) access to any shard; the assignment is deterministic
+    * (doc_id-ordered prefix sum), so a re-run reproduces byte-identical
+    * shard membership. */
+  def writePackedShards(spark: SparkSession, d: String, out: String): Unit =
+    graft.Tables.documents(spark, d)
+      .join(TextOps.packAssignments(spark, d).select("doc_id", "shard_id"),
+        "doc_id")
+      .write.mode(SaveMode.Overwrite).partitionBy("shard_id").parquet(out)
 }

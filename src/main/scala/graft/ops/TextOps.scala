@@ -891,7 +891,10 @@ object TextOps {
     * file-count-sized and every corpus-sized stage shuffles on its own
     * bounded key. The oracle spells the single-window form — same
     * associative sum, same result. */
-  val sequencePack: Q = (s, d) => {
+  /** Per-document shard assignment behind t15 — (doc_id, tok, shard_id)
+    * via the two-level prefix sum; also feeds the packed-shard sink
+    * ([[graft.ops.Export.writePackedShards]]). */
+  private[graft] def packAssignments(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = Tables.documents(s, d).select(col("doc_id"),
       size(toks).cast("long").as("tok"),
@@ -905,11 +908,14 @@ object TextOps {
         (col("roff") + sum("tok").over(wD) - col("tok")).as("gstart"))
       .select(col("doc_id"), col("tok"),
         floor(col("gstart") / PackBudget).as("shard_id"))
+  }
+
+  val sequencePack: Q = (s, d) =>
+    packAssignments(s, d)
       .groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"), sum("tok").as("tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
       .orderBy("shard_id")
-  }
 
   val sequencePackSql: String =
     s"""WITH t AS (

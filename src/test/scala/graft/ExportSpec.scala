@@ -341,4 +341,27 @@ class ExportSpec extends SparkSpecBase {
     Export.writeStyleJson(spark, out)
     assert(spark.read.json(out).count() == 6)
   }
+
+  test("packed-shard sink lays the corpus out by shard, matching the t15 manifest") {
+    val out = tmp("shards")
+    Export.writePackedShards(spark, sf, out)
+    val back = spark.read.parquet(out)
+    val manifest = graft.ops.TextOps.sequencePack(spark, sf)
+      .select("shard_id", "n_docs").as[(Long, Long)].collect().toMap
+    // directory layout is one partition per shard
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard_id=")).map(_.getName).toSet
+    assert(dirs == manifest.keySet.map(id => s"shard_id=$id"),
+      s"shard directories $dirs do not match the manifest")
+    // per-shard doc counts equal the manifest, no docs lost
+    val counts = back.groupBy("shard_id")
+      .agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
+    assert(counts == manifest, s"shard membership drifted: $counts vs $manifest")
+    // partition pruning: a shard filter reaches the scan as a partition
+    // filter (a loader reads one shard without listing the rest)
+    val p = back.filter(col("shard_id") === 0).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PartitionFilters") && p.contains("shard_id"),
+      s"shard filter did not prune at the scan:\n$p")
+  }
 }

@@ -1020,7 +1020,7 @@ object TextOps {
     * joins against per-doc flags that are themselves map-side-combined
     * aggregates or pure projections — no stage joins two corpus-sized
     * relations on a non-key, and the stage census is a six-row union. */
-  val curationFunnel: Q = (s, d) => {
+  private[graft] def funnelStages(s: SparkSession, d: String): Seq[(String, DataFrame)] = {
     import org.apache.spark.sql.expressions.Window
     val doc = Tables.documents(s, d)
     val k1 = doc.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
@@ -1034,16 +1034,21 @@ object TextOps {
     val k4 = k3.join(repetitionStats(doc).filter(col("repetitive")).select("doc_id"),
       Seq("doc_id"), "left_anti")
     val k5 = k4.join(decontaminate(s, d).select("doc_id"), Seq("doc_id"), "left_anti")
-    Seq(doc -> "00_total", k1 -> "01_exact_dedup", k2 -> "02_near_dedup",
-      k3 -> "03_quality", k4 -> "04_repetition", k5 -> "05_decontaminated")
-      .map { case (df, st) =>
+    Seq("00_total" -> doc.select("doc_id"), "01_exact_dedup" -> k1,
+      "02_near_dedup" -> k2, "03_quality" -> k3, "04_repetition" -> k4,
+      "05_decontaminated" -> k5)
+  }
+
+  val curationFunnel: Q = (s, d) =>
+    funnelStages(s, d)
+      .map { case (st, df) =>
         df.agg(count(lit(1)).as("n_docs")).select(lit(st).as("stage"), col("n_docs"))
       }
       .reduce(_ union _)
       .orderBy("stage")
-  }
 
-  val curationFunnelSql: String = {
+  /** Oracle CTE chain through the k5 survivor set, shared by t17/t19. */
+  private def funnelCtes: String = {
     val bandSelects = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, s${2 * b} || s${2 * b + 1} AS key FROM sig").mkString("\nUNION ALL\n")
     val matches = Seeds.map(i => s"(CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END)").mkString(" + ")
@@ -1097,7 +1102,11 @@ object TextOps {
        |), k5 AS (
        |  SELECT doc_id FROM k4
        |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)
-       |)
+       |)""".stripMargin
+  }
+
+  val curationFunnelSql: String =
+    s"""$funnelCtes
        |SELECT '00_total' AS stage, count(*) AS n_docs FROM documents
        |UNION ALL SELECT '01_exact_dedup', count(*) FROM k1
        |UNION ALL SELECT '02_near_dedup', count(*) FROM k2
@@ -1105,7 +1114,27 @@ object TextOps {
        |UNION ALL SELECT '04_repetition', count(*) FROM k4
        |UNION ALL SELECT '05_decontaminated', count(*) FROM k5
        |ORDER BY stage""".stripMargin
-  }
+
+  // ---------------------------------------------------------------- t19
+  /** The curated corpus itself — the funnel's final survivor set joined
+    * back to its metadata. t17 gates the per-stage counts; this gates
+    * the actual MEMBERSHIP the pipeline ships downstream (the relation a
+    * dataloader or the packed-shard sink consumes), so a filter change
+    * that keeps counts stable but swaps documents still breaks the hash.
+    * Output is metadata-only (doc_id, source, lang, n_chars): the text
+    * payload stays in the store, exactly like the multimodal manifests
+    * prune their binary columns. */
+  val curatedDocs: Q = (s, d) =>
+    funnelStages(s, d).last._2
+      .join(Tables.documents(s, d).select("doc_id", "source", "lang", "n_chars"),
+        "doc_id")
+      .orderBy("doc_id")
+
+  val curatedDocsSql: String =
+    s"""$funnelCtes
+       |SELECT k5.doc_id, d.source, d.lang, d.n_chars
+       |FROM k5 JOIN documents d ON k5.doc_id = d.doc_id
+       |ORDER BY k5.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- t18
   /** Source-mixture census and sampling weights — the data-mixing step
@@ -1148,6 +1177,7 @@ object TextOps {
       |ORDER BY source""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "t19_curated_docs" -> curatedDocs,
     "t18_source_mixture" -> sourceMixture,
     "t17_curation_funnel" -> curationFunnel,
     "t16_repetition_score" -> repetitionScore,
@@ -1168,6 +1198,7 @@ object TextOps {
     "t08_ngram_jaccard" -> ngramJaccard)
 
   val oracle: Map[String, String] = Map(
+    "t19_curated_docs" -> curatedDocsSql,
     "t18_source_mixture" -> sourceMixtureSql,
     "t17_curation_funnel" -> curationFunnelSql,
     "t16_repetition_score" -> repetitionScoreSql,

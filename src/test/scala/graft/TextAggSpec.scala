@@ -168,6 +168,19 @@ class TextAggSpec extends SparkSpecBase {
       s"exact-dedup stage ${counts(1)} != $distinctHashes distinct hashes")
   }
 
+  test("curated corpus membership matches the funnel census, excludes contaminated docs") {
+    val ids = TextOps.curatedDocs(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val census = TextOps.curationFunnel(spark, sf)
+      .as[(String, Long)].collect().toMap
+    assert(ids.size.toLong == census("05_decontaminated"),
+      s"${ids.size} curated docs vs census ${census("05_decontaminated")}")
+    val contaminated = TextOps.decontaminate(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids.intersect(contaminated).isEmpty,
+      "a contaminated document survived curation")
+  }
+
   test("sequence packing: two-level prefix sum equals the naive global window; totals preserved") {
     import org.apache.spark.sql.expressions.Window
     val manifest = TextOps.sequencePack(spark, sf)

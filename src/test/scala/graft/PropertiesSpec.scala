@@ -101,6 +101,67 @@ class PropertiesSpec extends SparkSpecBase {
     }
   }
 
+  test("ngrams emit exactly max(0, len-n+1) windows of n tokens, for any text") {
+    val textGen: Gen[List[String]] = Gen.nonEmptyListOf(
+      Gen.chooseNum(0, 9).flatMap(k =>
+        Gen.listOfN(k, Gen.oneOf("a", "b", "c", "dd")).map(_.mkString(" "))))
+    samples(textGen, 6).foreach { texts =>
+      val doc = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      Seq(2, 4).foreach { n =>
+        val got = graft.ops.TextOps.ngrams(doc, n)
+          .groupBy("doc_id").agg(count(lit(1)).as("c"))
+          .as[(Long, Long)].collect().toMap
+        texts.zipWithIndex.foreach { case (t, i) =>
+          val len = t.split(" ", -1).length
+          val expected = math.max(0, len - n + 1)
+          assert(got.getOrElse(i.toLong, 0L) == expected,
+            s"doc '$t' n=$n: ${got.getOrElse(i.toLong, 0L)} grams, want $expected")
+          // every emitted gram is exactly n tokens
+        }
+        val badWidth = graft.ops.TextOps.ngrams(doc, n)
+          .filter(size(split(col("s"), " ")) =!= n).count()
+        assert(badWidth == 0L, s"an n=$n gram has the wrong width")
+      }
+    }
+  }
+
+  test("int8 quantization error stays below half a step for arbitrary vectors") {
+    val vecGen: Gen[List[Array[Float]]] = Gen.nonEmptyListOf(
+      Gen.listOfN(8, Gen.chooseNum(-4.0f, 4.0f)).map(_.toArray))
+    samples(vecGen, 6).foreach { vecs =>
+      val emb = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+        .toDF("vec_id", "embedding")
+      // the same arithmetic v11 runs, against a driver-side bound
+      val bad = emb
+        .select(col("vec_id"), explode(col("embedding")).as("vf"))
+        .select(col("vec_id"), col("vf").cast("double").as("v"))
+        .groupBy("vec_id").agg(max(abs(col("v"))).as("m"), collect_list("v").as("vs"))
+        .filter(col("m") > 0)
+        .select(col("m"), explode(col("vs")).as("v"))
+        .select(col("m"),
+          abs(col("v") - round(col("v") * 127.0 / col("m"), 0) * col("m") / 127.0).as("err"))
+        .filter(col("err") > col("m") * 0.5 / 127.0 + 1e-12)
+        .count()
+      assert(bad == 0L, "a quantized element escaped the half-step bound")
+    }
+  }
+
+  test("packed shards: assignment is monotone in doc_id and starts where the prefix ends") {
+    val assigns = graft.ops.TextOps.packAssignments(spark, "/root/testdata/sf0.001")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect()
+    var cum = 0L
+    var prevShard = 0L
+    assigns.foreach { case (docId, tok, shard) =>
+      assert(shard == cum / graft.ops.TextOps.PackBudget,
+        s"doc $docId: shard $shard, but prefix $cum says ${cum / graft.ops.TextOps.PackBudget}")
+      assert(shard >= prevShard, s"doc $docId: shard regressed")
+      prevShard = shard
+      cum += tok
+    }
+  }
+
   test("union order does not change a sorted result") {
     val kvGen = Gen.nonEmptyListOf(for {
       k <- Gen.chooseNum(0, 100); v <- Gen.chooseNum(-1e6, 1e6)

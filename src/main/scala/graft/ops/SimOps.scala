@@ -693,6 +693,9 @@ object SimOps {
     * the eval harness a production vector store runs after every build.
     * Both inputs are themselves oracle-gated (v01 exact, v05 served),
     * so this gates their composition: the join and the per-query census.
+    * Observed on the synthetic corpus: mean recall@3 ≈ 0.2–0.3 at
+    * nprobe=1 (random embeddings cluster weakly — exactly why the
+    * nprobe recall knob exists; v07 doubles the probed cells).
     *
     * Scale posture: both sides are (queries × 3) rows — the corpus-sized
     * work happens once inside the two already-measured pipelines; the

@@ -273,4 +273,18 @@ object Export {
       .join(TextOps.packAssignments(spark, d).select("doc_id", "shard_id"),
         "doc_id")
       .write.mode(SaveMode.Overwrite).partitionBy("shard_id").parquet(out)
+
+  /** The full curate→pack→ship composition: run the t17 funnel, pack
+    * ONLY the surviving documents (offsets recompute over the survivor
+    * set, keeping shards budget-dense after the drops), and write the
+    * shard-partitioned curated corpus — the artifact a training job
+    * actually reads. */
+  def writeCuratedShards(spark: SparkSession, d: String, out: String): Unit = {
+    val curated = graft.Tables.documents(spark, d)
+      .join(TextOps.funnelStages(spark, d).last._2, "doc_id")
+    curated
+      .join(TextOps.packAssignmentsOf(curated).select("doc_id", "shard_id"),
+        "doc_id")
+      .write.mode(SaveMode.Overwrite).partitionBy("shard_id").parquet(out)
+  }
 }

@@ -894,9 +894,16 @@ object TextOps {
   /** Per-document shard assignment behind t15 — (doc_id, tok, shard_id)
     * via the two-level prefix sum; also feeds the packed-shard sink
     * ([[graft.ops.Export.writePackedShards]]). */
-  private[graft] def packAssignments(s: SparkSession, d: String): DataFrame = {
+  private[graft] def packAssignments(s: SparkSession, d: String): DataFrame =
+    packAssignmentsOf(Tables.documents(s, d))
+
+  /** The two-level prefix-sum packer over ANY (doc_id, text) relation —
+    * t15 packs the raw corpus; the curated-shard sink packs the t19
+    * survivor set (offsets recompute over the survivors, so shards stay
+    * budget-dense after curation drops documents). */
+  private[graft] def packAssignmentsOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = Tables.documents(s, d).select(col("doc_id"),
+    val t = docs.select(col("doc_id"),
       size(toks).cast("long").as("tok"),
       expr(s"doc_id div $PackRange").as("rng"))
     val wR = Window.orderBy("rng")

@@ -364,4 +364,25 @@ class ExportSpec extends SparkSpecBase {
     assert(p.contains("PartitionFilters") && p.contains("shard_id"),
       s"shard filter did not prune at the scan:\n$p")
   }
+
+  test("curated shards ship exactly the funnel survivors, budget-dense") {
+    val out = tmp("curated_shards")
+    Export.writeCuratedShards(spark, sf, out)
+    val back = spark.read.parquet(out)
+    val survivors = graft.ops.TextOps.curatedDocs(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val shipped = back.select("doc_id").as[Long].collect().toSet
+    assert(shipped == survivors,
+      s"shards ship ${shipped.size} docs, funnel kept ${survivors.size}")
+    // offsets recompute over the survivor set: every shard but the last
+    // reaches the token budget once its last doc is counted in
+    val perShard = back
+      .select(col("shard_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+      .groupBy("shard_id").agg(sum("tok").as("tokens"))
+      .orderBy("shard_id").as[(Long, Long)].collect()
+    perShard.dropRight(1).foreach { case (id, tokens) =>
+      assert(tokens >= graft.ops.TextOps.PackBudget - 99,
+        s"shard $id underfilled at $tokens tokens despite later shards existing")
+    }
+  }
 }

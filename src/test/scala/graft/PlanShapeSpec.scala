@@ -136,6 +136,18 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Generate"), s"fingerprint regressed to explode:\n$p")
   }
 
+  test("dedup queries serve from the materialized signature table, not the live lineage") {
+    for (q <- Seq("t06_dedup_minhash", "t08_ngram_jaccard", "t12_bucket_audit")) {
+      val p = SparkEntry.queries(q)(spark, d).queryExecution.sparkPlan.toString
+      assert(p.contains("graft-sig-index"),
+        s"$q does not read the signature index:\n$p")
+      // the signature derivation (per-shingle md5 array fold) must not
+      // appear in the serve plan — that is the build step's job
+      assert(!p.contains("array_min"),
+        s"$q re-derives signatures at query time:\n$p")
+    }
+  }
+
   test("decontamination broadcasts the eval n-grams, streams the corpus") {
     val p = plan("t14_decontaminate")
     assert(p.contains("BroadcastHashJoin"),

@@ -228,6 +228,35 @@ object Relational {
       |SELECT n_name, 'customers_only' AS which FROM (SELECT * FROM cn EXCEPT SELECT * FROM sn)
       |ORDER BY which, n_name""".stripMargin
 
+  // ---------------------------------------------------------------- r25
+  /** Multiset set ops (§2.8): INTERSECT ALL / EXCEPT ALL keep
+    * duplicates with bag semantics — per value, min(countA, countB) and
+    * max(0, countA − countB) — which the r09 distinct variants cannot
+    * express. Output is the per-value census of both bag results, so
+    * the hash pins the multiplicities, not just the membership. */
+  val setOpsAll: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    def side(st: String) =
+      o.filter(col("o_orderstatus") === st).select(col("o_orderpriority").as("pri"))
+    val a = side("O")
+    val b = side("F")
+    val ia = a.intersectAll(b).groupBy("pri")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    val ea = a.exceptAll(b).groupBy("pri")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    ia.unionByName(ea).select("op", "pri", "n").orderBy("op", "pri")
+  }
+
+  val setOpsAllSql: String =
+    """WITH a AS (SELECT o_orderpriority AS pri FROM orders WHERE o_orderstatus = 'O'),
+      |     b AS (SELECT o_orderpriority AS pri FROM orders WHERE o_orderstatus = 'F'),
+      |     ia AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+      |     ea AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+      |SELECT 'intersect_all' AS op, pri, count(*) AS n FROM ia GROUP BY pri
+      |UNION ALL
+      |SELECT 'except_all' AS op, pri, count(*) AS n FROM ea GROUP BY pri
+      |ORDER BY op, pri""".stripMargin
+
   /** Scalar date/string surface (§2.9): the reference's yyyyDDD cache key,
     * ISO date truncation, split-by-dot field extraction, case/length. */
   val scalarFuncs: Q = (s, d) => {
@@ -678,9 +707,11 @@ object Relational {
     "r21_array_funcs" -> arrayFuncs,
     "r22_string_funcs" -> stringFuncs,
     "r23_list_agg" -> listAgg,
-    "r24_grouping_sets" -> groupingSets)
+    "r24_grouping_sets" -> groupingSets,
+    "r25_setops_all" -> setOpsAll)
 
   val oracle: Map[String, String] = Map(
+    "r25_setops_all" -> setOpsAllSql,
     "r12_salted_agg" -> saltedAggSql,
     "r17_approx_distinct" -> approxDistinctSql,
     "r19_pivot_flags" -> pivotFlagsSql,

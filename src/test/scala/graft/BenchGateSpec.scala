@@ -74,4 +74,51 @@ class BenchGateSpec extends AnyFunSuite {
     val fail = BenchGate.report(None, Map("a" -> (1.0, 2.5)))
     assert(fail.contains("\"pass\":false") && fail.contains("\"a\":[1.0,2.5]"))
   }
+
+  test("settle re-runs a flagged measurement and keeps the min") {
+    val flagged = (t: Double) => t > 2.0
+    // contended first sample, second re-run comes back clean -> cleared
+    val s1 = Iterator(8.5, 1.2)
+    assert(BenchGate.settle(9.0, flagged, () => s1.next()) == (1.2, 2))
+    // clears on the first re-run -> stops early, later samples unused
+    val s2 = Iterator(0.5, 99.0)
+    assert(BenchGate.settle(9.0, flagged, () => s2.next()) == (0.5, 1))
+    // never flagged -> zero extra runs, the thunk must not fire
+    assert(BenchGate.settle(1.0, flagged,
+      () => fail("must not re-run an unflagged query")) == (1.0, 0))
+    // a genuine regression survives every re-run and stays at its min
+    val s4 = Iterator(9.1, 9.2)
+    assert(BenchGate.settle(9.0, flagged, () => s4.next()) == (9.0, 2))
+    // the min is kept even when a later sample is WORSE than the first
+    val s5 = Iterator(12.0, 2.5)
+    assert(BenchGate.settle(3.0, flagged, () => s5.next()) == (2.5, 2))
+  }
+
+  test("parseBuilds reads the one-time build fields, not the queries") {
+    val line = """{"metric":"total","value":51.7,""" +
+      """"queries":{"t06_dedup_minhash":0.86},""" +
+      """"ivf_build":8.17,"sig_build":1.53,"sf":"/root/testdata/sf0.1"}"""
+    val b = BenchGate.parseBuilds(line)
+    assert(b == Map("ivf_build" -> 8.17, "sig_build" -> 1.53), s"parsed: $b")
+    assert(BenchGate.parseBuilds("{}").isEmpty)
+    // the driver's quote-escaped tail form parses too
+    val tail = """{"tail":"...,\"ivf_build\":9.66,\"sig_build\":2.27,..."}"""
+    assert(BenchGate.parseBuilds(tail) ==
+      Map("ivf_build" -> 9.66, "sig_build" -> 2.27))
+    // and builds never leak into the query baseline
+    assert(!BenchGate.parseQueries(line).contains("ivf_build"))
+  }
+
+  test("report carries builds and reruns; a build regression fails the gate") {
+    val r = BenchGate.report(Some("BENCH_local.json"), Map.empty,
+      builds = Map("ivf_build" -> (8.0, 40.0)),
+      reruns = Map("t08_ngram_jaccard" -> 2))
+    assert(r.contains("\"pass\":false"), r)
+    assert(r.contains("\"builds\":{\"ivf_build\":[8.0,40.0]}"), r)
+    assert(r.contains("\"reruns\":{\"t08_ngram_jaccard\":2}"), r)
+    // flagged-then-cleared is machine noise: reruns recorded, gate passes
+    val noise = BenchGate.report(Some("x"), Map.empty, Map.empty,
+      Map("c02_extract_metadata" -> 1))
+    assert(noise.contains("\"pass\":true"), noise)
+  }
 }

@@ -810,36 +810,81 @@ object SimOps {
        |ORDER BY emb.label""".stripMargin
 
   // ---------------------------------------------------------------- v06
-  /** Embedding-cosine near-duplicate pairs over the WHOLE corpus: 4-bit
-    * sign-LSH bucketing (16 buckets) prunes to same-bucket pairs before
-    * any arithmetic — ~n²/16 candidate pairs instead of n² — then the
-    * DECIMAL-exact cosine keeps pairs above the near-dup threshold,
-    * keyed keeper-first (lower vec_id). This is the dedup-mining shape
-    * (emit the pair list for a downstream keep/drop pass) where v02/v05
-    * are the query-time ANN shapes; at 100 TB the bucket count scales
-    * with corpus size and banding replaces single-probe bucketing. */
+  /** Bits per near-dup LSH band, derived from corpus size so buckets
+    * stay population-bounded at ANY scale: the smallest b with
+    * 2^b >= ceil(n / 64) (i.e. ~64 expected members per bucket when the
+    * sign-bits split evenly), floored at 4. Integer-exact — bit-length
+    * of ceil(n/64) - 1 — so the DuckDB oracle reproduces it without a
+    * float log2 whose last ulp could flip a ceil() at a power of two. */
+  private[graft] def bandBits(n: Long): Int = {
+    val m = (n + 63) / 64
+    math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, m - 1)))
+  }
+
+  /** Near-dup LSH geometry: [[NearDupBands]] independent bands, each
+    * keyed by the sign pattern of [[bandBits]] coordinates (band b, bit
+    * j reads coordinate (b·16 + j·3) mod 64, 1-based) — coordinate
+    * hyperplanes, OR'd across bands, so recall does not collapse as the
+    * per-band key narrows. A band bucket larger than
+    * [[MaxNearDupBucket]] is dropped from candidate generation (its
+    * O(|bucket|²) pair fan-out would swamp one reducer) and surfaced by
+    * the declared v12 audit instead — the t06/t12 contract. */
+  val NearDupBands = 4
+  val MaxNearDupBucket = 4096
+
+  /** (vec_id, label, embedding, band, key) — one row per vector per
+    * band; `bits` comes from [[bandBits]]. */
+  private def nearDupBuckets(emb: DataFrame, bits: Int): DataFrame = {
+    val keyOf = (b: Int) => concat((0 until bits).map { j =>
+      val coord = (b * 16 + j * 3) % 64 + 1
+      when(element_at(col("embedding"), coord) > 0f, lit("1")).otherwise(lit("0"))
+    }: _*)
+    emb.select(col("vec_id"), col("label"), col("embedding"),
+        explode(array((0 until NearDupBands).map(b =>
+          struct(lit(b).as("band"), keyOf(b).as("key"))): _*)).as("bk"))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs over the WHOLE corpus:
+    * banded sign-LSH ([[nearDupBuckets]]) prunes to same-band-bucket
+    * pairs before any arithmetic, then the DECIMAL-exact cosine keeps
+    * pairs above the near-dup threshold, keyed keeper-first (lower
+    * vec_id). This is the dedup-mining shape (emit the pair list for a
+    * downstream keep/drop pass) where v02/v05 are the query-time ANN
+    * shapes. Scale posture: bucket count grows with the corpus
+    * ([[bandBits]]), so expected per-bucket pair fan-out is constant —
+    * not n²/16 — and the [[MaxNearDupBucket]] cap bounds the worst
+    * (skewed) bucket, with drops declared via the v12 audit. */
   val embedNearDup: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val sign = (c: Int, bit: Int) =>
-      when(element_at(col("embedding"), c) > 0f, bit).otherwise(0)
-    val bucketed = emb.select(col("vec_id"), col("label"), col("embedding"),
-      (sign(1, 8) + sign(8, 4) + sign(22, 2) + sign(40, 1)).as("bucket"))
-    // Prune: SHUFFLED same-bucket self-join on the PACKED arrays (both
-    // sides exchange on the bucket key — neither side is ever broadcast,
-    // so the corpus can be arbitrarily large; each reducer sees one
-    // bucket's members and the codegen'd native cosine evaluates per
-    // pair with no explode). The 1e-9 epsilon guard dwarfs the
-    // double-vs-DECIMAL accumulation gap (~1e-15), so no true near-dup
-    // can be pruned; false survivors die in the exact stage below.
-    val cands = bucketed
-      .join(bucketed.select(col("vec_id").as("dup_id"),
-        col("label").as("label_b"), col("embedding").as("eb"),
-        col("bucket")).hint("shuffle_hash"), Seq("bucket"))
+    // one metadata-cheap count to size the geometry (model-sized scalar,
+    // like the IVF centroid collects)
+    val bucketed = nearDupBuckets(emb, bandBits(emb.count()))
+    val sizes = bucketed.groupBy("band", "key")
+      .agg(count(lit(1)).as("n_members"))
+    // Cap enforcement + prune: both joins SHUFFLED on the (band, key)
+    // bucket key — neither side is ever broadcast, so the corpus can be
+    // arbitrarily large; each reducer sees one bucket's members and the
+    // codegen'd native cosine evaluates per pair with no explode. The
+    // 1e-9 epsilon guard dwarfs the double-vs-DECIMAL accumulation gap
+    // (~1e-15), so no true near-dup can be pruned; false survivors die
+    // in the exact stage below. A pair sharing several band buckets is
+    // collapsed once by the keyed dropDuplicates AFTER the cosine cut,
+    // so the dedup exchange only carries survivors.
+    val ok = bucketed.join(
+      sizes.filter(col("n_members") <= MaxNearDupBucket).hint("shuffle_hash"),
+      Seq("band", "key"))
+    val cands = ok
+      .join(ok.select(col("band"), col("key"), col("vec_id").as("dup_id"),
+        col("label").as("label_b"), col("embedding").as("eb"))
+        .hint("shuffle_hash"), Seq("band", "key"))
       .filter(col("vec_id") < col("dup_id"))
       .filter(expr("graft_cosine(embedding, eb)") > 0.4 - 1e-9)
       .select(col("vec_id").as("keep_id"), col("dup_id"),
         (col("label") === col("label_b")).as("same_label"),
         col("embedding").as("ea"), col("eb"))
+      .dropDuplicates("keep_id", "dup_id")
     // Verify: DECIMAL-exact cosine on the handful of survivors only —
     // the same element values (float → double → decimal(38,18)) the
     // oracle accumulates, so the >0.4 cut is bit-identical.
@@ -862,27 +907,53 @@ object SimOps {
       .orderBy("keep_id", "dup_id")
   }
 
-  val embedNearDupSql: String =
-    s"""WITH b AS (
-       |  SELECT vec_id, label,
-       |    (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END)
-       |    + (CASE WHEN embedding[8] > 0 THEN 4 ELSE 0 END)
-       |    + (CASE WHEN embedding[22] > 0 THEN 2 ELSE 0 END)
-       |    + (CASE WHEN embedding[40] > 0 THEN 1 ELSE 0 END) AS bucket
+  /** Oracle CTEs shared by v06 and the v12 audit: the banded sign-key
+    * relation `bk` (vec_id, band, key), built from the same integer
+    * bit-length geometry as [[bandBits]]/[[nearDupBuckets]]. */
+  private val nearDupBucketsSql: String =
+    s"""params AS (
+       |  SELECT CAST(greatest(4, length(bin(greatest(1,
+       |    (count(*) + 63) // 64 - 1)))) AS INT) AS bits
        |  FROM embeddings
        |), f0 AS (
        |$flatSql
-       |), f AS (SELECT f0.vec_id, f0.i, f0.v, b.bucket FROM f0 JOIN b ON f0.vec_id = b.vec_id
+       |), pos AS (
+       |  SELECT CAST(b.band AS INT) AS band, j.j,
+       |    CAST(((b.band * 16 + j.j * 3) % 64) + 1 AS INT) AS coord
+       |  FROM (SELECT unnest(generate_series(0, 3)) AS band) b
+       |  CROSS JOIN params
+       |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, params.bits - 1)) AS j) j
+       |), bk AS (
+       |  SELECT f0.vec_id, pos.band,
+       |    string_agg(CASE WHEN f0.v > 0 THEN '1' ELSE '0' END, ''
+       |      ORDER BY pos.j) AS key
+       |  FROM f0 JOIN pos ON f0.i = pos.coord
+       |  GROUP BY f0.vec_id, pos.band
+       |)""".stripMargin
+
+  val embedNearDupSql: String =
+    s"""WITH $nearDupBucketsSql
+       |, sizes AS (
+       |  SELECT band, key, count(*) AS n_members FROM bk GROUP BY band, key
+       |), okb AS (
+       |  SELECT bk.vec_id, bk.band, bk.key FROM bk
+       |  JOIN sizes USING (band, key) WHERE sizes.n_members <= 4096
+       |), pairs AS (
+       |  SELECT DISTINCT a.vec_id AS keep_id, c.vec_id AS dup_id
+       |  FROM okb a JOIN okb c
+       |    ON a.band = c.band AND a.key = c.key AND a.vec_id < c.vec_id
        |), n AS (SELECT vec_id, sqrt(${xsumHiSql("v * v")}) AS nrm FROM f0 AS f GROUP BY vec_id
        |), dots AS (
-       |  SELECT a.vec_id, c.vec_id AS bid, ${xsumHiSql("a.v * c.v")} AS dot
-       |  FROM f a JOIN f c ON a.bucket = c.bucket AND a.i = c.i AND a.vec_id < c.vec_id
-       |  GROUP BY a.vec_id, c.vec_id
+       |  SELECT p.keep_id, p.dup_id, ${xsumHiSql("a.v * c.v")} AS dot
+       |  FROM pairs p
+       |  JOIN f0 a ON a.vec_id = p.keep_id
+       |  JOIN f0 c ON c.vec_id = p.dup_id AND c.i = a.i
+       |  GROUP BY p.keep_id, p.dup_id
        |), cos AS (
-       |  SELECT dots.vec_id AS keep_id, dots.bid AS dup_id,
+       |  SELECT dots.keep_id, dots.dup_id,
        |    dots.dot / (na.nrm * nb.nrm) AS cosine
-       |  FROM dots JOIN n na ON dots.vec_id = na.vec_id
-       |            JOIN n nb ON dots.bid = nb.vec_id
+       |  FROM dots JOIN n na ON dots.keep_id = na.vec_id
+       |            JOIN n nb ON dots.dup_id = nb.vec_id
        |)
        |SELECT keep_id, dup_id, 0.0 + round(cosine, 6) AS cosine,
        |  la.label = lb.label AS same_label
@@ -891,6 +962,28 @@ object SimOps {
        |JOIN embeddings lb ON cos.dup_id = lb.vec_id
        |WHERE cosine > 0.4
        |ORDER BY keep_id, dup_id""".stripMargin
+
+  // ---------------------------------------------------------------- v12
+  /** Audit companion of v06 (the t12 contract for the embedding side):
+    * every near-dup band bucket whose membership exceeds
+    * [[MaxNearDupBucket]] — i.e. every bucket v06 silently dropped from
+    * candidate generation. Non-empty output at scale is the signal to
+    * widen [[bandBits]] or route the hot bucket through a dedicated
+    * pass; empty output proves the cap changed nothing. */
+  val embedBucketAudit: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    nearDupBuckets(emb, bandBits(emb.count()))
+      .groupBy("band", "key").agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > MaxNearDupBucket)
+      .orderBy("band", "key")
+  }
+
+  val embedBucketAuditSql: String =
+    s"""WITH $nearDupBucketsSql
+       |SELECT band, key, count(*) AS n_members
+       |FROM bk GROUP BY band, key
+       |HAVING count(*) > 4096
+       |ORDER BY band, key""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "v06_embed_neardup" -> embedNearDup,
@@ -903,7 +996,8 @@ object SimOps {
     "v08_kmeans_model" -> kmeansModelQ,
     "v09_ivf_index" -> ivfIndexQ,
     "v10_ivf_recall" -> ivfRecall,
-    "v11_quantize_error" -> quantizeError)
+    "v11_quantize_error" -> quantizeError,
+    "v12_embed_bucket_audit" -> embedBucketAudit)
 
   val oracle: Map[String, String] = Map(
     "v08_kmeans_model" -> kmeansModelSql,
@@ -916,5 +1010,6 @@ object SimOps {
     "v07_sim_ivf_probe2" -> simIvfProbe2Sql,
     "v09_ivf_index" -> ivfIndexSql,
     "v10_ivf_recall" -> ivfRecallSql,
-    "v11_quantize_error" -> quantizeErrorSql)
+    "v11_quantize_error" -> quantizeErrorSql,
+    "v12_embed_bucket_audit" -> embedBucketAuditSql)
 }

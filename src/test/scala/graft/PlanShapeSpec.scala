@@ -97,6 +97,27 @@ class PlanShapeSpec extends SparkSpecBase {
       s"near-dup candidate join broadcasts the corpus:\n$p")
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
       s"expected a shuffled bucket-key join in:\n$p")
+    // the BANDED form: vectors explode into per-band (band, key) rows
+    // (a Generate node) and candidates join on the composite band+key
+    // bucket — not a single fixed-width bucket whose pair fan-out grows
+    // n²/buckets with the corpus
+    assert(p.contains("Generate"),
+      s"banded bucketing regressed to a single fixed bucket:\n$p")
+    assert(p.contains("hashpartitioning(band"),
+      s"candidate join no longer keyed on the (band, key) bucket:\n$p")
+  }
+
+  test("v06 band bits grow with the corpus, integer-exactly") {
+    import graft.ops.SimOps.bandBits
+    assert(bandBits(0L) == 4 && bandBits(500L) == 4)
+    // 64·2^4 = 1024 vectors is the last corpus 4 bits cover at the
+    // ~64-members/bucket target; one vector more needs a 5th bit
+    assert(bandBits(64L * 16) == 4)
+    assert(bandBits(64L * 16 + 1) == 5)
+    assert(bandBits(64L * 1024) == 10)
+    // 10^11 docs (the 100 TB posture) -> 2^31 buckets per band, each
+    // still ~64 expected members
+    assert(bandBits(100L * 1000 * 1000 * 1000) == 31)
   }
 
   test("t08 verify stage never broadcasts a corpus-derived relation") {

@@ -280,11 +280,14 @@ object Export {
     * shard-partitioned curated corpus — the artifact a training job
     * actually reads. */
   def writeCuratedShards(spark: SparkSession, d: String, out: String): Unit = {
-    val curated = graft.Tables.documents(spark, d)
-      .join(TextOps.funnelStages(spark, d).last._2, "doc_id")
+    val raw = graft.Tables.documents(spark, d)
+    val curated = raw.join(TextOps.funnelStages(spark, d).last._2, "doc_id")
+    // the raw corpus id span bounds the survivors' span, so the range
+    // width stays scale-safe without evaluating the funnel twice
+    val width = TextOps.packRangeFor(TextOps.maxDocId(raw))
     curated
-      .join(TextOps.packAssignmentsOf(curated).select("doc_id", "shard_id"),
-        "doc_id")
+      .join(TextOps.packAssignmentsOf(curated, width)
+        .select("doc_id", "shard_id"), "doc_id")
       .write.mode(SaveMode.Overwrite).partitionBy("shard_id").parquet(out)
   }
 }

@@ -252,16 +252,20 @@ object TextOps {
     * from the index is bit-identical to the live lineage. At 100 TB this
     * is the standard shape: the signature table is O(corpus rows) but
     * ~100 bytes/doc, rebuilt only when the corpus version changes. */
-  private val sigCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val sigCache = new BuildCache[String]
 
   private[graft] def sigIndex(s: SparkSession, d: String): DataFrame = {
-    val path = sigCache.computeIfAbsent(d, _ => {
+    // keyed on the corpus version marker, built outside any map lock
+    // (BuildCache): regenerating the dataset in-process invalidates
+    // automatically, and a concurrent first use never blocks unrelated
+    // callers behind the parquet-write job
+    val path = sigCache.get(
+      s"$d@${BuildCache.version(d, "documents.parquet")}") {
       val dir = Checkpoints.scopedTempDir("graft-sig-index").toString
       signatures(Tables.documents(s, d))
         .write.mode("overwrite").parquet(dir)
       dir
-    })
+    }
     s.read.parquet(path)
   }
 
@@ -871,10 +875,26 @@ object TextOps {
   /** Token budget per packed training shard. */
   val PackBudget = 2048L
 
-  /** Coarse range width for the distributed prefix sum: doc_ids are
-    * grouped into [[PackRange]]-wide ranges whose per-range totals form
-    * the (small) relation the only unpartitioned window runs over. */
-  val PackRange = 64L
+  /** Cardinality target for the per-range totals relation — the only
+    * unpartitioned window in the packer runs over at most this many
+    * rows, at ANY corpus scale. */
+  val PackTargetRanges = 1000L * 1000
+
+  /** Coarse range width for the distributed prefix sum, DERIVED from
+    * the corpus id span: doc_ids in [0, maxId] grouped into ranges of
+    * this width touch at most [[PackTargetRanges]] ranges (10^11 docs →
+    * 10^6 ranges of width ~10^5), so the range-totals window is
+    * genuinely file-count-sized everywhere. Floored at 64 so small
+    * corpora keep multi-document ranges. The shard assignment is
+    * invariant to the width (the prefix sum composes identically at any
+    * split — proven by the naive-window equality spec at two widths). */
+  private[graft] def packRangeFor(maxId: Long): Long =
+    math.max(64L, maxId / PackTargetRanges + 1)
+
+  /** Largest doc_id of a corpus (0 when empty) — the cheap,
+    * column-pruned scan that sizes [[packRangeFor]]. */
+  private[graft] def maxDocId(docs: DataFrame): Long =
+    docs.agg(coalesce(max("doc_id"), lit(0L))).head.getLong(0)
 
   /** Sequence packing — assign documents, in doc_id order, to fixed
     * token-budget training shards (each doc goes wholly into the shard
@@ -885,27 +905,33 @@ object TextOps {
     * Scale posture: a naive `sum(tok) OVER (ORDER BY doc_id)` is a
     * single-reducer global window — the classic scale trap. This is the
     * two-level distributed prefix sum instead: per-range token totals
-    * (corpus/[[PackRange]] rows) take the only unpartitioned window;
-    * range offsets broadcast back; the per-document cumulative sum runs
-    * partitioned BY RANGE. At 100 TB the ranges relation is
-    * file-count-sized and every corpus-sized stage shuffles on its own
-    * bounded key. The oracle spells the single-window form — same
-    * associative sum, same result. */
+    * (≤ [[PackTargetRanges]] rows by construction of [[packRangeFor]])
+    * take the only unpartitioned window; range offsets broadcast back;
+    * the per-document cumulative sum runs partitioned BY RANGE. At
+    * 100 TB the ranges relation stays ≤ 10^6 rows and every
+    * corpus-sized stage shuffles on its own bounded key. The oracle
+    * spells the single-window form — same associative sum, same
+    * result. */
   /** Per-document shard assignment behind t15 — (doc_id, tok, shard_id)
     * via the two-level prefix sum; also feeds the packed-shard sink
     * ([[graft.ops.Export.writePackedShards]]). */
-  private[graft] def packAssignments(s: SparkSession, d: String): DataFrame =
-    packAssignmentsOf(Tables.documents(s, d))
+  private[graft] def packAssignments(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    packAssignmentsOf(docs, packRangeFor(maxDocId(docs)))
+  }
 
   /** The two-level prefix-sum packer over ANY (doc_id, text) relation —
     * t15 packs the raw corpus; the curated-shard sink packs the t19
     * survivor set (offsets recompute over the survivors, so shards stay
-    * budget-dense after curation drops documents). */
-  private[graft] def packAssignmentsOf(docs: DataFrame): DataFrame = {
+    * budget-dense after curation drops documents). `rangeWidth` comes
+    * from [[packRangeFor]] on the caller's id span (any upper bound on
+    * the relation's ids works — the assignment is width-invariant). */
+  private[graft] def packAssignmentsOf(docs: DataFrame,
+      rangeWidth: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = docs.select(col("doc_id"),
       size(toks).cast("long").as("tok"),
-      expr(s"doc_id div $PackRange").as("rng"))
+      expr(s"doc_id div $rangeWidth").as("rng"))
     val wR = Window.orderBy("rng")
     val offs = t.groupBy("rng").agg(sum("tok").as("rtok"))
       .select(col("rng"), (sum("rtok").over(wR) - col("rtok")).as("roff"))

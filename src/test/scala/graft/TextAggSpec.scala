@@ -197,6 +197,23 @@ class TextAggSpec extends SparkSpecBase {
       .orderBy("shard_id")
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(manifest == naive, "two-level prefix sum drifted from the naive form")
+    // the assignment is range-width INVARIANT: a second, coprime width
+    // (17) re-proves the prefix sum composes identically at any split —
+    // which is what licenses deriving the width from corpus size
+    val alt = TextOps.packAssignmentsOf(
+        Tables.documents(spark, sf), rangeWidth = 17L)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(alt == naive, "packing changed under a different range width")
+    // and the derived width keeps the ranges relation bounded: ~64 docs
+    // per range below the floor, ≤ PackTargetRanges ranges at any scale
+    assert(TextOps.packRangeFor(0L) == 64L)
+    assert(TextOps.packRangeFor(100L * 1000 * 1000 * 1000) == 100001L)
+    val spanned = 100L * 1000 * 1000 * 1000
+    assert(spanned / TextOps.packRangeFor(spanned) + 1 <= TextOps.PackTargetRanges)
     // shards are contiguous from 0 and conserve docs and tokens
     assert(manifest.map(_._1) == (0L until manifest.length).toSeq)
     val (nd, nt) = Tables.documents(spark, sf)

@@ -378,8 +378,12 @@ object SimOps {
     * queries load the model. The collected values round-trip exactly
     * (no re-computation, no drift), so results are identical to the
     * train-inline form at any call order. */
-  private val modelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long, Double)]]()
+  private val modelCache = new BuildCache[Array[(Long, Long, Double)]]
+
+  /** Cache key for a per-dataset build artifact: path + corpus version
+    * marker (regeneration invalidates) + any trainer params. */
+  private def embKey(d: String, extra: String = ""): String =
+    s"$d@${BuildCache.version(d, "embeddings.parquet")}$extra"
 
   /** Train on an already-pinned (f, n) pair and collect the model rows,
     * releasing the final centroid snapshot — the shared core of
@@ -395,7 +399,7 @@ object SimOps {
 
   private[graft] def trainedModel(s: SparkSession, d: String,
       k: Int = KmeansK, seedLo: Int = KmeansSeedLo): DataFrame = {
-    val rows = modelCache.computeIfAbsent(s"$d|$k|$seedLo", _ => {
+    val rows = modelCache.get(embKey(d, s"|$k|$seedLo")) {
       // checkpoint the flattened corpus + norms once: every Lloyd round
       // (and nothing else) re-reads them, so they should not re-derive
       // from parquet per round; both pins — and the final centroid
@@ -408,7 +412,7 @@ object SimOps {
         try trainAndCollect(s, emb, f, n, k, seedLo)
         finally Checkpoints.release(nPin)
       } finally Checkpoints.release(fPin)
-    })
+    }
     import s.implicits._
     rows.toSeq.toDF("cell", "i", "c")
   }
@@ -428,11 +432,10 @@ object SimOps {
     * model broadcasts. Parquet round-trips longs and float arrays
     * exactly, so serving from the index is bit-identical to serving
     * from the live assignment. */
-  private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val indexCache = new BuildCache[String]
 
   private[graft] def ivfIndex(s: SparkSession, d: String): DataFrame = {
-    val path = indexCache.computeIfAbsent(d, _ => {
+    val path = indexCache.get(embKey(d)) {
       // one flat/norms pass feeds BOTH training (if the model is not
       // yet cached) and the corpus→cell assignment
       val emb = Tables.embeddings(s, d)
@@ -440,8 +443,8 @@ object SimOps {
       try {
         val (n, nPin) = Checkpoints.pin(norms(f))
         try {
-          val rows = modelCache.computeIfAbsent(s"$d|$KmeansK|$KmeansSeedLo",
-            _ => trainAndCollect(s, emb, f, n, KmeansK, KmeansSeedLo))
+          val rows = modelCache.get(embKey(d, s"|$KmeansK|$KmeansSeedLo"))(
+            trainAndCollect(s, emb, f, n, KmeansK, KmeansSeedLo))
           import s.implicits._
           val cent = rows.toSeq.toDF("cell", "i", "c")
           val assign = exactAssign(emb, f, n, cent, rows)
@@ -452,7 +455,7 @@ object SimOps {
           dir
         } finally Checkpoints.release(nPin)
       } finally Checkpoints.release(fPin)
-    })
+    }
     // partition-column type inference narrows cell to int; restore long
     s.read.parquet(path).withColumn("cell", col("cell").cast("long"))
   }

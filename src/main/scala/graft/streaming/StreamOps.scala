@@ -96,10 +96,14 @@ object StreamOps {
   def curateDocs(docs: DataFrame, watermark: String = "1 hour",
       minChars: Int = 20): DataFrame =
     docs
+      // quality gate FIRST: a short document can never be emitted, so
+      // filtering before the dedup keeps its copies out of the state
+      // store entirely (the output is identical either way — a short
+      // doc's duplicates are equally short)
+      .filter(length(col("text")) >= minChars)
       .withWatermark("ingest_ts", watermark)
       .withColumn("h", md5(col("text").cast("binary")))
       .dropDuplicatesWithinWatermark("h")
-      .filter(length(col("text")) >= minChars)
       .select("doc_id", "ingest_ts", "text")
 
   /** Stream-static enrichment: join each streaming event against a

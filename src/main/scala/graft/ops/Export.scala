@@ -163,13 +163,15 @@ object Export {
     * the chronological NDVI frame sequence as one looping GIF89a, PIL's
     * `duration=500` ms → 50 cs per frame, `loop=0` forever
     * (visualize_dataset.py:398-404). The per-frame work — same-day
-    * dedup, pixel→palette-index mapping — runs distributed; only the
+    * dedup, pixel→palette-index mapping — runs distributed; the
     * palette-index rasters (w×h BYTES per date, already
-    * colormap-quantized) come back for sequential file assembly, since
-    * a GIF is one ordered stream. Like the reference's, this sink is
-    * for visualization-scale grids: at 100 TB the cube is
-    * [[exportFrame]]-downsampled first, which is also what a GIF of a
-    * raster IS. */
+    * colormap-quantized) STREAM back in date order via
+    * `toLocalIterator` — the driver holds one fetched partition of
+    * frames at a time, not the series — and the encoder writes each
+    * frame's blocks straight to the file, since a GIF is one ordered
+    * stream. A long series therefore cannot OOM the driver; the frame
+    * AREA is still [[exportFrame]]-downsampled first at scale, which is
+    * also what a GIF of a raster IS. */
   def writeGif(cube: DataFrame, outPath: String, grid: GridSpec,
       variable: String = "ndvi", vmin: Double = -0.2, vmax: Double = 1.0,
       delayCs: Int = 50): Unit = {
@@ -190,14 +192,20 @@ object Export {
         }
         acc.iterator
       }
-      .collect().sortBy(_._1)
+      // total order across partitions (range partitioning), so the
+      // partition-by-partition local iterator yields dates in order
+      .orderBy("_1")
     val palette = Raster.RdYlGn :+ 0xffffff // 255 = nodata, white background
-    val gif = Raster.Gif.encode(w, h, palette,
-      frames.map { case (_, idx) => Raster.Gif.Frame(idx, delayCs) }.toSeq)
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(outPath).toAbsolutePath.getParent)
-    java.nio.file.Files.write(java.nio.file.Paths.get(outPath), gif)
-    ()
+    val out = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(outPath)))
+    try {
+      import scala.jdk.CollectionConverters._
+      Raster.Gif.encodeTo(out, w, h, palette,
+        frames.toLocalIterator().asScala
+          .map { case (_, idx) => Raster.Gif.Frame(idx, delayCs) })
+    } finally out.close()
   }
 
   /** Shared frame preparation for the image sinks: same-day dedup

@@ -183,11 +183,21 @@ object Raster {
       * (PIL `loop=0`, visualize_dataset.py:403). */
     def encode(width: Int, height: Int, palette: Array[Int],
         frames: Seq[Frame], loop: Int = 0): Array[Byte] = {
-      require(palette.length == 256, s"palette ${palette.length} != 256")
-      require(frames.nonEmpty, "at least one frame")
-      frames.foreach(f => require(f.indices.length == width * height,
-        s"frame ${f.indices.length} != $width x $height"))
       val out = new java.io.ByteArrayOutputStream()
+      encodeTo(out, width, height, palette, frames.iterator, loop)
+      out.toByteArray
+    }
+
+    /** Streaming form: frames consumed one at a time and written
+      * straight to `out` (a GIF is header + GCT + per-frame blocks +
+      * trailer, so nothing forces the sequence to be in memory at
+      * once) — what lets the sink assemble a long series from
+      * `toLocalIterator` without collecting every frame. */
+    def encodeTo(sink: java.io.OutputStream, width: Int, height: Int,
+        palette: Array[Int], frames: Iterator[Frame], loop: Int = 0): Unit = {
+      require(palette.length == 256, s"palette ${palette.length} != 256")
+      require(frames.hasNext, "at least one frame")
+      val out = sink
       def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
       out.write("GIF89a".getBytes(StandardCharsets.US_ASCII))
       u16(width)
@@ -203,6 +213,8 @@ object Raster {
       out.write("NETSCAPE2.0".getBytes(StandardCharsets.US_ASCII))
       out.write(3); out.write(1); u16(loop); out.write(0)
       frames.foreach { f =>
+        require(f.indices.length == width * height,
+          s"frame ${f.indices.length} != $width x $height")
         out.write(0x21); out.write(0xf9); out.write(4)
         out.write(0) // disposal none, no transparency
         u16(f.delayCs)
@@ -222,7 +234,7 @@ object Raster {
         out.write(0) // block terminator
       }
       out.write(0x3b) // trailer
-      out.toByteArray
+      out.flush()
     }
 
     /** Parse back what [[encode]] writes. Returns (width, height,

@@ -247,7 +247,45 @@ object Stats {
          |ORDER BY tile_id""".stripMargin)
   }
 
+  /** Per-frame (per-date) stats over valid pixels — the frame
+    * annotation numbers of the reference's animation path
+    * (visualize_dataset.py:109-133 titles each rendered frame with its
+    * date and the frame's nanmin/nanmax/nanmean). Closes SURVEY §2
+    * agg_frame_stats as a declared query. One keyed aggregate,
+    * map-side combined, one output row per date at any scale. */
+  val frameStatsQ: Q = (s, d) => {
+    val px = PixelOps.withIndices(Pixels.pixels(s, d))
+    px.groupBy(date_format(col("date"), "yyyy-MM-dd").as("date"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(col("ndvi_c")).as("n_valid"),
+        r6(min(col("ndvi_c"))).as("ndvi_min"),
+        r6(max(col("ndvi_c"))).as("ndvi_max"),
+        r6(avg(col("ndvi_c"))).as("ndvi_mean"),
+        r6(min(col("evi_c"))).as("evi_min"),
+        r6(max(col("evi_c"))).as("evi_max"),
+        r6(avg(col("evi_c"))).as("evi_mean"))
+      .orderBy("date")
+  }
+
+  val frameStatsSql: String = {
+    val f = Pixels.Sql0
+    Pixels.withPixels(
+      s"""SELECT strftime(date, '%Y-%m-%d') AS date,
+         |  count(*) AS n_total,
+         |  count(${f.ndviClipped}) AS n_valid,
+         |  0.0 + round(min(${f.ndviClipped}), 6) AS ndvi_min,
+         |  0.0 + round(max(${f.ndviClipped}), 6) AS ndvi_max,
+         |  0.0 + round(avg(${f.ndviClipped}), 6) AS ndvi_mean,
+         |  0.0 + round(min(${f.eviClipped}), 6) AS evi_min,
+         |  0.0 + round(max(${f.eviClipped}), 6) AS evi_max,
+         |  0.0 + round(avg(${f.eviClipped}), 6) AS evi_mean
+         |FROM pixels GROUP BY date
+         |ORDER BY date""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "s07_frame_stats" -> frameStatsQ,
     "s06_approx_quantile_bound" -> approxQuantileBoundQ,
     "s01_global_stats" -> globalStatsQ,
     "s02_temporal_mean_px" -> temporalMeanQ,
@@ -256,6 +294,7 @@ object Stats {
     "s05_corr_covar" -> corrCovarQ)
 
   val oracle: Map[String, String] = Map(
+    "s07_frame_stats" -> frameStatsSql,
     "s06_approx_quantile_bound" -> approxQuantileBoundSql,
     "s01_global_stats" -> globalStatsSql,
     "s02_temporal_mean_px" -> temporalMeanSql,

@@ -31,6 +31,96 @@ object Export {
       .option("compression", "zstd")
       .parquet(out)
 
+  /** True NetCDF-3 cube sink — the container pipeline.py:175-176
+    * writes and every reference consumer opens directly (arcgis.py:20,
+    * visualize_dataset.py:30): dims (time, y, x), CF-style coordinate
+    * variables from the grid affine (pixel centers), float32 ndvi/evi
+    * with _FillValue −9999, time in days since 1970-01-01. The codec is
+    * the dependency-free [[Netcdf]] writer (classic CDF-1, auto CDF-2
+    * past 2 GiB; classic is uncompressed by spec — the reference's
+    * zlib encoding is a NetCDF-4/HDF5 feature).
+    *
+    * Scale posture: frame rasters build distributed ([[dateFrames]]
+    * co-locates by date), then STREAM to the single-file container in
+    * date order via `toLocalIterator` — one fetched partition on the
+    * driver at a time, like [[writeGif]]. A single `.nc` is inherently
+    * one ordered file; the parquet [[writeCube]] stays the 100 TB
+    * path, this sink is the toolchain-compatibility container for
+    * export-scale cubes. */
+  def writeNetcdf(cube: DataFrame, outPath: String, grid: GridSpec,
+      title: String = "graft NDVI/EVI cube"): Unit = {
+    import Netcdf._
+    val (w, h) = (grid.width, grid.height)
+    val spark = cube.sparkSession
+    import spark.implicits._
+    val dates = cube
+      .select(date_format(col("time"), "yyyy-MM-dd").as("d"))
+      .distinct().orderBy("d").as[String].collect()
+    val frames = dateFrames(cube)
+      .mapPartitions { rows =>
+        val acc = scala.collection.mutable.LinkedHashMap
+          .empty[String, (Array[Float], Array[Float])]
+        rows.foreach { r =>
+          val (nd, ev) = acc.getOrElseUpdate(r.getString(0),
+            (Array.fill(w * h)(-9999f), Array.fill(w * h)(-9999f)))
+          val idx = r.getInt(1) * w + r.getInt(2)
+          def put(a: Array[Float], c: Int): Unit = if (!r.isNullAt(c)) {
+            val v = r.getDouble(c)
+            if (!v.isNaN) a(idx) = v.toFloat
+          }
+          put(nd, 3); put(ev, 4)
+        }
+        def be(a: Array[Float]): Array[Byte] = {
+          val bb = java.nio.ByteBuffer.allocate(a.length * 4)
+          a.foreach(bb.putFloat)
+          bb.array()
+        }
+        acc.iterator.map { case (d, (nd, ev)) => (d, be(nd), be(ev)) }
+      }
+      .orderBy("_1")
+    def coords(n: Int, origin: Double, step: Double): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(n * 8)
+      (0 until n).foreach(i => bb.putDouble(origin + (i + 0.5) * step))
+      bb.array()
+    }
+    val schema = Schema(
+      dims = Seq(("time", 0), ("y", h), ("x", w)),
+      gatts = Seq("title" -> TextAtt(title),
+        "Conventions" -> TextAtt("CF-1.6"), "crs" -> TextAtt("EPSG:4326")),
+      vars = Seq(
+        NcVar("time", Seq(0), NcInt, Seq(
+          "units" -> TextAtt("days since 1970-01-01"),
+          "calendar" -> TextAtt("proleptic_gregorian"))),
+        NcVar("y", Seq(1), NcDouble, Seq(
+          "standard_name" -> TextAtt("latitude"),
+          "units" -> TextAtt("degrees_north"))),
+        NcVar("x", Seq(2), NcDouble, Seq(
+          "standard_name" -> TextAtt("longitude"),
+          "units" -> TextAtt("degrees_east"))),
+        NcVar("ndvi", Seq(0, 1, 2), NcFloat, Seq(
+          "_FillValue" -> FloatAtt(Array(-9999f)),
+          "long_name" -> TextAtt("normalized difference vegetation index"))),
+        NcVar("evi", Seq(0, 1, 2), NcFloat, Seq(
+          "_FillValue" -> FloatAtt(Array(-9999f)),
+          "long_name" -> TextAtt("enhanced vegetation index")))))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(outPath).toAbsolutePath.getParent)
+    val out = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(outPath)))
+    try {
+      import scala.jdk.CollectionConverters._
+      Netcdf.write(out, schema, dates.length,
+        fixed = Map(
+          "y" -> coords(h, grid.north, grid.pxLat),
+          "x" -> coords(w, grid.west, grid.pxLon)),
+        records = frames.toLocalIterator().asScala.map { case (d, nd, ev) =>
+          val t = java.nio.ByteBuffer.allocate(4)
+            .putInt(java.time.LocalDate.parse(d).toEpochDay.toInt)
+          Seq(t.array(), nd, ev)
+        })
+    } finally out.close()
+  }
+
   /** Per-granule cache sink — processor.py:358-366: one (tile, date)
     * partition per granule, overwritable for corrupt-cache invalidation
     * (processor.py:349-356). */

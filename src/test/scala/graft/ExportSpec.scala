@@ -64,6 +64,67 @@ class ExportSpec extends SparkSpecBase {
       cube.filter(col("y") % 2 === 0 && col("x") % 2 === 0).count())
   }
 
+  test("netcdf sink: classic CDF both decoders parse back to the cube") {
+    val grid = ops.Resample.SrcGrid
+    val out = tmp("nc") + "/cube.nc"
+    Export.writeNetcdf(cube, out, grid)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(out))
+    val p = ops.Netcdf.read(bytes)
+    assert(p.s.dims == Seq(("time", 0), ("y", 32), ("x", 32)))
+    val dates = cube.select(date_format(col("time"), "yyyy-MM-dd").as("d"))
+      .distinct().orderBy("d").as[String].collect()
+    assert(p.numRecs == dates.length && dates.nonEmpty)
+    // time coordinate: epoch days, in date order
+    val tb = java.nio.ByteBuffer.wrap(p.data("time"))
+    val times = Array.fill(p.numRecs)(tb.getInt()).toSeq
+    assert(times == dates.toSeq.map(d =>
+      java.time.LocalDate.parse(d).toEpochDay.toInt))
+    // coordinate variables carry pixel-center affine coords
+    val yb = java.nio.ByteBuffer.wrap(p.data("y"))
+    assert(yb.getDouble() == grid.north + 0.5 * grid.pxLat)
+    val xb = java.nio.ByteBuffer.wrap(p.data("x"))
+    assert(xb.getDouble() == grid.west + 0.5 * grid.pxLon)
+    // ndvi payload vs the relation: same-day dedup (latest scene wins),
+    // −9999 fill — count and sum of valid cells must agree
+    def stats(name: String): (Int, Int, Double) = {
+      val bb = java.nio.ByteBuffer.wrap(p.data(name))
+      var n = 0; var nF = 0; var s = 0.0
+      while (bb.hasRemaining) {
+        val v = bb.getFloat()
+        n += 1
+        if (v == -9999f) nF += 1 else s += v.toDouble
+      }
+      (n, nF, s)
+    }
+    val (n, nFill, vSum) = stats("ndvi")
+    assert(n == dates.length * 32 * 32)
+    val (expN, expSum) = cube
+      .select(date_format(col("time"), "yyyy-MM-dd").as("d"),
+        col("y"), col("x"), col("time"), col("ndvi"))
+      .groupBy("d", "y", "x").agg(expr("max_by(ndvi, time)").as("v"))
+      .filter(col("v").isNotNull)
+      .agg(count(lit(1)), sum(col("v").cast("float").cast("double")))
+      .as[(Long, Double)].head()
+    assert(n - nFill == expN, s"valid cells ${n - nFill} != relation $expN")
+    assert(math.abs(vSum - expSum) < 2e-3, s"ndvi sum $vSum != $expSum")
+    // independent cross-decode: the devtools parser (second
+    // implementation, second language, from the CDF spec) must agree
+    // on structure and on the value digest bit-for-bit
+    import scala.sys.process._
+    val json = Seq("python3", "devtools/nccheck.py", out).!!
+    assert(json.contains(""""version": 1"""), json)
+    assert(json.contains(s""""numrecs": ${dates.length}"""), json)
+    assert(json.contains(""""time": 0"""), json) // record dim
+    val dig = ("\"ndvi\": \\{\"n\": (\\d+), \"n_fill\": (\\d+), " +
+      "\"sum\": (-?[0-9.]+)").r
+    val m = dig.findFirstMatchIn(json)
+      .getOrElse(fail(s"no ndvi digest in: $json"))
+    assert(m.group(1).toInt == n && m.group(2).toInt == nFill,
+      s"python sees n=${m.group(1)} fill=${m.group(2)}, JVM $n/$nFill")
+    assert(m.group(3).toDouble == math.rint(vSum * 1000) / 1000,
+      s"python sum ${m.group(3)} != JVM ${math.rint(vSum * 1000) / 1000}")
+  }
+
   test("geotiff sink writes parseable georeferenced frames with nodata fill") {
     val out = tmp("gtiff")
     // one frame: pin to the earliest timestamp of one day so (y, x) is unique

@@ -232,6 +232,141 @@ object Resample {
        |GROUP BY ty, tx
        |ORDER BY ty, tx""".stripMargin)
 
+  // ---------------------------------------------------------------- g04
+  /** Synthetic UTM georeferencing of the 32×32 source: zone 32N (the
+    * zone containing 10°E), 30 m pixels (the HLS native resolution),
+    * anchored at the TM projection of the degree grid's NW corner,
+    * rounded to whole meters. Source cell (y, x) centers sit at
+    * `E = east0 + (x+0.5)·30`, `N = north0 − (y+0.5)·30`. */
+  val UtmZone = 32
+  val UtmPx = 30.0
+  val (utmEast0, utmNorth0) = {
+    val (e, n) = Utm.forward(SrcGrid.north, SrcGrid.west, UtmZone)
+    (math.rint(e), math.rint(n))
+  }
+
+  /** Target-cell relation of the UTM warp (g04): each WGS84 target cell
+    * center projected through the real Transverse-Mercator forward
+    * ([[Utm.forward]]) into zone-32 meters, then through the inverse
+    * UTM-source affine to fractional source pixels. Computed on the
+    * driver because it is MODEL-sized — one row per target cell of ONE
+    * tile's grid, exactly the transform object rasterio builds per
+    * warp; a tile fleet computes the same mapping per task via
+    * [[utmKernel]]. Injecting the projected coordinates as literals
+    * into BOTH engines keeps the oracle hash-exact (sin/cos are not
+    * bit-identical across libm implementations; +,−,×,÷,√ are), while
+    * the data-touching arithmetic — weights, renormalizing bilinear
+    * aggregation — stays fully oracle-verified in-plan. */
+  private[graft] def utmTargets: Seq[(Int, Int, Double, Double, Double, Double)] =
+    for { ty <- 0 until DstSize; tx <- 0 until DstSize } yield {
+      val lon = DstGrid.west + (tx + 0.5) * DstGrid.pxLon
+      val lat = DstGrid.north + (ty + 0.5) * DstGrid.pxLat
+      val (e, n) = Utm.forward(lat, lon, UtmZone)
+      val sx = (e - utmEast0) / UtmPx - 0.5
+      val sy = (n - utmNorth0) / (-UtmPx) - 0.5
+      (ty, tx, e, n, sy, sx)
+    }
+
+  /** UTM→WGS84 bilinear warp (g04; the real-CRS face of g03): the
+    * source raster is georeferenced in UTM meters, the target grid in
+    * degrees, and the mapping runs through the TM forward projection —
+    * anisotropic scale (lon pixels ≈19 m at 50°N vs 30 m northing) and
+    * grid convergence included, not an affine. Sampling semantics and
+    * scale posture are exactly g03's. */
+  val bilinearUtm: Q = (s, d) => {
+    val src = sourceGrid(s, d)
+    val targets0 = s.createDataFrame(
+      s.sparkContext.parallelize(
+        utmTargets.map { case (ty, tx, e, n, sy, sx) =>
+          Row(ty, tx, e, n, sy, sx) }, 1),
+      StructType(Seq(
+        StructField("ty", IntegerType, false),
+        StructField("tx", IntegerType, false),
+        StructField("easting", DoubleType, false),
+        StructField("northing", DoubleType, false),
+        StructField("sy", DoubleType, false),
+        StructField("sx", DoubleType, false))))
+    val corners = Seq((0, 0), (0, 1), (1, 0), (1, 1)).toDF(s)("dy", "dx")
+    val targets = targets0.crossJoin(corners)
+      .withColumn("fy", col("sy") - floor(col("sy")))
+      .withColumn("fx", col("sx") - floor(col("sx")))
+      .withColumn("ny", least(greatest(floor(col("sy")).cast("int") + col("dy"), lit(0)), lit(SrcSize - 1)))
+      .withColumn("nx", least(greatest(floor(col("sx")).cast("int") + col("dx"), lit(0)), lit(SrcSize - 1)))
+      .withColumn("w",
+        (when(col("dy") === 0, lit(1.0) - col("fy")).otherwise(col("fy"))) *
+          (when(col("dx") === 0, lit(1.0) - col("fx")).otherwise(col("fx"))))
+    targets.join(src, col("ny") === col("y") && col("nx") === col("x"), "left")
+      .groupBy("ty", "tx", "easting", "northing")
+      .agg(
+        r6(xsumHi(when(col("v").isNotNull, col("w") * col("v"))) /
+          xsumHi(when(col("v").isNotNull, col("w")))).as("ndvi"),
+        r6(xsumHi(when(col("v").isNotNull, col("w")))).as("w_valid"))
+      .select(col("ty"), col("tx"),
+        r6(col("easting")).as("easting"), r6(col("northing")).as("northing"),
+        col("ndvi"), col("w_valid"))
+      .orderBy("ty", "tx")
+  }
+
+  val bilinearUtmSql: String = {
+    // exact decimal expansion round-trips the projected doubles
+    // bit-for-bit into DuckDB
+    def lit(d: Double): String = new java.math.BigDecimal(d).toPlainString
+    val values = utmTargets.map { case (ty, tx, e, n, sy, sx) =>
+      s"($ty, $tx, ${lit(e)}, ${lit(n)}, ${lit(sy)}, ${lit(sx)})"
+    }.mkString(",\n    ")
+    Pixels.withPixels(
+      s"""WITH src AS (
+         |$sourceGridSql
+         |), corners AS (
+         |  SELECT * FROM (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) AS t(dy, dx)
+         |), targets AS (
+         |  SELECT * FROM (VALUES
+         |    $values
+         |  ) AS t(ty, tx, easting, northing, sy, sx)
+         |), weighted AS (
+         |  SELECT ty, tx, easting, northing,
+         |    least(greatest(CAST(floor(sy) AS INT) + dy, 0), ${SrcSize - 1}) AS ny,
+         |    least(greatest(CAST(floor(sx) AS INT) + dx, 0), ${SrcSize - 1}) AS nx,
+         |    (CASE WHEN dy = 0 THEN 1.0 - (sy - floor(sy)) ELSE sy - floor(sy) END)
+         |    * (CASE WHEN dx = 0 THEN 1.0 - (sx - floor(sx)) ELSE sx - floor(sx) END) AS w
+         |  FROM targets, corners
+         |)
+         |SELECT ty, tx,
+         |  0.0 + round(easting, 6) AS easting,
+         |  0.0 + round(northing, 6) AS northing,
+         |  0.0 + round(${xsumHiSql("CASE WHEN v IS NOT NULL THEN w * v END")}
+         |        / ${xsumHiSql("CASE WHEN v IS NOT NULL THEN w END")}, 6) AS ndvi,
+         |  0.0 + round(${xsumHiSql("CASE WHEN v IS NOT NULL THEN w END")}, 6) AS w_valid
+         |FROM weighted LEFT JOIN src ON ny = src.y AND nx = src.x
+         |GROUP BY ty, tx, easting, northing
+         |ORDER BY ty, tx""".stripMargin)
+  }
+
+  /** Dense-kernel twin of [[bilinearUtm]]: warps a full tile through
+    * the TM forward per target cell INSIDE the task — the executor-side
+    * form of the mapping the relational query injects as literals;
+    * ResampleSpec asserts agreement. */
+  def utmKernel(src: Array[Array[Option[Double]]],
+      east0: Double, north0: Double, px: Double, zone: Int,
+      dstSpec: GridSpec): Array[Array[Option[Double]]] =
+    Array.tabulate(dstSpec.height, dstSpec.width) { (ty, tx) =>
+      val lon = dstSpec.west + (tx + 0.5) * dstSpec.pxLon
+      val lat = dstSpec.north + (ty + 0.5) * dstSpec.pxLat
+      val (e, n) = Utm.forward(lat, lon, zone)
+      val sx = (e - east0) / px - 0.5
+      val sy = (n - north0) / (-px) - 0.5
+      val y0 = math.floor(sy).toInt; val fy = sy - math.floor(sy)
+      val x0 = math.floor(sx).toInt; val fx = sx - math.floor(sx)
+      var num = 0.0; var den = 0.0
+      for ((dy, dx) <- Seq((0, 0), (0, 1), (1, 0), (1, 1))) {
+        val ny = math.min(math.max(y0 + dy, 0), src.length - 1)
+        val nx = math.min(math.max(x0 + dx, 0), src.length - 1)
+        val w = (if (dy == 0) 1.0 - fy else fy) * (if (dx == 0) 1.0 - fx else fx)
+        src(ny)(nx).foreach { v => num += w * v; den += w }
+      }
+      if (den == 0.0) None else Some(num / den)
+    }
+
   /** Nearest-neighbor resample of the categorical fmask majority grid
     * (reference processor.py:241-251 uses nearest for Fmask). */
   val nearestRelational: Q = (s, d) => {
@@ -309,10 +444,12 @@ object Resample {
   val queries: Map[String, Q] = Map(
     "g01_resample_bilinear" -> bilinearRelational,
     "g02_resample_nearest" -> nearestRelational,
-    "g03_resample_affine" -> bilinearAffine)
+    "g03_resample_affine" -> bilinearAffine,
+    "g04_resample_utm" -> bilinearUtm)
 
   val oracle: Map[String, String] = Map(
     "g01_resample_bilinear" -> bilinearRelationalSql,
     "g02_resample_nearest" -> nearestRelationalSql,
-    "g03_resample_affine" -> bilinearAffineSql)
+    "g03_resample_affine" -> bilinearAffineSql,
+    "g04_resample_utm" -> bilinearUtmSql)
 }

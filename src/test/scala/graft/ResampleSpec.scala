@@ -59,6 +59,88 @@ class ResampleSpec extends SparkSpecBase {
     }
   }
 
+  test("Transverse-Mercator math: CM anchor, round-trip, arc vs numeric integral") {
+    import graft.ops.Utm
+    // on the central meridian the easting is exactly the false easting
+    // and northing is k0 times the meridian arc
+    val (e0, n0) = Utm.forward(50.0, 9.0, 32)
+    assert(math.abs(e0 - 500000.0) < 1e-6, s"CM easting $e0")
+    assert(math.abs(n0 - Utm.K0 * Utm.meridianArc(math.toRadians(50))) < 1e-6)
+    // the series meridian arc must match an independent numeric
+    // integration of the arc integrand a(1-e²)(1-e²sin²t)^(-3/2)
+    val phi = math.toRadians(50)
+    val steps = 200000
+    val h = phi / steps
+    var arc = 0.0
+    for (i <- 0 until steps) {
+      def f(t: Double) = {
+        val s2 = math.sin(t) * math.sin(t)
+        Utm.SemiMajor * (1 - Utm.E2) * math.pow(1 - Utm.E2 * s2, -1.5)
+      }
+      val t0 = i * h
+      arc += h / 6 * (f(t0) + 4 * f(t0 + h / 2) + f(t0 + h))
+    }
+    // the e⁶-truncated series carries ~0.4 mm truncation error at 50°
+    // against the exact integral — bound it at a millimeter
+    assert(math.abs(arc - Utm.meridianArc(phi)) < 1e-3,
+      s"series ${Utm.meridianArc(phi)} vs integral $arc")
+    // forward∘inverse round-trips to ~1e-8° (≈1 mm — the forward and
+    // inverse series truncations do not cancel exactly)
+    for (lat <- Seq(49.99, 50.0); lon <- Seq(10.0, 10.005, 10.009)) {
+      val (e, n) = Utm.forward(lat, lon, 32)
+      val (lat2, lon2) = Utm.inverse(e, n, 32)
+      assert(math.abs(lat2 - lat) < 1e-8 && math.abs(lon2 - lon) < 1e-8,
+        s"round-trip ($lat,$lon) -> ($lat2,$lon2)")
+    }
+    // anisotropy at 50°N: a degree of longitude is ~cos(50°) of a
+    // degree of latitude in meters — the distortion an affine cannot
+    // express and the TM warp must
+    val (eA, _) = Utm.forward(50.0, 10.0, 32)
+    val (eB, _) = Utm.forward(50.0, 10.001, 32)
+    val (_, nA) = Utm.forward(50.0, 10.0, 32)
+    val (_, nB) = Utm.forward(50.001, 10.0, 32)
+    val ratio = (eB - eA) / (nB - nA)
+    assert(math.abs(ratio - math.cos(math.toRadians(50))) < 0.01,
+      s"lon/lat meter ratio $ratio")
+  }
+
+  test("UTM kernel and relational UTM warp agree on the real source grid") {
+    val srcRows = Resample.sourceGrid(spark, sf)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val dense = Array.tabulate(Resample.SrcSize, Resample.SrcSize)(
+      (y, x) => srcRows.getOrElse((y, x), None))
+    val kernel = Resample.utmKernel(dense, Resample.utmEast0,
+      Resample.utmNorth0, Resample.UtmPx, Resample.UtmZone, Resample.DstGrid)
+    val rel = Resample.bilinearUtm(spark, sf)
+      .select("ty", "tx", "easting", "northing", "ndvi").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    for (ty <- 0 until Resample.DstSize; tx <- 0 until Resample.DstSize) {
+      val (e, n, v) = rel((ty, tx))
+      // projected centers land inside the UTM source raster
+      assert(e > Resample.utmEast0 &&
+        e < Resample.utmEast0 + Resample.SrcSize * Resample.UtmPx,
+        s"($ty,$tx): easting $e outside source")
+      assert(n < Resample.utmNorth0 &&
+        n > Resample.utmNorth0 - Resample.SrcSize * Resample.UtmPx,
+        s"($ty,$tx): northing $n outside source")
+      (kernel(ty)(tx), v) match {
+        case (Some(k), Some(q)) =>
+          assert(math.abs(k - q) < 1e-5, s"($ty,$tx): kernel=$k relational=$q")
+        case (None, None) => ()
+        case other => fail(s"($ty,$tx): null mismatch $other")
+      }
+    }
+    // the warp is genuinely non-affine: column spacing in source pixels
+    // differs from row spacing (the ~cos(50°) anisotropy)
+    val t = Resample.utmTargets.toIndexedSeq
+    val dSx = t(1)._6 - t(0)._6                 // one tx step
+    val dSy = t(Resample.DstSize)._5 - t(0)._5  // one ty step
+    assert(dSx / dSy < 0.75, s"sx step $dSx vs sy step $dSy not anisotropic")
+  }
+
   test("affine fromBounds round-trips bounds into per-pixel degrees") {
     val g = graft.ops.GridSpec.fromBounds(10.0, 49.0, 11.0, 50.0, 100, 50)
     assert(math.abs(g.pxLon - 0.01) < 1e-12)

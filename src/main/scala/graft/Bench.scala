@@ -52,8 +52,10 @@ object Bench {
     // not hidden: it is reported as its own `ivf_build` field, and
     // gated below like any query (with build-sized bounds).
     var ivfBuildSec = timed(ops.SimOps.buildIvf(spark, sfDir))
-    // Same for the dedup family's signature table (see TextOps.sigIndex).
+    // Same for the dedup family's signature table (see TextOps.sigIndex)
+    // and the curation funnel's stage-membership table (funnelIndex).
     var sigBuildSec = timed(ops.TextOps.buildSigIndex(spark, sfDir))
+    var funnelBuildSec = timed(ops.TextOps.buildFunnel(spark, sfDir))
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.LinkedHashMap(
@@ -105,17 +107,26 @@ object Bench {
       sigBuildSec = best
       if (n > 0) reruns("sig_build") = n
     }
+    locally {
+      val (best, n) = BenchGate.settle(funnelBuildSec,
+        bFlagged("funnel_build", _),
+        () => { ops.TextOps.clearFunnelCache()
+          timed(ops.TextOps.buildFunnel(spark, sfDir)) }, MaxReruns)
+      funnelBuildSec = best
+      if (n > 0) reruns("funnel_build") = n
+    }
 
     val qRegs = BenchGate.check(prevQ, times.toMap, allow)
     val bRegs = BenchGate.check(prevB,
-      Map("ivf_build" -> ivfBuildSec, "sig_build" -> sigBuildSec), allow,
+      Map("ivf_build" -> ivfBuildSec, "sig_build" -> sigBuildSec,
+        "funnel_build" -> funnelBuildSec), allow,
       BenchGate.BuildFactor, BenchGate.BuildFloorSec, BenchGate.BuildDeltaSec)
     val gate = BenchGate.report(artifact.map(_._1), qRegs, bRegs, reruns.toMap)
 
     val qs = times.toSeq.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = times.values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ivf_build":$ivfBuildSec,"sig_build":$sigBuildSec,"sf":"$sfDir","gate":$gate}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ivf_build":$ivfBuildSec,"sig_build":$sigBuildSec,"funnel_build":$funnelBuildSec,"sf":"$sfDir","gate":$gate}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),

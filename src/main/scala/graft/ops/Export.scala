@@ -379,7 +379,10 @@ object Export {
     * actually reads. */
   def writeCuratedShards(spark: SparkSession, d: String, out: String): Unit = {
     val raw = graft.Tables.documents(spark, d)
-    val curated = raw.join(TextOps.funnelStages(spark, d).last._2, "doc_id")
+    val curated = raw.join(
+      TextOps.funnelIndex(spark, d)
+        .filter(col("stage") === "05_decontaminated").select("doc_id"),
+      "doc_id")
     // the raw corpus id span bounds the survivors' span, so the range
     // width stays scale-safe without evaluating the funnel twice
     val width = TextOps.packRangeFor(TextOps.maxDocId(raw))

@@ -97,9 +97,11 @@ class BenchGateSpec extends AnyFunSuite {
   test("parseBuilds reads the one-time build fields, not the queries") {
     val line = """{"metric":"total","value":51.7,""" +
       """"queries":{"t06_dedup_minhash":0.86},""" +
-      """"ivf_build":8.17,"sig_build":1.53,"sf":"/root/testdata/sf0.1"}"""
+      """"ivf_build":8.17,"sig_build":1.53,"funnel_build":4.13,""" +
+      """"sf":"/root/testdata/sf0.1"}"""
     val b = BenchGate.parseBuilds(line)
-    assert(b == Map("ivf_build" -> 8.17, "sig_build" -> 1.53), s"parsed: $b")
+    assert(b == Map("ivf_build" -> 8.17, "sig_build" -> 1.53,
+      "funnel_build" -> 4.13), s"parsed: $b")
     assert(BenchGate.parseBuilds("{}").isEmpty)
     // the driver's quote-escaped tail form parses too
     val tail = """{"tail":"...,\"ivf_build\":9.66,\"sig_build\":2.27,..."}"""

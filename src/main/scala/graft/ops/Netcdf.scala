@@ -146,7 +146,8 @@ object Netcdf {
     * and interleaves them as the spec lays records out. */
   def write(out: OutputStream, s: Schema, numRecs: Int,
       fixed: Map[String, Array[Byte]],
-      records: Iterator[Seq[Array[Byte]]]): Unit = {
+      records: Iterator[Seq[Array[Byte]]],
+      forceCdf2: Boolean = false): Unit = {
     val fixedVars = s.vars.filter(v => !isRecordVar(s, v))
     val recVars = s.vars.filter(v => isRecordVar(s, v))
     require(fixedVars.forall(v => fixed.contains(v.name)),
@@ -164,7 +165,7 @@ object Netcdf {
       recVars.foreach { v => b += v.name -> off; off += pad4(slabSize(s, v)) }
       (b.result(), off)
     }
-    val cdf2 = layout(cdf2 = false)._2 > Int.MaxValue.toLong - 3
+    val cdf2 = forceCdf2 || layout(cdf2 = false)._2 > Int.MaxValue.toLong - 3
     val (begins, _) = layout(cdf2)
     out.write(header(s, numRecs, cdf2, begins))
     def padded(chunk: Array[Byte], v: NcVar): Unit = {

@@ -125,6 +125,43 @@ class ExportSpec extends SparkSpecBase {
       s"python sum ${m.group(3)} != JVM ${math.rint(vSum * 1000) / 1000}")
   }
 
+  test("netcdf codec: forced CDF-2 (64-bit offsets) round-trips both decoders") {
+    import graft.ops.Netcdf._
+    val schema = Schema(
+      dims = Seq(("time", 0), ("x", 3)),
+      gatts = Seq("title" -> TextAtt("cdf2 path")),
+      vars = Seq(
+        NcVar("time", Seq(0), NcInt, Nil),
+        NcVar("x", Seq(1), NcDouble, Nil),
+        NcVar("v", Seq(0, 1), NcFloat,
+          Seq("_FillValue" -> FloatAtt(Array(-9999f))))))
+    def b(f: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(64); f(bb)
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    val xs = b(bb => Seq(1.5, 2.5, 3.5).foreach(bb.putDouble))
+    val recs = Seq(
+      Seq(b(_.putInt(10)), b(bb => Seq(1f, 2f, 3f).foreach(bb.putFloat))),
+      Seq(b(_.putInt(20)), b(bb => Seq(4f, -9999f, 6f).foreach(bb.putFloat))))
+    val file = java.nio.file.Paths.get(tmp("cdf2"), "two.nc")
+    val out = java.nio.file.Files.newOutputStream(file)
+    try write(out, schema, 2, Map("x" -> xs), recs.iterator, forceCdf2 = true)
+    finally out.close()
+    val p = read(java.nio.file.Files.readAllBytes(file))
+    assert(p.numRecs == 2 && p.s.dims == schema.dims)
+    val vb = java.nio.ByteBuffer.wrap(p.data("v"))
+    assert(Array.fill(6)(vb.getFloat()).toSeq ==
+      Seq(1f, 2f, 3f, 4f, -9999f, 6f))
+    val tb2 = java.nio.ByteBuffer.wrap(p.data("time"))
+    assert((tb2.getInt(), tb2.getInt()) == (10, 20))
+    // the independent parser accepts the 64-bit-offset layout too
+    import scala.sys.process._
+    val json = Seq("python3", "devtools/nccheck.py", file.toString).!!
+    assert(json.contains(""""version": 2""") &&
+      json.contains(""""numrecs": 2"""), json)
+    assert(json.contains(""""n_fill": 1"""), json)
+  }
+
   test("geotiff sink writes parseable georeferenced frames with nodata fill") {
     val out = tmp("gtiff")
     // one frame: pin to the earliest timestamp of one day so (y, x) is unique

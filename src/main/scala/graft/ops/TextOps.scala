@@ -1053,20 +1053,26 @@ object TextOps {
     * joins against per-doc flags that are themselves map-side-combined
     * aggregates or pure projections — no stage joins two corpus-sized
     * relations on a non-key, and the stage census is a six-row union. */
-  private[graft] def funnelStages(s: SparkSession, d: String): Seq[(String, DataFrame)] = {
+  /** `pin` wraps each refined stage relation: identity for the lazy
+    * form; the index build passes an eager-checkpoint hook so stage
+    * k+1 derives from k's MATERIALIZED rows and the six-way union
+    * write reads each stage once instead of re-deriving its chain per
+    * branch. */
+  private[graft] def funnelStages(s: SparkSession, d: String,
+      pin: DataFrame => DataFrame = identity): Seq[(String, DataFrame)] = {
     import org.apache.spark.sql.expressions.Window
     val doc = Tables.documents(s, d)
-    val k1 = doc.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val k1 = pin(doc.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
       .withColumn("m", min("doc_id").over(Window.partitionBy("h")))
-      .filter(col("doc_id") === col("m")).select("doc_id")
+      .filter(col("doc_id") === col("m")).select("doc_id"))
     val drop2 = dedupMinhash(s, d).filter(col("est_jaccard") >= FunnelJaccard)
       .join(k1.select(col("doc_id").as("doc_a")), "doc_a")
       .select(col("doc_b").as("doc_id")).distinct()
-    val k2 = k1.join(drop2, Seq("doc_id"), "left_anti")
-    val k3 = k2.join(qualityScore(s, d).filter(col("keep")).select("doc_id"), "doc_id")
-    val k4 = k3.join(repetitionStats(doc).filter(col("repetitive")).select("doc_id"),
-      Seq("doc_id"), "left_anti")
-    val k5 = k4.join(decontaminate(s, d).select("doc_id"), Seq("doc_id"), "left_anti")
+    val k2 = pin(k1.join(drop2, Seq("doc_id"), "left_anti"))
+    val k3 = pin(k2.join(qualityScore(s, d).filter(col("keep")).select("doc_id"), "doc_id"))
+    val k4 = pin(k3.join(repetitionStats(doc).filter(col("repetitive")).select("doc_id"),
+      Seq("doc_id"), "left_anti"))
+    val k5 = pin(k4.join(decontaminate(s, d).select("doc_id"), Seq("doc_id"), "left_anti"))
     Seq("00_total" -> doc.select("doc_id"), "01_exact_dedup" -> k1,
       "02_near_dedup" -> k2, "03_quality" -> k3, "04_repetition" -> k4,
       "05_decontaminated" -> k5)
@@ -1089,10 +1095,21 @@ object TextOps {
     val path = funnelCache.get(
       s"$d@${BuildCache.version(d, "documents.parquet")}") {
       val dir = Checkpoints.scopedTempDir("graft-funnel-index").toString
-      funnelStages(s, d)
-        .map { case (st, df) => df.select(lit(st).as("stage"), col("doc_id")) }
-        .reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(dir)
+      // each stage eagerly checkpoints so its successor — and the
+      // six-branch union write — reads materialized rows instead of
+      // re-deriving the chain per branch; every pin is released once
+      // the table is written (the k-means/t11 loop discipline)
+      val pins = scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
+      try {
+        funnelStages(s, d, pin = { df =>
+            val (out, p) = Checkpoints.pin(df)
+            pins += p
+            out
+          })
+          .map { case (st, df) => df.select(lit(st).as("stage"), col("doc_id")) }
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(dir)
+      } finally pins.foreach(Checkpoints.release)
       dir
     }
     s.read.parquet(path)

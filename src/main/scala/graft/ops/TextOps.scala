@@ -1261,7 +1261,64 @@ object TextOps {
       |FROM per
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t20
+  /** CCNet-style head/middle/tail corpus bucketing by a frequency-class
+    * surprisal proxy. CCNet buckets documents by LM perplexity
+    * terciles; with no LM in this environment the proxy is each
+    * token's corpus-frequency CLASS — the bit length of its count,
+    * i.e. floor(log2 c)+1, integer-exact in BOTH engines where a float
+    * log() could drift an ulp — and a document scores the mean class
+    * of its tokens (common vocabulary → high class → "head"). Tercile
+    * cutoffs come from exact interpolating percentiles (the s04
+    * convention), not an ntile window, so no corpus-sized relation
+    * passes through one reducer beyond the documented exact-percentile
+    * aggregate.
+    *
+    * Scale posture: one explode → (token) keyed count, one
+    * token-keyed SHUFFLED join back (corpus-derived on both sides —
+    * pinned shuffle_hash, never broadcast, the t08 discipline), one
+    * doc-keyed mean, and a two-value cutoff broadcast. */
+  val freqBucket: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val toks = doc.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val klass = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      .select(col("w"), length(bin(col("c"))).cast("int").as("klass"))
+    val scores = toks.join(klass.hint("shuffle_hash"), "w")
+      .groupBy("doc_id").agg(avg("klass").as("score"))
+    val cuts = scores.agg(
+      expr("percentile(score, 0.6666666666666666)").as("c_head"),
+      expr("percentile(score, 0.3333333333333333)").as("c_mid"))
+    scores.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), r6(col("score")).as("score"),
+        when(col("score") >= col("c_head"), "head")
+          .when(col("score") >= col("c_mid"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val freqBucketSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+       |), k AS (
+       |  SELECT w, CAST(length(bin(count(*))) AS INT) AS klass
+       |  FROM toks GROUP BY w
+       |), scores AS (
+       |  SELECT doc_id, avg(klass) AS score
+       |  FROM toks JOIN k USING (w) GROUP BY doc_id
+       |), cuts AS (
+       |  SELECT quantile_cont(score, 0.6666666666666666) AS c_head,
+       |         quantile_cont(score, 0.3333333333333333) AS c_mid
+       |  FROM scores
+       |)
+       |SELECT doc_id, 0.0 + round(score, 6) AS score,
+       |  CASE WHEN score >= c_head THEN 'head'
+       |       WHEN score >= c_mid THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM scores, cuts
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t20_freq_bucket" -> freqBucket,
     "t19_curated_docs" -> curatedDocs,
     "t18_source_mixture" -> sourceMixture,
     "t17_curation_funnel" -> curationFunnel,
@@ -1283,6 +1340,7 @@ object TextOps {
     "t08_ngram_jaccard" -> ngramJaccard)
 
   val oracle: Map[String, String] = Map(
+    "t20_freq_bucket" -> freqBucketSql,
     "t19_curated_docs" -> curatedDocsSql,
     "t18_source_mixture" -> sourceMixtureSql,
     "t17_curation_funnel" -> curationFunnelSql,

@@ -181,6 +181,43 @@ class TextAggSpec extends SparkSpecBase {
       "a contaminated document survived curation")
   }
 
+  test("freq-class buckets: terciles ordered head >= middle >= tail, all populated") {
+    val rows = TextOps.freqBucket(spark, sf)
+      .as[(Long, Double, String)].collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    val byBucket = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    // head and tail always populate; the middle tercile can collapse
+    // when the cutoff order statistics tie on a small, tie-heavy corpus
+    assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")) &&
+      byBucket.contains("head") && byBucket.contains("tail"),
+      s"buckets: ${byBucket.keySet}")
+    // every head score >= every middle score >= every tail score —
+    // the cutoffs are order statistics, so the buckets must be
+    // score-separated, not just labeled
+    val mids = byBucket.getOrElse("middle", Array.empty[Double])
+    if (mids.nonEmpty) {
+      assert(byBucket("head").min >= mids.max)
+      assert(mids.min >= byBucket("tail").max)
+    } else assert(byBucket("head").min >= byBucket("tail").max)
+    // the proxy points the right way: the doc made of the most common
+    // vocabulary lands in head, not tail
+    val top = rows.maxBy(_._2)
+    assert(top._3 == "head")
+  }
+
+  test("t20 never broadcasts the corpus-derived token-class relation") {
+    val df = TextOps.freqBucket(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the only broadcast is the two-value cutoff row (a nested-loop
+    // cross join); the token->class equi-join must stay shuffled — its
+    // build side scales with the vocabulary
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"token-class join not shuffled:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"token-class relation broadcasts:\n$p")
+  }
+
   test("sequence packing: two-level prefix sum equals the naive global window; totals preserved") {
     import org.apache.spark.sql.expressions.Window
     val manifest = TextOps.sequencePack(spark, sf)

@@ -288,7 +288,83 @@ object Events {
        |FROM j
        |ORDER BY day""".stripMargin
 
+  /** Calendar gap-fill by LINEAR interpolation — the xarray
+    * `interpolate_na` analog beside e07's LOCF: each gap day takes
+    * `prev + (next − prev) · frac` between its nearest kept neighbors,
+    * weighted by calendar distance; leading/trailing gaps fall back to
+    * nearest-observation. The interpolation expression is spelled as
+    * the identical IEEE tree in both engines (one subtraction, one
+    * division, one multiply-add — no transcendentals), so the hash
+    * compare is exact. Same microscopic-window posture as e06/e07: the
+    * series is one row per day. */
+  val gapfillInterpQ: Q = (s, d) => {
+    val kept = dayStats(s, d).filter(col("vmean") >= 48.0)
+      .select(col("day"), col("vmean"))
+    val cal = kept.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val wB = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val frac = datediff(col("day"), col("prev_d")).cast("double") /
+      datediff(col("next_d"), col("prev_d")).cast("double")
+    cal.join(kept, Seq("day"), "left")
+      .withColumn("prev_v", last(col("vmean"), ignoreNulls = true).over(wB))
+      .withColumn("prev_d",
+        last(when(col("vmean").isNotNull, col("day")), ignoreNulls = true).over(wB))
+      .withColumn("next_v", first(col("vmean"), ignoreNulls = true).over(wF))
+      .withColumn("next_d",
+        first(when(col("vmean").isNotNull, col("day")), ignoreNulls = true).over(wF))
+      .withColumn("v_interp",
+        when(col("vmean").isNotNull, col("vmean"))
+          .when(col("prev_v").isNull, col("next_v"))
+          .when(col("next_v").isNull, col("prev_v"))
+          .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) * frac))
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        r6(col("vmean")).as("vmean_kept"),
+        r6(col("v_interp")).as("v_interp"),
+        col("vmean").isNull.as("is_gap"))
+      .orderBy("day")
+  }
+
+  val gapfillInterpSql: String =
+    s"""WITH ds AS (
+       |  SELECT day, vmean FROM ($daySqlBody) WHERE vmean >= 48.0
+       |), b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ds
+       |), cal AS (
+       |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+       |  FROM b
+       |), j AS (SELECT cal.day, ds.vmean FROM cal LEFT JOIN ds ON cal.day = ds.day
+       |), n AS (
+       |  SELECT day, vmean,
+       |    last_value(vmean IGNORE NULLS) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+       |    last_value(CASE WHEN vmean IS NOT NULL THEN day END IGNORE NULLS)
+       |      OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+       |    first_value(vmean IGNORE NULLS) OVER (ORDER BY day
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+       |    first_value(CASE WHEN vmean IS NOT NULL THEN day END IGNORE NULLS)
+       |      OVER (ORDER BY day
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+       |  FROM j
+       |)
+       |SELECT strftime(day, '%Y-%m-%d') AS day,
+       |  0.0 + round(vmean, 6) AS vmean_kept,
+       |  0.0 + round(CASE
+       |    WHEN vmean IS NOT NULL THEN vmean
+       |    WHEN prev_v IS NULL THEN next_v
+       |    WHEN next_v IS NULL THEN prev_v
+       |    ELSE prev_v + (next_v - prev_v) *
+       |      (CAST(day - prev_d AS DOUBLE) / CAST(next_d - prev_d AS DOUBLE))
+       |  END, 6) AS v_interp,
+       |  vmean IS NULL AS is_gap
+       |FROM n
+       |ORDER BY day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e08_gapfill_interp" -> gapfillInterpQ,
     "e01_scene_series" -> sceneSeriesQ,
     "e02_win_diff" -> winDiffQ,
     "e03_abrupt_drops" -> abruptDropsQ,
@@ -298,6 +374,7 @@ object Events {
     "e07_gapfill_locf" -> gapfillLocfQ)
 
   val oracle: Map[String, String] = Map(
+    "e08_gapfill_interp" -> gapfillInterpSql,
     "e01_scene_series" -> sceneSeriesSql,
     "e02_win_diff" -> winDiffSql,
     "e03_abrupt_drops" -> abruptDropsSql,

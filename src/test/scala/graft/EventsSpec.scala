@@ -56,4 +56,25 @@ class EventsSpec extends SparkSpecBase {
       .as[(Double, Double, Double, Double)].collect().toSeq
     assert(out == Seq((50.0, 40.0, 48.0, -10.0)))
   }
+
+  test("linear gap-fill interpolates between neighbors, LOCF/NOCB at the edges") {
+    val rows = Events.gapfillInterpQ(spark, "/root/testdata/sf0.01")
+      .as[(String, Option[Double], Option[Double], Boolean)].collect().toSeq
+    assert(rows.nonEmpty)
+    // kept days pass through untouched; every day is filled
+    rows.foreach { case (day, kept, interp, isGap) =>
+      assert(interp.isDefined, s"$day unfilled")
+      if (!isGap) assert(kept == interp, s"$day kept value altered")
+    }
+    // each gap value lies within [min, max] of its surrounding kept
+    // values — linear interpolation cannot overshoot its neighbors
+    val keptIdx = rows.zipWithIndex.filter(!_._1._4).map(_._2)
+    rows.zipWithIndex.filter(_._1._4).foreach { case ((day, _, Some(v), _), i) =>
+      val prev = keptIdx.filter(_ < i).lastOption.map(j => rows(j)._3.get)
+      val next = keptIdx.find(_ > i).map(j => rows(j)._3.get)
+      val bounds = Seq(prev, next).flatten
+      assert(v >= bounds.min - 1e-9 && v <= bounds.max + 1e-9,
+        s"$day interpolated $v outside neighbor range $bounds")
+    }
+  }
 }

@@ -812,6 +812,66 @@ object SimOps {
        |GROUP BY emb.label
        |ORDER BY emb.label""".stripMargin
 
+  // ---------------------------------------------------------------- v13
+  /** Residual-quantization error census — the residual half of an
+    * IVF-PQ index: each corpus vector subtracts its assigned TRAINED
+    * centroid (the coarse step v05/v07 serve from), the residual
+    * int8-quantizes by max-abs (the v11 scalar scheme), and the census
+    * reports per-cell mean/max reconstruction error — the number an
+    * index operator reads to size code books. Composes the two
+    * verified pieces: the assignment is the inverted file's, the
+    * quantization formula is v11's, and the oracle re-derives BOTH
+    * from scratch (full Lloyd chain + assignment + residual) so the
+    * composition is hash-checked end to end.
+    *
+    * Scale posture: the model broadcasts (k×dim); residuals are one
+    * (cell, i)-keyed join over the flattened corpus; the max-abs and
+    * census are keyed aggregates, map-side combined — no corpus-sized
+    * relation broadcasts or funnels through one reducer. */
+  val residualError: Q = (s, d) => {
+    val inv = ivfIndex(s, d)
+    val cent = trainedModel(s, d)
+    val f = flat(inv.select("vec_id", "embedding"))
+    val r = f.join(inv.select("vec_id", "cell"), "vec_id")
+      .join(broadcast(cent), Seq("cell", "i"))
+      .select(col("cell"), col("vec_id"), (col("v") - col("c")).as("r"))
+    val m = r.groupBy("vec_id").agg(max(abs(col("r"))).as("m"))
+    r.join(m, "vec_id").filter(col("m") > 0)
+      .select(col("cell"),
+        abs(col("r") - round(col("r") * 127.0 / col("m"), 0) * col("m") / 127.0)
+          .as("err"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_components"),
+        r6(xsumHi(col("err")) / count(lit(1))).as("avg_err"),
+        r6(max(col("err"))).as("max_err"))
+      .orderBy("cell")
+  }
+
+  val residualErrorSql: String =
+    s"""WITH f AS (
+       |$flatSql
+       |), n AS (
+       |$normsSql
+       |), ${kmeansCtes(KmeansIters)}, $assignRankCtes, assign AS (
+       |  SELECT vec_id, cell FROM acr WHERE arn = 1
+       |), r AS (
+       |  SELECT assign.cell, f.vec_id, f.i, f.v - c.c AS r
+       |  FROM f JOIN assign ON f.vec_id = assign.vec_id
+       |         JOIN c$KmeansIters c ON c.cell = assign.cell AND c.i = f.i
+       |), m AS (
+       |  SELECT vec_id, max(abs(r)) AS m FROM r GROUP BY vec_id
+       |), e AS (
+       |  SELECT r.cell,
+       |    abs(r.r - round(r.r * 127.0 / m.m) * m.m / 127.0) AS err
+       |  FROM r JOIN m ON r.vec_id = m.vec_id
+       |  WHERE m.m > 0
+       |)
+       |SELECT cell, count(*) AS n_components,
+       |  0.0 + round(${xsumHiSql("err")} / count(*), 6) AS avg_err,
+       |  0.0 + round(max(err), 6) AS max_err
+       |FROM e GROUP BY cell
+       |ORDER BY cell""".stripMargin
+
   // ---------------------------------------------------------------- v06
   /** Bits per near-dup LSH band, derived from corpus size so buckets
     * stay population-bounded at ANY scale: the smallest b with
@@ -1000,7 +1060,8 @@ object SimOps {
     "v09_ivf_index" -> ivfIndexQ,
     "v10_ivf_recall" -> ivfRecall,
     "v11_quantize_error" -> quantizeError,
-    "v12_embed_bucket_audit" -> embedBucketAudit)
+    "v12_embed_bucket_audit" -> embedBucketAudit,
+    "v13_residual_error" -> residualError)
 
   val oracle: Map[String, String] = Map(
     "v08_kmeans_model" -> kmeansModelSql,
@@ -1014,5 +1075,6 @@ object SimOps {
     "v09_ivf_index" -> ivfIndexSql,
     "v10_ivf_recall" -> ivfRecallSql,
     "v11_quantize_error" -> quantizeErrorSql,
-    "v12_embed_bucket_audit" -> embedBucketAuditSql)
+    "v12_embed_bucket_audit" -> embedBucketAuditSql,
+    "v13_residual_error" -> residualErrorSql)
 }

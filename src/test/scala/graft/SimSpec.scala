@@ -216,4 +216,39 @@ class SimSpec extends SparkSpecBase {
       .as[(Long, Int)].collect().toMap
     lsh.foreach { case (q, c) => assert(emb(q) == emb(c), s"pair ($q,$c) crosses buckets") }
   }
+
+  test("residual census covers the inverted file; errors sit inside the int8 bound") {
+    val res = SimOps.residualError(spark, sf)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(res.nonEmpty)
+    val cellCounts = SimOps.ivfIndex(spark, sf)
+      .groupBy("cell").count().as[(Long, Long)].collect().toMap
+    res.foreach { case (cell, nComp, avgErr, maxErr) =>
+      // every member vector contributes its 64 residual components
+      // (vectors with an all-zero residual would drop out — none do)
+      assert(nComp == cellCounts(cell) * 64,
+        s"cell $cell: $nComp components for ${cellCounts(cell)} members")
+      assert(avgErr >= 0 && maxErr >= avgErr,
+        s"cell $cell: avg $avgErr max $maxErr")
+    }
+    assert(res.map(_._1).toSet == cellCounts.keySet,
+      "census cells differ from the inverted file's")
+    // residuals are centered by construction, so int8 error against the
+    // residual max-abs must stay under half a step of the LARGEST
+    // per-vector residual scale in the cell — recompute that scale
+    // independently from the index + model
+    val cent = SimOps.trainedModel(spark, sf)
+    val scale = SimOps.ivfIndex(spark, sf)
+      .select(col("cell"), col("vec_id"), posexplode(col("embedding")))
+      .select(col("cell"), col("vec_id"), (col("pos") + 1).as("i"),
+        col("col").cast("double").as("v"))
+      .join(cent, Seq("cell", "i"))
+      .groupBy("cell", "vec_id").agg(max(abs(col("v") - col("c"))).as("m"))
+      .groupBy("cell").agg(max("m").as("mmax"))
+      .as[(Long, Double)].collect().toMap
+    res.foreach { case (cell, _, _, maxErr) =>
+      assert(maxErr <= scale(cell) / 254.0 + 1e-9,
+        s"cell $cell: max err $maxErr exceeds half-step ${scale(cell) / 254.0}")
+    }
+  }
 }

@@ -56,6 +56,9 @@ object Bench {
     // and the curation funnel's stage-membership table (funnelIndex).
     var sigBuildSec = timed(ops.TextOps.buildSigIndex(spark, sfDir))
     var funnelBuildSec = timed(ops.TextOps.buildFunnel(spark, sfDir))
+    // and the merged-cube write (the production lifecycle's primary
+    // output) that p05/p06 serve from.
+    var cubeBuildSec = timed(ops.Pipeline.buildCube(spark, sfDir))
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.LinkedHashMap(
@@ -115,18 +118,26 @@ object Bench {
       funnelBuildSec = best
       if (n > 0) reruns("funnel_build") = n
     }
+    locally {
+      val (best, n) = BenchGate.settle(cubeBuildSec,
+        bFlagged("cube_build", _),
+        () => { ops.Pipeline.clearCubeCache()
+          timed(ops.Pipeline.buildCube(spark, sfDir)) }, MaxReruns)
+      cubeBuildSec = best
+      if (n > 0) reruns("cube_build") = n
+    }
 
     val qRegs = BenchGate.check(prevQ, times.toMap, allow)
     val bRegs = BenchGate.check(prevB,
       Map("ivf_build" -> ivfBuildSec, "sig_build" -> sigBuildSec,
-        "funnel_build" -> funnelBuildSec), allow,
+        "funnel_build" -> funnelBuildSec, "cube_build" -> cubeBuildSec), allow,
       BenchGate.BuildFactor, BenchGate.BuildFloorSec, BenchGate.BuildDeltaSec)
     val gate = BenchGate.report(artifact.map(_._1), qRegs, bRegs, reruns.toMap)
 
     val qs = times.toSeq.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = times.values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ivf_build":$ivfBuildSec,"sig_build":$sigBuildSec,"funnel_build":$funnelBuildSec,"sf":"$sfDir","gate":$gate}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ivf_build":$ivfBuildSec,"sig_build":$sigBuildSec,"funnel_build":$funnelBuildSec,"cube_build":$cubeBuildSec,"sf":"$sfDir","gate":$gate}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -173,8 +173,7 @@ object Pipeline {
     * in isolation (q01/q02, q03, m02); this entry puts their COMPOSITION
     * under the hash gate, so a wiring regression (a dropped semi-join, a
     * filter applied pre-gate) fails correctness, not just a spec. */
-  val pipelineSummaryQ: (SparkSession, String) => DataFrame = (s, d) => {
-    val cube = cubeIndex(s, d)
+  private def summaryOf(cube: DataFrame): DataFrame =
     cube.groupBy(col("date"))
       .agg(count(lit(1)).as("n_cells"),
         sum("num_granules_merged").as("n_granules"),
@@ -183,7 +182,18 @@ object Pipeline {
       .select(date_format(col("date"), "yyyy-MM-dd").as("day"),
         col("n_cells"), col("n_granules"), col("ndvi_mean"), col("evi_mean"))
       .orderBy("day")
-  }
+
+  val pipelineSummaryQ: (SparkSession, String) => DataFrame = (s, d) =>
+    summaryOf(cubeIndex(s, d))
+
+  /** The SAME §3.1 summary as p05 but LIVE — the one-shot composed
+    * scan → gate → filter → merge DAG with no cube cache, declared as
+    * its own query (same oracle) so the full composition keeps a
+    * wall-time number of its own next to p05's served cost. The pair
+    * makes the build/serve trade explicit in every BENCH artifact:
+    * p07 ≈ cube_build + p05. */
+  val pipelineLiveQ: (SparkSession, String) => DataFrame = (s, d) =>
+    summaryOf(run(s, d).cubeRaw)
 
   /** Shared CTE prefix of the composed oracles: the q01 QC body, the
     * gate thresholds, the scene-level valid-share filter, and the m02
@@ -276,9 +286,11 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p05_pipeline_summary" -> pipelineSummaryQ,
-    "p06_pipeline_events" -> pipelineEventsQ)
+    "p06_pipeline_events" -> pipelineEventsQ,
+    "p07_pipeline_live" -> pipelineLiveQ)
 
   val oracle: Map[String, String] = Map(
     "p05_pipeline_summary" -> pipelineSummarySql,
-    "p06_pipeline_events" -> pipelineEventsSql)
+    "p06_pipeline_events" -> pipelineEventsSql,
+    "p07_pipeline_live" -> pipelineSummarySql)
 }

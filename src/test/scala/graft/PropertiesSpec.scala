@@ -174,4 +174,55 @@ class PropertiesSpec extends SparkSpecBase {
         "sorted union result depended on input order")
     }
   }
+
+  test("property: NetCDF codec round-trips any (dims, records, values) shape") {
+    import graft.ops.Netcdf._
+    val shapeGen = for {
+      h <- Gen.chooseNum(1, 7)
+      w <- Gen.chooseNum(1, 9)
+      nRecs <- Gen.chooseNum(1, 5)
+      cdf2 <- Gen.oneOf(true, false)
+      vals <- Gen.listOfN(nRecs * h * w,
+        Gen.oneOf(Gen.chooseNum(-9999f, 9999f), Gen.const(-9999f)))
+    } yield (h, w, nRecs, cdf2, vals)
+    samples(shapeGen, 12).foreach { case (h, w, nRecs, cdf2, vals) =>
+      val schema = Schema(
+        dims = Seq(("time", 0), ("y", h), ("x", w)),
+        gatts = Seq("title" -> TextAtt(s"prop ${h}x$w")),
+        vars = Seq(
+          NcVar("time", Seq(0), NcInt, Nil),
+          NcVar("y", Seq(1), NcDouble, Nil),
+          NcVar("v", Seq(0, 1, 2), NcFloat,
+            Seq("_FillValue" -> FloatAtt(Array(-9999f))))))
+      def floats(a: Seq[Float]): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(a.length * 4)
+        a.foreach(bb.putFloat); bb.array()
+      }
+      val ys = java.nio.ByteBuffer.allocate(h * 8)
+      (0 until h).foreach(i => ys.putDouble(i * 0.5))
+      val recs = (0 until nRecs).map { r =>
+        Seq(java.nio.ByteBuffer.allocate(4).putInt(r * 10).array(),
+          floats(vals.slice(r * h * w, (r + 1) * h * w)))
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      write(out, schema, nRecs, Map("y" -> ys.array()), recs.iterator,
+        forceCdf2 = cdf2)
+      val p = read(out.toByteArray)
+      assert(p.numRecs == nRecs && p.s.dims == schema.dims)
+      assert(p.s.gatts == schema.gatts)
+      // structural var equality (FloatAtt wraps an Array, whose ==
+      // is reference identity)
+      assert(p.s.vars.map(v => (v.name, v.dimIds.toList, v.tpe)) ==
+        schema.vars.map(v => (v.name, v.dimIds.toList, v.tpe)))
+      val fill = p.s.vars.find(_.name == "v").get.atts.collectFirst {
+        case ("_FillValue", FloatAtt(a)) => a.toSeq }
+      assert(fill.contains(Seq(-9999f)), s"fill attr lost: $fill")
+      val vb = java.nio.ByteBuffer.wrap(p.data("v"))
+      val got = Array.fill(nRecs * h * w)(vb.getFloat()).toSeq
+      // float equality is EXACT here: the payload is raw IEEE bytes
+      assert(got == vals, s"values drifted for ${h}x$w x$nRecs cdf2=$cdf2")
+      val tb = java.nio.ByteBuffer.wrap(p.data("time"))
+      assert(Array.fill(nRecs)(tb.getInt()).toSeq == (0 until nRecs).map(_ * 10))
+    }
+  }
 }

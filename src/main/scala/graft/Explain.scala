@@ -7,8 +7,9 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "r01_pricing_summary", "r02_revenue_by_nation", "p01_pixel_indices",
       "m01_spatial_merge", "v01_sim_topk", "v04_sim_topk_native",
-      "v06_embed_neardup", "t06_dedup_minhash", "s05_corr_covar",
-      "e06_rolling_stats")
+      "v06_embed_neardup", "v13_residual_error", "t06_dedup_minhash",
+      "t20_freq_bucket", "s05_corr_covar", "e06_rolling_stats",
+      "e08_gapfill_interp", "g04_resample_utm")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       println(SparkEntry.queries(n)(spark, d).queryExecution.explainString(

@@ -181,6 +181,15 @@ class TextAggSpec extends SparkSpecBase {
       "a contaminated document survived curation")
   }
 
+  test("funnel index build releases every stage pin") {
+    TextOps.clearFunnelCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    TextOps.buildFunnel(spark, sf)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"funnel build leaked checkpoint blocks: ${after -- before}")
+  }
+
   test("freq-class buckets: terciles ordered head >= middle >= tail, all populated") {
     val rows = TextOps.freqBucket(spark, sf)
       .as[(Long, Double, String)].collect()

@@ -1026,6 +1026,31 @@ object SimOps {
        |WHERE cosine > 0.4
        |ORDER BY keep_id, dup_id""".stripMargin
 
+  // ---------------------------------------------------------------- v14
+  /** The deduped embedding set itself — v06 emits the near-dup PAIR
+    * list; this materializes what a pipeline ships downstream (the t09
+    * keep-first analog for embeddings): every vector that is not the
+    * higher-id member of some near-dup pair survives. The rule is the
+    * greedy lower-id-wins cut over the pair graph (NOT transitive
+    * closure — 1~2, 2~3 drops both 2 and 3), spelled identically in
+    * both engines. One distinct + one anti-join past v06's lineage;
+    * the anti-join keys on vec_id, so nothing corpus-derived
+    * broadcasts beyond v06's own model-sized exchanges. */
+  val embedKeep: Q = (s, d) => {
+    val drops = embedNearDup(s, d).select(col("dup_id").as("vec_id")).distinct()
+    Tables.embeddings(s, d).select("vec_id", "label")
+      .join(drops, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
+  val embedKeepSql: String =
+    s"""WITH nd AS (
+       |$embedNearDupSql
+       |)
+       |SELECT e.vec_id, e.label FROM embeddings e
+       |WHERE e.vec_id NOT IN (SELECT dup_id FROM nd)
+       |ORDER BY e.vec_id""".stripMargin
+
   // ---------------------------------------------------------------- v12
   /** Audit companion of v06 (the t12 contract for the embedding side):
     * every near-dup band bucket whose membership exceeds
@@ -1061,7 +1086,8 @@ object SimOps {
     "v10_ivf_recall" -> ivfRecall,
     "v11_quantize_error" -> quantizeError,
     "v12_embed_bucket_audit" -> embedBucketAudit,
-    "v13_residual_error" -> residualError)
+    "v13_residual_error" -> residualError,
+    "v14_embed_keep" -> embedKeep)
 
   val oracle: Map[String, String] = Map(
     "v08_kmeans_model" -> kmeansModelSql,
@@ -1076,5 +1102,6 @@ object SimOps {
     "v10_ivf_recall" -> ivfRecallSql,
     "v11_quantize_error" -> quantizeErrorSql,
     "v12_embed_bucket_audit" -> embedBucketAuditSql,
-    "v13_residual_error" -> residualErrorSql)
+    "v13_residual_error" -> residualErrorSql,
+    "v14_embed_keep" -> embedKeepSql)
 }

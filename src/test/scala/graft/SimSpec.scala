@@ -217,6 +217,19 @@ class SimSpec extends SparkSpecBase {
     lsh.foreach { case (q, c) => assert(emb(q) == emb(c), s"pair ($q,$c) crosses buckets") }
   }
 
+  test("embed keep-first ships exactly the corpus minus higher-id pair members") {
+    val dropped = SimOps.embedNearDup(spark, sf)
+      .select("dup_id").as[Long].collect().toSet
+    val kept = SimOps.embedKeep(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    val all = Tables.embeddings(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == all -- dropped,
+      s"survivor set drifted: ${(kept -- (all -- dropped)).take(5)} extra, " +
+        s"${((all -- dropped) -- kept).take(5)} missing")
+    assert(dropped.nonEmpty, "fixture has no near-dup pairs to cut")
+  }
+
   test("residual census covers the inverted file; errors sit inside the int8 bound") {
     val res = SimOps.residualError(spark, sf)
       .as[(Long, Long, Double, Double)].collect()

@@ -175,6 +175,43 @@ class PropertiesSpec extends SparkSpecBase {
     }
   }
 
+  test("NetCDF writer refuses malformed payloads instead of corrupting the file") {
+    import graft.ops.Netcdf._
+    val schema = Schema(Seq(("time", 0), ("x", 2)), Nil, Seq(
+      NcVar("time", Seq(0), NcInt, Nil),
+      NcVar("x", Seq(1), NcDouble, Nil),
+      NcVar("v", Seq(0, 1), NcFloat, Nil)))
+    val xs = java.nio.ByteBuffer.allocate(16).putDouble(0.0).putDouble(1.0).array()
+    def rec(n: Int) = Seq(
+      java.nio.ByteBuffer.allocate(4).putInt(0).array(),
+      new Array[Byte](n))
+    def attempt(fixed: Map[String, Array[Byte]], nRecs: Int,
+        recs: Seq[Seq[Array[Byte]]]): Unit = {
+      val out = new java.io.ByteArrayOutputStream()
+      write(out, schema, nRecs, fixed, recs.iterator)
+    }
+    // missing fixed payload
+    intercept[IllegalArgumentException] {
+      attempt(Map.empty, 1, Seq(rec(8)))
+    }
+    // wrong fixed payload size
+    intercept[IllegalArgumentException] {
+      attempt(Map("x" -> new Array[Byte](8)), 1, Seq(rec(8)))
+    }
+    // wrong record chunk size
+    intercept[IllegalArgumentException] {
+      attempt(Map("x" -> xs), 1, Seq(rec(5)))
+    }
+    // wrong chunk count per record
+    intercept[IllegalArgumentException] {
+      attempt(Map("x" -> xs), 1, Seq(Seq(rec(8).head)))
+    }
+    // record count must match the header's declaration
+    intercept[IllegalArgumentException] {
+      attempt(Map("x" -> xs), 2, Seq(rec(8)))
+    }
+  }
+
   test("property: NetCDF codec round-trips any (dims, records, values) shape") {
     import graft.ops.Netcdf._
     val shapeGen = for {

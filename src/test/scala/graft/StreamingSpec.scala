@@ -231,7 +231,16 @@ class StreamingSpec extends SparkSpecBase {
       (ts("2024-01-01 10:00:00"), 1L, longA),
       (ts("2024-01-01 10:00:30"), 2L, longA),  // content dup of 1
       (ts("2024-01-01 10:01:00"), 3L, "too short")))
-    val q1 = start(); q1.processAllAvailable(); q1.stop() // kill mid-stream
+    val q1 = start(); q1.processAllAvailable()
+    // the quality gate runs BEFORE the watermark dedup, so the short
+    // doc never inserts dedup state: exactly ONE content hash (longA,
+    // covering docs 1+2) is stored — not two
+    val stateRows = q1.recentProgress
+      .filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators(0).numRowsTotal)
+    assert(stateRows.nonEmpty && stateRows.max == 1L,
+      s"short doc leaked into the dedup state store: $stateRows")
+    q1.stop() // kill mid-stream
     val run1 = spark.read.schema(schema).parquet(outDir)
       .select("doc_id").as[Long].collect().toSet
     assert(run1 == Set(1L), s"run 1 should keep only doc 1, got $run1")

@@ -27,8 +27,9 @@ import java.io.{ByteArrayOutputStream, DataOutputStream, OutputStream}
   *
   * All multi-byte values big-endian; names and values pad to 4-byte
   * boundaries; each record variable's per-record chunk pads to 4 bytes
-  * (the single-record-variable no-padding special case does not arise
-  * here — the cube always carries time + ndvi + evi).
+  * (the single-record-variable no-padding special case is REJECTED by
+  * [[write]] rather than mis-padded — the cube never hits it, always
+  * carrying time + ndvi + evi).
   */
 object Netcdf {
 
@@ -150,6 +151,14 @@ object Netcdf {
       forceCdf2: Boolean = false): Unit = {
     val fixedVars = s.vars.filter(v => !isRecordVar(s, v))
     val recVars = s.vars.filter(v => isRecordVar(s, v))
+    // the classic spec OMITS record padding when there is exactly one
+    // record variable of byte/char/short type; this writer always pads,
+    // so refuse that shape rather than silently emit a file external
+    // readers would misparse (the cube never hits it: time+ndvi+evi)
+    require(recVars.length != 1 || typeSize(recVars.head.tpe) >= 4,
+      "unsupported: a single byte/char/short record variable takes no " +
+        "record padding in the classic format; add a second record " +
+        "variable or widen the type")
     require(fixedVars.forall(v => fixed.contains(v.name)),
       s"missing fixed payload for ${fixedVars.map(_.name).filterNot(fixed.contains).mkString(",")}")
     fixedVars.foreach { v =>
@@ -252,7 +261,20 @@ object Netcdf {
     val recVars = schema.vars.filter(v => isRecordVar(schema, v))
     val recSize = recVars.map(v => pad4(slabSize(schema, v))).sum
     val data = varsAndBegins.map { case (v, begin) =>
-      val slab = slabSize(schema, v).toInt
+      val slabL = slabSize(schema, v)
+      // this reader addresses the in-memory byte array with Ints: a
+      // >2 GiB CDF-2 file that write() can legitimately stream out is
+      // NOT readable here — fail loudly instead of overflowing into
+      // negative offsets (the reader is round-trip-scale only)
+      val lastOff =
+        if (!isRecordVar(schema, v)) begin + slabL
+        else begin + math.max(numRecs - 1, 0).toLong * recSize + slabL
+      require(begin >= 0 && slabL * math.max(numRecs, 1) <= Int.MaxValue &&
+          lastOff <= Int.MaxValue.toLong,
+        s"${v.name}: data extends past 2 GiB — this round-trip reader " +
+          "addresses with 32-bit offsets; larger CDF-2 files are " +
+          "write-only here")
+      val slab = slabL.toInt
       val payload =
         if (!isRecordVar(schema, v)) {
           val b = new Array[Byte](slab)

@@ -360,7 +360,9 @@ object Resample {
       var num = 0.0; var den = 0.0
       for ((dy, dx) <- Seq((0, 0), (0, 1), (1, 0), (1, 1))) {
         val ny = math.min(math.max(y0 + dy, 0), src.length - 1)
-        val nx = math.min(math.max(x0 + dx, 0), src.length - 1)
+        // x clamps against the ROW's width, not the row count — the two
+        // only coincide on a square raster
+        val nx = math.min(math.max(x0 + dx, 0), src(ny).length - 1)
         val w = (if (dy == 0) 1.0 - fy else fy) * (if (dx == 0) 1.0 - fx else fx)
         src(ny)(nx).foreach { v => num += w * v; den += w }
       }

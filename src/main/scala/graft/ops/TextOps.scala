@@ -1073,10 +1073,16 @@ object TextOps {
     val k4 = pin(k3.join(repetitionStats(doc).filter(col("repetitive")).select("doc_id"),
       Seq("doc_id"), "left_anti"))
     val k5 = pin(k4.join(decontaminate(s, d).select("doc_id"), Seq("doc_id"), "left_anti"))
-    Seq("00_total" -> doc.select("doc_id"), "01_exact_dedup" -> k1,
-      "02_near_dedup" -> k2, "03_quality" -> k3, "04_repetition" -> k4,
-      "05_decontaminated" -> k5)
+    FunnelStageNames.zip(Seq(doc.select("doc_id"), k1, k2, k3, k4, k5))
   }
+
+  /** Funnel stage labels in order — the fixed census row set: t17 must
+    * emit all six rows even when a stage strands zero survivors (the
+    * oracle's UNION ALL of counts always yields six), so the serve path
+    * left-joins these labels rather than trusting groupBy to cover
+    * them. */
+  private[graft] val FunnelStageNames = Seq("00_total", "01_exact_dedup",
+    "02_near_dedup", "03_quality", "04_repetition", "05_decontaminated")
 
   private val funnelCache = new BuildCache[String]
 
@@ -1126,10 +1132,18 @@ object TextOps {
   /** Test hook: drop the per-dataset funnel index cache. */
   private[graft] def clearFunnelCache(): Unit = funnelCache.clear()
 
-  val curationFunnel: Q = (s, d) =>
-    funnelIndex(s, d)
-      .groupBy("stage").agg(count(lit(1)).as("n_docs"))
+  val curationFunnel: Q = (s, d) => {
+    import s.implicits._
+    // left-join the fixed stage labels so an emptied stage still yields
+    // its n_docs=0 row (groupBy alone would drop it; the oracle's UNION
+    // ALL census never does)
+    val counts = funnelIndex(s, d)
+      .groupBy("stage").agg(count(lit(1)).as("cnt"))
+    FunnelStageNames.toDF("stage")
+      .join(counts, Seq("stage"), "left")
+      .select(col("stage"), coalesce(col("cnt"), lit(0L)).as("n_docs"))
       .orderBy("stage")
+  }
 
   /** Oracle CTE chain through the k5 survivor set, shared by t17/t19. */
   private def funnelCtes: String = {

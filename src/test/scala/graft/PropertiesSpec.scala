@@ -210,6 +210,40 @@ class PropertiesSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       attempt(Map("x" -> xs), 2, Seq(rec(8)))
     }
+    // single byte/char/short record variable: the classic spec omits
+    // record padding for that shape; the writer rejects it rather than
+    // silently emitting a file external readers misparse
+    intercept[IllegalArgumentException] {
+      val s1 = Schema(Seq(("time", 0)), Nil,
+        Seq(NcVar("b", Seq(0), NcByte, Nil)))
+      val out = new java.io.ByteArrayOutputStream()
+      write(out, s1, 1, Map.empty, Iterator(Seq(Array[Byte](1))))
+    }
+  }
+
+  test("NetCDF reader refuses data past 2 GiB instead of overflowing Int offsets") {
+    import graft.ops.Netcdf._
+    // hand-crafted header: one 1e9-element double variable → 8 GB slab,
+    // legitimately writable as CDF-2 but unreadable by the round-trip
+    // reader's 32-bit addressing — it must fail loudly, not wrap negative
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bos)
+    o.writeBytes("CDF"); o.writeByte(1)
+    o.writeInt(0)                      // numrecs
+    o.writeInt(0x0A); o.writeInt(1)    // 1 dim: "x", 1e9
+    o.writeInt(1); o.write('x'); o.write(0); o.write(0); o.write(0)
+    o.writeInt(1000000000)
+    o.writeInt(0); o.writeInt(0)       // global atts ABSENT
+    o.writeInt(0x0B); o.writeInt(1)    // 1 var: "v" double over dim 0
+    o.writeInt(1); o.write('v'); o.write(0); o.write(0); o.write(0)
+    o.writeInt(1); o.writeInt(0)
+    o.writeInt(0); o.writeInt(0)       // var atts ABSENT
+    o.writeInt(NcDouble)
+    o.writeInt(0)                      // vsize (reader ignores)
+    o.writeInt(64)                     // begin
+    o.flush()
+    val e = intercept[IllegalArgumentException](read(bos.toByteArray))
+    assert(e.getMessage.contains("2 GiB"), e.getMessage)
   }
 
   test("property: NetCDF codec round-trips any (dims, records, values) shape") {

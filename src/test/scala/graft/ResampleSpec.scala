@@ -141,6 +141,25 @@ class ResampleSpec extends SparkSpecBase {
     assert(dSx / dSy < 0.75, s"sx step $dSx vs sy step $dSy not anisotropic")
   }
 
+  test("UTM kernel is shape-correct on a non-square raster") {
+    // half-width source: the x neighbor must clamp against the ROW width
+    // (16), not the row count (32) — targets east of the narrow raster
+    // would otherwise index past the row
+    val h = Resample.SrcSize
+    val w = Resample.SrcSize / 2
+    val dense: Array[Array[Option[Double]]] =
+      Array.tabulate(h, w)((y, x) => Some(y * 0.001 + x * 0.01))
+    val out = Resample.utmKernel(dense, Resample.utmEast0,
+      Resample.utmNorth0, Resample.UtmPx, Resample.UtmZone, Resample.DstGrid)
+    assert(out.length == Resample.DstGrid.height &&
+      out.head.length == Resample.DstGrid.width)
+    val vals = out.flatten.flatten
+    assert(vals.nonEmpty, "kernel produced no values on the narrow raster")
+    val mx = (h - 1) * 0.001 + (w - 1) * 0.01
+    assert(vals.forall(v => v >= 0.0 && v <= mx + 1e-9),
+      "kernel sampled a value no cell of the narrow raster holds")
+  }
+
   test("affine fromBounds round-trips bounds into per-pixel degrees") {
     val g = graft.ops.GridSpec.fromBounds(10.0, 49.0, 11.0, 50.0, 100, 50)
     assert(math.abs(g.pxLon - 0.01) < 1e-12)

@@ -181,6 +181,28 @@ class TextAggSpec extends SparkSpecBase {
       "a contaminated document survived curation")
   }
 
+  test("funnel census emits all six stages even when a stage empties") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel-empty").toString
+    // all-digit, stopword-free shorts: every doc lands in the 'low'
+    // quality bucket, so stages 03..05 strand zero survivors — the
+    // census must still emit their rows with n_docs = 0 (the oracle's
+    // UNION ALL census always yields six rows)
+    val docs = (0L until 4L).map(i =>
+      (i, s"${i}11 ${i}22 ${i}33 ${i}44 ${i}55", "en", "srcX", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextOps.curationFunnel(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    assert(rows.map(_._1) == Seq("00_total", "01_exact_dedup",
+      "02_near_dedup", "03_quality", "04_repetition", "05_decontaminated"),
+      s"missing stage rows: $rows")
+    val m = rows.toMap
+    assert(m("00_total") == 4 && m("01_exact_dedup") == 4, s"anchors: $rows")
+    assert(m("03_quality") == 0 && m("04_repetition") == 0 &&
+      m("05_decontaminated") == 0, s"expected emptied stages: $rows")
+  }
+
   test("funnel index build releases every stage pin") {
     TextOps.clearFunnelCache()
     val before = spark.sparkContext.getPersistentRDDs.keySet

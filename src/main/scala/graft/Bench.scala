@@ -46,16 +46,25 @@ object Bench {
       t
     }
 
+    // Builds persist in the warehouse across processes (the reuse a
+    // production session wants); the BENCH build numbers must measure
+    // REAL builds, so the artifacts for this dataset are invalidated
+    // first — a warm warehouse would report near-zero builds and make
+    // the artifact incomparable across rounds.
+    ops.Warehouse.invalidateDataset(sfDir)
+
     // Build the IVF index up front (the CREATE INDEX step of a vector
     // store): v05/v07 then measure SERVING — probe + candidate join —
     // which is what repeats at query time. The one-time build cost is
     // not hidden: it is reported as its own `ivf_build` field, and
     // gated below like any query (with build-sized bounds).
     var ivfBuildSec = timed(ops.SimOps.buildIvf(spark, sfDir))
-    // Same for the dedup family's signature table (see TextOps.sigIndex)
-    // and the curation funnel's stage-membership table (funnelIndex).
+    // Same for the dedup family's signature table (see TextOps.sigIndex),
+    // the curation funnel's stage-membership table (funnelIndex), and
+    // the embedding near-dup pair manifest (v06/v12/v14's serve source).
     var sigBuildSec = timed(ops.TextOps.buildSigIndex(spark, sfDir))
     var funnelBuildSec = timed(ops.TextOps.buildFunnel(spark, sfDir))
+    var nearDupBuildSec = timed(ops.SimOps.buildNearDup(spark, sfDir))
     // and the merged-cube write (the production lifecycle's primary
     // output) that p05/p06 serve from.
     var cubeBuildSec = timed(ops.Pipeline.buildCube(spark, sfDir))
@@ -86,8 +95,9 @@ object Bench {
 
     // Second chance for anything the first pass flagged: re-run, keep
     // the min, stop as soon as the measurement clears the gate
-    // (BenchGate.settle). The builds clear their caches first so a
-    // re-run is a real rebuild, not a cache hit.
+    // (BenchGate.settle). The builds clear their in-JVM caches AND
+    // warehouse artifacts first so a re-run is a real rebuild, not a
+    // cache hit.
     val reruns = scala.collection.mutable.LinkedHashMap[String, Int]()
     val byName = ordered.toMap
     for ((name, _) <- ordered) {
@@ -99,6 +109,8 @@ object Bench {
     locally {
       val (best, n) = BenchGate.settle(ivfBuildSec, bFlagged("ivf_build", _),
         () => { ops.SimOps.clearIvfCaches()
+          ops.Warehouse.invalidate("ivf", sfDir)
+          ops.Warehouse.invalidate("kmeans", sfDir)
           timed(ops.SimOps.buildIvf(spark, sfDir)) }, MaxReruns)
       ivfBuildSec = best
       if (n > 0) reruns("ivf_build") = n
@@ -106,6 +118,7 @@ object Bench {
     locally {
       val (best, n) = BenchGate.settle(sigBuildSec, bFlagged("sig_build", _),
         () => { ops.TextOps.clearSigCache()
+          ops.Warehouse.invalidate("sig", sfDir)
           timed(ops.TextOps.buildSigIndex(spark, sfDir)) }, MaxReruns)
       sigBuildSec = best
       if (n > 0) reruns("sig_build") = n
@@ -114,14 +127,25 @@ object Bench {
       val (best, n) = BenchGate.settle(funnelBuildSec,
         bFlagged("funnel_build", _),
         () => { ops.TextOps.clearFunnelCache()
+          ops.Warehouse.invalidate("funnel", sfDir)
           timed(ops.TextOps.buildFunnel(spark, sfDir)) }, MaxReruns)
       funnelBuildSec = best
       if (n > 0) reruns("funnel_build") = n
     }
     locally {
+      val (best, n) = BenchGate.settle(nearDupBuildSec,
+        bFlagged("neardup_build", _),
+        () => { ops.SimOps.clearNearDupCache()
+          ops.Warehouse.invalidate("neardup", sfDir)
+          timed(ops.SimOps.buildNearDup(spark, sfDir)) }, MaxReruns)
+      nearDupBuildSec = best
+      if (n > 0) reruns("neardup_build") = n
+    }
+    locally {
       val (best, n) = BenchGate.settle(cubeBuildSec,
         bFlagged("cube_build", _),
         () => { ops.Pipeline.clearCubeCache()
+          ops.Warehouse.invalidate("cube", sfDir)
           timed(ops.Pipeline.buildCube(spark, sfDir)) }, MaxReruns)
       cubeBuildSec = best
       if (n > 0) reruns("cube_build") = n
@@ -130,14 +154,15 @@ object Bench {
     val qRegs = BenchGate.check(prevQ, times.toMap, allow)
     val bRegs = BenchGate.check(prevB,
       Map("ivf_build" -> ivfBuildSec, "sig_build" -> sigBuildSec,
-        "funnel_build" -> funnelBuildSec, "cube_build" -> cubeBuildSec), allow,
+        "funnel_build" -> funnelBuildSec, "neardup_build" -> nearDupBuildSec,
+        "cube_build" -> cubeBuildSec), allow,
       BenchGate.BuildFactor, BenchGate.BuildFloorSec, BenchGate.BuildDeltaSec)
     val gate = BenchGate.report(artifact.map(_._1), qRegs, bRegs, reruns.toMap)
 
     val qs = times.toSeq.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = times.values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ivf_build":$ivfBuildSec,"sig_build":$sigBuildSec,"funnel_build":$funnelBuildSec,"cube_build":$cubeBuildSec,"sf":"$sfDir","gate":$gate}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ivf_build":$ivfBuildSec,"sig_build":$sigBuildSec,"funnel_build":$funnelBuildSec,"neardup_build":$nearDupBuildSec,"cube_build":$cubeBuildSec,"sf":"$sfDir","gate":$gate}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -149,9 +149,9 @@ object Pipeline {
   private[graft] def cubeIndex(s: SparkSession, d: String): DataFrame = {
     val path = cubeCache.get(
       s"$d@${BuildCache.version(d, "lineitem.parquet")}") {
-      val dir = Checkpoints.scopedTempDir("graft-cube-index").toString
-      run(s, d).cubeRaw.write.mode("overwrite").parquet(dir)
-      dir
+      Warehouse.getOrBuild("cube", d, "lineitem.parquet") { tmp =>
+        Warehouse.writeParquet(run(s, d).cubeRaw, tmp.toString)
+      }
     }
     s.read.parquet(path)
   }

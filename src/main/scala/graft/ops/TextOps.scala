@@ -258,13 +258,14 @@ object TextOps {
     // keyed on the corpus version marker, built outside any map lock
     // (BuildCache): regenerating the dataset in-process invalidates
     // automatically, and a concurrent first use never blocks unrelated
-    // callers behind the parquet-write job
+    // callers behind the parquet-write job. The artifact itself lives
+    // in the WAREHOUSE (not a session temp dir), so a fresh process
+    // reuses the completed table instead of rebuilding it.
     val path = sigCache.get(
       s"$d@${BuildCache.version(d, "documents.parquet")}") {
-      val dir = Checkpoints.scopedTempDir("graft-sig-index").toString
-      signatures(Tables.documents(s, d))
-        .write.mode("overwrite").parquet(dir)
-      dir
+      Warehouse.getOrBuild("sig", d, "documents.parquet") { tmp =>
+        Warehouse.writeParquet(signatures(Tables.documents(s, d)), tmp.toString)
+      }
     }
     s.read.parquet(path)
   }
@@ -1100,23 +1101,24 @@ object TextOps {
   private[graft] def funnelIndex(s: SparkSession, d: String): DataFrame = {
     val path = funnelCache.get(
       s"$d@${BuildCache.version(d, "documents.parquet")}") {
-      val dir = Checkpoints.scopedTempDir("graft-funnel-index").toString
-      // each stage eagerly checkpoints so its successor — and the
-      // six-branch union write — reads materialized rows instead of
-      // re-deriving the chain per branch; every pin is released once
-      // the table is written (the k-means/t11 loop discipline)
-      val pins = scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
-      try {
-        funnelStages(s, d, pin = { df =>
-            val (out, p) = Checkpoints.pin(df)
-            pins += p
-            out
-          })
-          .map { case (st, df) => df.select(lit(st).as("stage"), col("doc_id")) }
-          .reduce(_ unionByName _)
-          .write.mode("overwrite").parquet(dir)
-      } finally pins.foreach(Checkpoints.release)
-      dir
+      Warehouse.getOrBuild("funnel", d, "documents.parquet") { tmp =>
+        // each stage eagerly checkpoints so its successor — and the
+        // six-branch union write — reads materialized rows instead of
+        // re-deriving the chain per branch; every pin is released once
+        // the table is written (the k-means/t11 loop discipline)
+        val pins = scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
+        try {
+          Warehouse.writeParquet(
+            funnelStages(s, d, pin = { df =>
+                val (out, p) = Checkpoints.pin(df)
+                pins += p
+                out
+              })
+              .map { case (st, df) => df.select(lit(st).as("stage"), col("doc_id")) }
+              .reduce(_ unionByName _),
+            tmp.toString)
+        } finally pins.foreach(Checkpoints.release)
+      }
     }
     s.read.parquet(path)
   }

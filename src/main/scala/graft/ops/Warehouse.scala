@@ -1,0 +1,176 @@
+package graft.ops
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Stable on-disk warehouse for per-corpus build artifacts — the
+  * signature table, funnel membership, k-means model, IVF inverted
+  * file, merged cube, and near-dup pair table. Layout:
+  *
+  * {{{ <root>/<table>@<dataset>@v<Layout>-<version>/  (parquet + _MANIFEST.json) }}}
+  *
+  * where `version` is the SOURCE table's change marker
+  * ([[BuildCache.version]]: newest mtime + byte size) plus any build
+  * parameters — the directory name IS the cache key, so a regenerated
+  * dataset gets a fresh name and rebuilds while a FRESH PROCESS finds
+  * the completed artifact and reuses it instead of paying the ~19 s of
+  * index builds per session the in-JVM memo alone could not avoid.
+  * This is the production posture the reference's granule cache
+  * approximates (processor.py:342-356 keys `.nc` files by
+  * tile+dayofyear and skips re-processing on hit): build artifacts
+  * belong in a warehouse path with a manifest, not a temp dir.
+  *
+  * Completion protocol: builders write into a `.tmp-<nonce>` sibling,
+  * `_MANIFEST.json` lands LAST, and the directory atomically renames
+  * into its keyed name — a crashed build leaves only tmp litter (never
+  * a half-artifact under a valid key), and a lost cross-process race
+  * adopts the winner. The manifest doubles as provenance (source,
+  * version, build time) and is invisible to parquet readers (underscore
+  * prefix).
+  *
+  * Staleness discipline: the key captures DATA versions, not code.
+  * Any change to a build's semantics must bump [[LayoutVersion]] (or
+  * the table's `params`) so persisted artifacts from older code orphan
+  * rather than serve stale rows — the correctness gate would catch the
+  * drift, but only after serving it.
+  */
+object Warehouse {
+
+  /** Bump when any build algorithm or the on-disk layout changes
+    * meaning: every persisted artifact is then orphaned and rebuilt. */
+  val LayoutVersion = 1
+
+  /** Root directory: `graft.warehouse` system property (spec isolation),
+    * else `GRAFT_WAREHOUSE` env, else `spark-warehouse/graft` under the
+    * working directory (gitignored). */
+  def root: Path = Paths.get(
+    sys.props.get("graft.warehouse")
+      .orElse(sys.env.get("GRAFT_WAREHOUSE"))
+      .getOrElse("spark-warehouse/graft"))
+
+  /** Completed builds this JVM actually ran (reuse does not count) —
+    * the observability hook the reuse specs assert on. */
+  private[graft] val buildsRun = new java.util.concurrent.atomic.AtomicInteger
+
+  private def sanitize(s: String): String =
+    s.map(c =>
+      if (c.isLetterOrDigit || c == '.' || c == '-' || c == '_' || c == '@') c
+      else '-')
+
+  /** Dataset tag: basename plus a short path hash — readable, and two
+    * dataset dirs sharing a basename cannot collide. */
+  private def dsTag(d: String): String = {
+    val base = Paths.get(d).getFileName.toString
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s"$base-$h"
+  }
+
+  private def prefix(table: String, d: String): String =
+    sanitize(s"$table@${dsTag(d)}@")
+
+  private def dirFor(table: String, d: String, version: String): Path =
+    root.resolve(prefix(table, d) + sanitize(s"v$LayoutVersion-$version"))
+
+  private def manifest(dir: Path): Path = dir.resolve("_MANIFEST.json")
+
+  /** Resolve-or-build: returns the artifact directory for
+    * `(table, dataset, source version [, params])`, running `build`
+    * (which must populate the passed tmp dir) only when no completed
+    * artifact exists. Callers layer an in-JVM [[BuildCache]] on top so
+    * the filesystem probe itself is once-per-session. */
+  def getOrBuild(table: String, d: String, srcFile: String,
+      params: String = "")(build: Path => Unit): String = {
+    val version = BuildCache.version(d, srcFile) +
+      (if (params.isEmpty) "" else s"-$params")
+    val dir = dirFor(table, d, version)
+    if (Files.exists(manifest(dir))) return dir.toString
+    Files.createDirectories(root)
+    val tmp = root.resolve(dir.getFileName.toString +
+      s".tmp-${ProcessHandle.current.pid}-${System.nanoTime()}")
+    build(tmp)
+    val m = s"""{"table":"$table","dataset":"$d","source":"$srcFile",""" +
+      s""""version":"${sanitize(version)}","layout":$LayoutVersion,""" +
+      s""""built_ms":${System.currentTimeMillis()}}"""
+    Files.write(manifest(tmp), m.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+      buildsRun.incrementAndGet()
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+          _: java.nio.file.DirectoryNotEmptyException =>
+        // lost a cross-process race: adopt the winner, drop our copy
+        rmTree(tmp)
+        require(Files.exists(manifest(dir)), s"racing build left $dir incomplete")
+    }
+    prune(table, d, keep = dir.getFileName.toString)
+    dir.toString
+  }
+
+  /** Drop every COMPLETED stale version of `table@dataset` other than
+    * `keep` — superseded artifacts are dead weight the moment a newer
+    * version lands. In-flight `.tmp-` dirs of other processes are left
+    * alone (they self-resolve or get swept by [[invalidate]]). */
+  private def prune(table: String, d: String, keep: String): Unit = {
+    val p = prefix(table, d)
+    listRoot().foreach { f =>
+      val n = f.getFileName.toString
+      if (n.startsWith(p) && n != keep && Files.exists(manifest(f))) rmTree(f)
+    }
+  }
+
+  /** Delete every artifact (and tmp) of `table@dataset` — the forced-
+    * rebuild hook ([[graft.Bench]] measures real builds, specs exercise
+    * the build path). */
+  def invalidate(table: String, d: String): Unit = {
+    val p = prefix(table, d)
+    listRoot().foreach { f =>
+      if (f.getFileName.toString.startsWith(p)) rmTree(f)
+    }
+  }
+
+  /** Delete every artifact of every table for `dataset`. */
+  def invalidateDataset(d: String): Unit = {
+    val tag = sanitize(s"@${dsTag(d)}@")
+    listRoot().foreach { f =>
+      if (f.getFileName.toString.contains(tag)) rmTree(f)
+    }
+  }
+
+  private def listRoot(): Seq[Path] = {
+    if (!Files.isDirectory(root)) return Seq.empty
+    val s = Files.list(root)
+    try { import scala.jdk.CollectionConverters._; s.iterator().asScala.toSeq }
+    finally s.close()
+  }
+
+  private def rmTree(p: Path): Unit = {
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete()
+      ()
+    }
+    rm(p.toFile)
+  }
+
+  /** Parquet write that stays READABLE when the relation is empty: a
+    * zero-task write leaves no footer-bearing part file and a later
+    * `read.parquet` dies on schema inference — exactly the shape of the
+    * near-dup AUDIT table, empty by design until a bucket overflows. An
+    * empty result rewrites as one empty task so the schema lands in a
+    * footer. */
+  def writeParquet(df: DataFrame, dir: String): Unit = {
+    df.write.mode("overwrite").parquet(dir)
+    val s = Files.list(Paths.get(dir))
+    val hasPart =
+      try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.exists(_.getFileName.toString.startsWith("part-")) }
+      finally s.close()
+    if (!hasPart) {
+      val sp = df.sparkSession
+      sp.createDataFrame(sp.sparkContext.parallelize(Seq.empty[Row], 1), df.schema)
+        .write.mode("overwrite").parquet(dir)
+    }
+  }
+}

@@ -87,10 +87,12 @@ class PlanShapeSpec extends SparkSpecBase {
       s"pair-key shuffle crept below the label aggregate:\n$p")
   }
 
-  test("near-dup candidate join shuffles on the bucket key: corpus never broadcast") {
+  test("near-dup BUILD joins shuffle on the bucket key: corpus never broadcast") {
+    // v06 now serves from the materialized pair table, so the scale
+    // contract moves to the BUILD plan (what neardup_build executes);
     // executed plan after an action so AQE cannot have silently swapped
     // the strategy back to broadcast
-    val df = SparkEntry.queries("v06_embed_neardup")(spark, d)
+    val df = graft.ops.SimOps.nearDupPairsPlan(spark, d)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastHashJoin"),
@@ -105,6 +107,23 @@ class PlanShapeSpec extends SparkSpecBase {
       s"banded bucketing regressed to a single fixed bucket:\n$p")
     assert(p.contains("hashpartitioning(band"),
       s"candidate join no longer keyed on the (band, key) bucket:\n$p")
+  }
+
+  test("near-dup SERVE paths are artifact scans of the warehouse") {
+    for (q <- Seq("v06_embed_neardup", "v12_embed_bucket_audit")) {
+      val df = SparkEntry.queries(q)(spark, d)
+      assert(df.inputFiles.nonEmpty &&
+        df.inputFiles.forall(_.contains("neardup@")),
+        s"$q does not serve from the near-dup artifact: ${df.inputFiles.toSeq.take(3)}")
+      // no Generate (banding) and no graft_cosine: the lineage ran at
+      // build time, not per query
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Generate") && !p.contains("graft_cosine"),
+        s"$q re-derives the near-dup lineage per query:\n$p")
+    }
+    val keep = SparkEntry.queries("v14_embed_keep")(spark, d)
+    assert(keep.inputFiles.exists(_.contains("neardup@")),
+      "v14 does not consume the pair artifact")
   }
 
   test("v06 band bits grow with the corpus, integer-exactly") {
@@ -160,7 +179,7 @@ class PlanShapeSpec extends SparkSpecBase {
   test("dedup queries serve from the materialized signature table, not the live lineage") {
     for (q <- Seq("t06_dedup_minhash", "t08_ngram_jaccard", "t12_bucket_audit")) {
       val p = SparkEntry.queries(q)(spark, d).queryExecution.sparkPlan.toString
-      assert(p.contains("graft-sig-index"),
+      assert(p.contains("/sig@"),
         s"$q does not read the signature index:\n$p")
       // the signature derivation (per-shingle md5 array fold) must not
       // appear in the serve plan — that is the build step's job

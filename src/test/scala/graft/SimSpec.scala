@@ -105,6 +105,10 @@ class SimSpec extends SparkSpecBase {
 
   test("IVF build/serve split: index cached, no corpus pass per query, no leaked blocks") {
     SimOps.clearIvfCaches()
+    // drop the persisted artifacts too: this test asserts on a REAL
+    // build (pins taken and released), not a warehouse reuse
+    ops.Warehouse.invalidate("ivf", sf)
+    ops.Warehouse.invalidate("kmeans", sf)
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
     // first call trains the model AND materializes the inverted file
@@ -119,7 +123,7 @@ class SimSpec extends SparkSpecBase {
     // a second IVF query runs NO corpus-wide assignment: its only
     // embeddings scans are pruned to the query vectors at the source
     val p = SimOps.simIvfProbe2(spark, sf).queryExecution.sparkPlan.toString
-    assert(p.contains("graft-ivf-index"),
+    assert(p.contains("ivf@"),
       s"serve plan does not read the materialized inverted file:\n$p")
     val corpusScans = p.split('\n').filter(l =>
       l.contains("FileScan") && l.contains("embeddings.parquet") &&
@@ -193,10 +197,11 @@ class SimSpec extends SparkSpecBase {
     assert(m8.count() == 8 * 64)
     assert(m8.select("cell").distinct().as[Long].collect().toSet ==
       (100L to 107L).toSet)
-    // training is deterministic: a fresh (uncached) run reproduces the
-    // k=4 model bit for bit
+    // training is deterministic: a fresh (uncached, un-warehoused) run
+    // reproduces the k=4 model bit for bit
     val snap = m4.orderBy("cell", "i").collect()
     SimOps.clearIvfCaches()
+    ops.Warehouse.invalidate("kmeans", sf)
     val again = SimOps.trainedModel(spark, sf, k = 4, seedLo = 200)
       .orderBy("cell", "i").collect()
     assert(snap.sameElements(again), "k=4 training is not deterministic")

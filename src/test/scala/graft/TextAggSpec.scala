@@ -201,10 +201,14 @@ class TextAggSpec extends SparkSpecBase {
     assert(m("00_total") == 4 && m("01_exact_dedup") == 4, s"anchors: $rows")
     assert(m("03_quality") == 0 && m("04_repetition") == 0 &&
       m("05_decontaminated") == 0, s"expected emptied stages: $rows")
+    // don't leave throwaway-corpus artifacts in the shared warehouse
+    ops.Warehouse.invalidateDataset(dir)
   }
 
   test("funnel index build releases every stage pin") {
     TextOps.clearFunnelCache()
+    // drop the persisted artifact too, so this exercises a REAL build
+    ops.Warehouse.invalidate("funnel", sf)
     val before = spark.sparkContext.getPersistentRDDs.keySet
     TextOps.buildFunnel(spark, sf)
     val after = spark.sparkContext.getPersistentRDDs.keySet

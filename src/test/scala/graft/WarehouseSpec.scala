@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{TextOps, Warehouse}
+
+/** The persistent build-artifact warehouse: cross-session reuse,
+  * version-keyed invalidation, stale-version pruning, and the
+  * empty-relation parquet write the audit tables depend on. */
+class WarehouseSpec extends SparkSpecBase {
+
+  /** Run `body` with the warehouse rooted at a fresh temp dir, restoring
+    * the default root afterwards so other suites are untouched. */
+  private def withTempRoot[T](body: String => T): T = {
+    val root = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    val prev = sys.props.get("graft.warehouse")
+    sys.props("graft.warehouse") = root
+    try body(root)
+    finally prev match {
+      case Some(v) => sys.props("graft.warehouse") = v
+      case None => sys.props -= "graft.warehouse"
+    }
+  }
+
+  /** A small standalone documents dataset the suite can mutate without
+    * touching the shared testdata. */
+  private def writeDocs(dir: String, salt: String): Unit = {
+    import spark.implicits._
+    (0L until 6L).map(i =>
+      (i, s"alpha bravo charlie delta echo foxtrot golf $salt doc$i",
+        "en", "srcW", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  test("a fresh process reuses a completed artifact instead of rebuilding") {
+    withTempRoot { root =>
+      val ds = java.nio.file.Files.createTempDirectory("graft-wh-ds").toString
+      writeDocs(ds, "one")
+      TextOps.clearSigCache()
+      val first = TextOps.sigIndex(spark, ds).orderBy("doc_id").collect()
+      val builds = Warehouse.buildsRun.get()
+      // simulate a fresh process: the in-JVM memo is gone, the
+      // warehouse is not
+      TextOps.clearSigCache()
+      val again = TextOps.sigIndex(spark, ds).orderBy("doc_id").collect()
+      assert(Warehouse.buildsRun.get() == builds,
+        "a completed artifact was rebuilt on re-open")
+      assert(again.sameElements(first), "reused artifact drifted")
+      val names = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      try {
+        import scala.jdk.CollectionConverters._
+        val dirs = names.iterator().asScala.map(_.getFileName.toString).toSeq
+        assert(dirs.exists(_.startsWith("sig@")), s"no sig artifact in $dirs")
+        assert(dirs.forall(d => !d.contains(".tmp-")), s"tmp litter: $dirs")
+      } finally names.close()
+    }
+  }
+
+  test("a regenerated source invalidates by key and prunes the stale version") {
+    withTempRoot { root =>
+      val ds = java.nio.file.Files.createTempDirectory("graft-wh-ds").toString
+      writeDocs(ds, "one")
+      TextOps.clearSigCache()
+      TextOps.sigIndex(spark, ds).count()
+      val builds = Warehouse.buildsRun.get()
+      // regenerate the corpus: new content => new version marker
+      writeDocs(ds, "two-regenerated")
+      TextOps.clearSigCache()
+      val sig2 = TextOps.sigIndex(spark, ds)
+      assert(sig2.count() == 6)
+      assert(Warehouse.buildsRun.get() == builds + 1,
+        "regenerated source did not trigger a rebuild")
+      val names = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      try {
+        import scala.jdk.CollectionConverters._
+        val sigDirs = names.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("sig@")).toSeq
+        assert(sigDirs.size == 1,
+          s"stale artifact version not pruned: $sigDirs")
+      } finally names.close()
+    }
+  }
+
+  test("writeParquet keeps an empty relation readable with its schema") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-wh-empty").toString
+    val empty = Seq.empty[(Int, String, Long)].toDF("band", "key", "n_members")
+    Warehouse.writeParquet(empty, s"$dir/audit")
+    val back = spark.read.parquet(s"$dir/audit")
+    assert(back.count() == 0)
+    assert(back.schema.fieldNames.toSeq == Seq("band", "key", "n_members"),
+      back.schema.treeString)
+  }
+
+  test("near-dup serve paths scan the warehouse artifact, not the live lineage") {
+    val sf = "/root/testdata/sf0.001"
+    ops.SimOps.clearNearDupCache()
+    val builds = Warehouse.buildsRun.get()
+    val idx = ops.SimOps.nearDupIndex(spark, sf)
+    val pairs = ops.SimOps.embedNearDup(spark, sf)
+    val audit = ops.SimOps.embedBucketAudit(spark, sf)
+    val keep = ops.SimOps.embedKeep(spark, sf)
+    // v06 and v12 must read ONLY artifact files; v14's anti-join scans
+    // the corpus plus the artifact
+    assert(pairs.inputFiles.nonEmpty &&
+      pairs.inputFiles.forall(_.contains(java.nio.file.Paths.get(idx).getFileName.toString)),
+      s"v06 reads outside the artifact: ${pairs.inputFiles.toSeq}")
+    assert(audit.inputFiles.forall(_.contains("neardup@")),
+      s"v12 reads outside the artifact: ${audit.inputFiles.toSeq}")
+    assert(keep.inputFiles.exists(_.contains("neardup@")),
+      "v14 does not consume the pair artifact")
+    // serving again triggers no rebuild
+    ops.SimOps.embedNearDup(spark, sf).count()
+    ops.SimOps.embedKeep(spark, sf).count()
+    assert(Warehouse.buildsRun.get() <= builds + 1,
+      "near-dup manifest rebuilt on a second serve")
+    // the pair table and the survivor set stay consistent: no kept
+    // vector is any pair's dup_id
+    import spark.implicits._
+    val dups = pairs.select("dup_id").as[Long].collect().toSet
+    val kept = keep.select("vec_id").as[Long].collect().toSet
+    assert(kept.intersect(dups).isEmpty, "a dropped vector survived v14")
+  }
+}

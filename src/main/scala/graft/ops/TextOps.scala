@@ -1288,7 +1288,8 @@ object TextOps {
     * cutoffs come from exact interpolating percentiles (the s04
     * convention), not an ntile window, so no corpus-sized relation
     * passes through one reducer beyond the documented exact-percentile
-    * aggregate.
+    * aggregate — whose 100 TB replacement is declared by t21's
+    * bounded-error approx twin ([[freqBucketApprox]]).
     *
     * Scale posture: one explode → (token) keyed count, one
     * token-keyed SHUFFLED join back (corpus-derived on both sides —
@@ -1333,7 +1334,62 @@ object TextOps {
        |FROM scores, cuts
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t21
+  /** The 100 TB path for t20's cutoffs. t20 derives its tercile
+    * cutoffs from exact interpolating percentiles, which accumulate a
+    * value-count map on ONE final aggregator — correct and
+    * DuckDB-hash-exact, but a memory hazard at 10¹¹ documents. This
+    * twin derives the same cutoffs from the mergeable one-pass
+    * `approx_percentile` sketch (partials combine map-side; nothing
+    * corpus-sized reaches a single reducer) and declares the s06-style
+    * error contract: the sketch cutoff must land inside the exact
+    * ±0.05-QUANTILE window, asserted as a boolean the oracle pins to
+    * TRUE. Sketch values are engine-specific, so the DECLARED columns
+    * are the exact cutoffs plus the bound verdicts — the gate checks
+    * the contract; the sketch plan is the scale path. */
+  val freqBucketApprox: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val toks = doc.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val klass = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      .select(col("w"), length(bin(col("c"))).cast("int").as("klass"))
+    val scores = toks.join(klass.hint("shuffle_hash"), "w")
+      .groupBy("doc_id").agg(avg("klass").as("score"))
+    scores.agg(
+        count(lit(1)).as("n_docs"),
+        r6(expr("percentile(score, 0.6666666666666666)")).as("c_head_exact"),
+        r6(expr("percentile(score, 0.3333333333333333)")).as("c_mid_exact"),
+        expr("approx_percentile(score, 0.6666666666666666, 1000)").as("ah"),
+        expr("approx_percentile(score, 0.3333333333333333, 1000)").as("am"),
+        expr("percentile(score, 0.6166666666666666)").as("hlo"),
+        expr("percentile(score, 0.7166666666666666)").as("hhi"),
+        expr("percentile(score, 0.2833333333333333)").as("mlo"),
+        expr("percentile(score, 0.3833333333333333)").as("mhi"))
+      .select(col("n_docs"), col("c_head_exact"), col("c_mid_exact"),
+        (col("ah") >= col("hlo") && col("ah") <= col("hhi")).as("head_in_bound"),
+        (col("am") >= col("mlo") && col("am") <= col("mhi")).as("mid_in_bound"))
+      .orderBy("n_docs")
+  }
+
+  val freqBucketApproxSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      |), k AS (
+      |  SELECT w, CAST(length(bin(count(*))) AS INT) AS klass
+      |  FROM toks GROUP BY w
+      |), scores AS (
+      |  SELECT doc_id, avg(klass) AS score
+      |  FROM toks JOIN k USING (w) GROUP BY doc_id
+      |)
+      |SELECT count(*) AS n_docs,
+      |  0.0 + round(quantile_cont(score, 0.6666666666666666), 6) AS c_head_exact,
+      |  0.0 + round(quantile_cont(score, 0.3333333333333333), 6) AS c_mid_exact,
+      |  TRUE AS head_in_bound,
+      |  TRUE AS mid_in_bound
+      |FROM scores
+      |ORDER BY n_docs""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t21_freq_bucket_approx" -> freqBucketApprox,
     "t20_freq_bucket" -> freqBucket,
     "t19_curated_docs" -> curatedDocs,
     "t18_source_mixture" -> sourceMixture,
@@ -1356,6 +1412,7 @@ object TextOps {
     "t08_ngram_jaccard" -> ngramJaccard)
 
   val oracle: Map[String, String] = Map(
+    "t21_freq_bucket_approx" -> freqBucketApproxSql,
     "t20_freq_bucket" -> freqBucketSql,
     "t19_curated_docs" -> curatedDocsSql,
     "t18_source_mixture" -> sourceMixtureSql,

@@ -42,14 +42,24 @@ class ExportSpec extends SparkSpecBase {
     assert(prunedParts.exists(_ == 1), s"expected exactly 1 partition read, got $prunedParts")
   }
 
-  test("granule cache sink partitions by (tile, date) and overwrite invalidates") {
+  test("granule cache sink partitions by tile, date-sorted within; overwrite invalidates") {
     val out = tmp("cache")
     val g = PixelOps.withIndices(Pixels.pixels(spark, sf))
       .filter(col("tile_id") === 1 && year(col("date")) === 1996)
       .select(col("tile_id"), col("time"), col("y"), col("x"), col("ndvi_c"))
     assert(g.count() > 0)
     Export.writeGranuleCache(g, out)
-    val n1 = spark.read.parquet(out).count()
+    val back = spark.read.parquet(out)
+    val n1 = back.count()
+    assert(back.columns.contains("p_date"),
+      "date column lost from the cache layout")
+    // one tile => ONE partition dir and a bounded file count (no
+    // per-day directory explosion)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("tile_id="))
+    assert(dirs.length == 1, s"expected 1 tile dir, got ${dirs.length}")
+    assert(dirs.head.listFiles().count(_.getName.startsWith("part-")) <= 4,
+      "per-day small-files layout crept back")
     Export.writeGranuleCache(g, out) // idempotent overwrite
     assert(spark.read.parquet(out).count() == n1)
   }

@@ -43,6 +43,20 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("granule-cache round trip (p08) reproduces the live summary (p05/p07) exactly") {
+    Pipeline.clearGranuleCacheCache()
+    ops.Warehouse.invalidate("gcache", sf)
+    val live = Pipeline.pipelineLiveQ(spark, sf).collect()
+    val cached = Pipeline.pipelineCachedQ(spark, sf).collect()
+    assert(cached.nonEmpty)
+    assert(cached.sameElements(live),
+      "the cache write->read cycle changed the pipeline summary")
+    // the cache artifact persists: a second serve does not rewrite it
+    val f1 = Pipeline.granuleCacheIndex(spark, sf).inputFiles.toSet
+    val f2 = Pipeline.granuleCacheIndex(spark, sf).inputFiles.toSet
+    assert(f1.nonEmpty && f1 == f2, "granule cache rebuilt per query")
+  }
+
   test("runAndWrite persists cube, events, index and style; cube reads back") {
     val out = Files.createTempDirectory("pipeline").toFile.getAbsolutePath
     val r = Pipeline.runAndWrite(spark, sf, out)

@@ -35,4 +35,12 @@ object Tables {
       "timestamp_micros(ts div 1000) AS ts",
       "ts AS ts_ns",
       "user_id", "event_type", "value", "props")
+
+  /** Alternative cube source: a classic NetCDF-3 container (the format
+    * the reference's whole toolchain exchanges) surfaced as the same
+    * long-form cube relation the parquet path yields — see
+    * [[graft.ops.Export.readNetcdf]] for the decode and its scale
+    * notes. */
+  def cubeFromNetcdf(s: SparkSession, path: String): DataFrame =
+    graft.ops.Export.readNetcdf(s, path)
 }

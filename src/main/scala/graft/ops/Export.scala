@@ -121,6 +121,56 @@ object Export {
     } finally out.close()
   }
 
+  /** NetCDF cube SOURCE — the read half of [[writeNetcdf]]
+    * (src_netcdf_read, SURVEY §2.1: the reference opens its own `.nc`
+    * everywhere — processor.py:349, arcgis.py:20,
+    * visualize_dataset.py:30): parse the classic container with the
+    * dependency-free [[Netcdf]] codec and surface the cube as the
+    * engine's long-form relation (date, y, x, ndvi, evi), fill −9999 →
+    * NULL per the engine-wide missing-value rule (SURVEY §7.4).
+    *
+    * Scale posture: a single `.nc` container is inherently one
+    * driver-read file (that is why [[writeCube]]'s parquet stays the
+    * 100 TB path), but decode fans out one task per time slice, so
+    * only the raw bytes pass through the driver — Spark never sees an
+    * undistributed row collection. */
+  def readNetcdf(spark: SparkSession, path: String): DataFrame = {
+    val p = Netcdf.read(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)))
+    def dim(n: String): Int = p.s.dims.find(_._1 == n).map(_._2)
+      .getOrElse(sys.error(s"not a graft cube container: missing dim $n"))
+    val (h, w) = (dim("y"), dim("x"))
+    Seq("time", "ndvi", "evi").foreach(v => require(p.data.contains(v),
+      s"not a graft cube container: missing variable $v"))
+    val tb = java.nio.ByteBuffer.wrap(p.data("time"))
+    val days = Array.fill(p.numRecs)(tb.getInt())
+    val nd = p.data("ndvi")
+    val ev = p.data("evi")
+    val slab = h * w * 4
+    val slices = (0 until p.numRecs).map { t =>
+      (days(t),
+        java.util.Arrays.copyOfRange(nd, t * slab, (t + 1) * slab),
+        java.util.Arrays.copyOfRange(ev, t * slab, (t + 1) * slab))
+    }
+    import spark.implicits._
+    spark.sparkContext
+      .parallelize(slices, math.max(1, math.min(p.numRecs, 32)))
+      .flatMap { case (day, ndb, evb) =>
+        val nb = java.nio.ByteBuffer.wrap(ndb)
+        val eb = java.nio.ByteBuffer.wrap(evb)
+        for (y <- 0 until h; x <- 0 until w) yield {
+          val n = nb.getFloat()
+          val e = eb.getFloat()
+          (day, y, x,
+            if (n == -9999f) None else Some(n),
+            if (e == -9999f) None else Some(e))
+        }
+      }
+      .toDF("epoch_day", "y", "x", "ndvi", "evi")
+      .select(expr("date_add(DATE '1970-01-01', epoch_day)").as("date"),
+        col("y"), col("x"), col("ndvi"), col("evi"))
+  }
+
   /** Per-granule cache sink — processor.py:358-366: one (tile, date)
     * partition per granule, overwritable for corrupt-cache invalidation
     * (processor.py:349-356). */

@@ -281,6 +281,33 @@ object TextOps {
   /** Test hook: drop the per-dataset signature index cache. */
   private[graft] def clearSigCache(): Unit = sigCache.clear()
 
+  /** INCREMENTAL signature maintenance — the production path for an
+    * append-only corpus (the streaming ingest:
+    * [[graft.streaming.StreamOps.curateDocs]] emits an append-only
+    * curated feed; the reference's resumable cache likewise only ever
+    * ADDS granules, processor.py:342-356). A MinHash signature is a
+    * pure per-document function — corpus-independent — so corpus
+    * growth appends signature rows: the prior artifact's parquet files
+    * carry over UNTOUCHED (an O(carried-bytes) file copy, no re-hash of
+    * ~2M shingles per historic doc) and only the appended documents
+    * hash, landing as extra files under the NEW corpus version's key.
+    * Every dedup query then serves the updated table through the normal
+    * [[sigIndex]] path. Falls back to a full build when no prior
+    * version exists. `appended` must be exactly the documents added
+    * since the prior version — the caller's append manifest (a
+    * streaming sink's new-files batch). */
+  def appendToSigIndex(s: SparkSession, d: String, appended: DataFrame): Unit = {
+    Warehouse.latest("sig", d) match {
+      case None => buildSigIndex(s, d)
+      case Some(prior) =>
+        Warehouse.getOrBuild("sig", d, "documents.parquet") { tmp =>
+          Warehouse.copyData(prior, tmp)
+          signatures(appended).write.mode("append").parquet(tmp.toString)
+        }
+        ()
+    }
+  }
+
   // ---------------------------------------------------------------- t06
   /** MinHash+LSH near-dup candidates: 4 bands × 2 rows; a band collision
     * makes a candidate pair; estimated Jaccard = matching sigs / 8. */

@@ -119,6 +119,35 @@ object Warehouse {
     }
   }
 
+  /** The most recently completed artifact of `table@dataset`, any
+    * version — the incremental-maintenance hook: an updater carries the
+    * prior version's data files into the next version's build instead
+    * of recomputing them (see TextOps.appendToSigIndex). */
+  def latest(table: String, d: String): Option[String] = {
+    val p = prefix(table, d)
+    listRoot()
+      .filter(f => f.getFileName.toString.startsWith(p) &&
+        Files.exists(manifest(f)))
+      .sortBy(f => Files.getLastModifiedTime(manifest(f)).toMillis)
+      .lastOption.map(_.toString)
+  }
+
+  /** Copy a completed artifact's DATA files (not its manifest) into a
+    * build-in-progress dir — the O(carried-data) half of an incremental
+    * update; the new version's manifest still lands last. */
+  def copyData(from: String, into: Path): Unit = {
+    Files.createDirectories(into)
+    val s = Files.list(Paths.get(from))
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(f => Files.isRegularFile(f) &&
+          f.getFileName.toString != "_MANIFEST.json")
+        .foreach(f => Files.copy(f, into.resolve(f.getFileName.toString),
+          StandardCopyOption.REPLACE_EXISTING))
+    } finally s.close()
+  }
+
   /** Delete every artifact (and tmp) of `table@dataset` — the forced-
     * rebuild hook ([[graft.Bench]] measures real builds, specs exercise
     * the build path). */

@@ -74,6 +74,35 @@ class ExportSpec extends SparkSpecBase {
       cube.filter(col("y") % 2 === 0 && col("x") % 2 === 0).count())
   }
 
+  test("netcdf source: write→read round-trips the cube relation exactly") {
+    val grid = ops.Resample.SrcGrid
+    val out = tmp("ncsrc") + "/cube.nc"
+    Export.writeNetcdf(cube, out, grid)
+    val back = Tables.cubeFromNetcdf(spark, out)
+    // the container stores one frame per DATE with the latest scene
+    // winning per cell (dateFrames), values narrowed to float32 — the
+    // read-back must equal exactly that relation, with fill cells NULL
+    val expected = cube
+      .select(to_date(col("time")).as("date"), col("y"), col("x"),
+        col("time"),
+        col("ndvi").cast("double").as("nd"), col("evi").cast("double").as("ev"))
+      .groupBy("date", "y", "x")
+      .agg(expr("max_by(named_struct('nd', nd, 'ev', ev), time)").as("v"))
+      .select(col("date"), col("y"), col("x"),
+        col("v.nd").cast("float").as("ndvi"), col("v.ev").cast("float").as("evi"))
+      .filter(col("ndvi").isNotNull || col("evi").isNotNull)
+    val got = back.filter(col("ndvi").isNotNull || col("evi").isNotNull)
+      .orderBy("date", "y", "x").collect()
+    val want = expected.orderBy("date", "y", "x").collect()
+    assert(got.length == want.length,
+      s"round-trip cell count ${got.length} != ${want.length}")
+    assert(got.sameElements(want), "NetCDF round-trip drifted from the cube")
+    // the full grid materializes: every (date, y, x) cell exists, fill
+    // cells as NULL
+    val nDates = cube.select(to_date(col("time"))).distinct().count()
+    assert(back.count() == nDates * grid.height * grid.width)
+  }
+
   test("netcdf sink: classic CDF both decoders parse back to the cube") {
     val grid = ops.Resample.SrcGrid
     val out = tmp("nc") + "/cube.nc"

@@ -205,6 +205,52 @@ class TextAggSpec extends SparkSpecBase {
     ops.Warehouse.invalidateDataset(dir)
   }
 
+  test("appending a doc batch updates the sig table incrementally; dedup matches a full rebuild") {
+    import spark.implicits._
+    def docsDF(rows: Seq[(Long, String)]) =
+      rows.map { case (i, t) => (i, t, "en", "srcI", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sig-inc").toString
+    val base = (0L until 8L).map(i =>
+      (i, s"alpha bravo charlie delta echo foxtrot golf hotel india doc$i"))
+    docsDF(base).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    TextOps.clearSigCache()
+    TextOps.buildSigIndex(spark, dir)
+    val priorFiles = TextOps.sigIndex(spark, dir).inputFiles
+      .map(_.split('/').last).toSet
+    // corpus grows: doc 9 duplicates doc 2's text EXACTLY, so the
+    // cross-batch duplicate must surface in the dedup queries
+    val appended = Seq(
+      (8L, "juliet kilo lima mike november oscar papa quebec romeo doc8"),
+      (9L, base(2)._2))
+    docsDF(base ++ appended).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    TextOps.appendToSigIndex(spark, dir, docsDF(appended))
+    // truly incremental: the prior version's part files carried over
+    // byte-for-byte (same names), plus new files for the batch
+    val incFiles = TextOps.sigIndex(spark, dir).inputFiles
+      .map(_.split('/').last).toSet
+    assert(priorFiles.subsetOf(incFiles) && incFiles.size > priorFiles.size,
+      s"not incremental: prior $priorFiles vs updated $incFiles")
+    val incSig = TextOps.sigIndex(spark, dir).orderBy("doc_id").collect()
+    val incT06 = TextOps.dedupMinhash(spark, dir).collect()
+    val incT05 = TextOps.dedupExact(spark, dir).collect()
+    // from-scratch rebuild over the grown corpus must agree exactly
+    TextOps.clearSigCache()
+    ops.Warehouse.invalidate("sig", dir)
+    val fullSig = TextOps.sigIndex(spark, dir).orderBy("doc_id").collect()
+    assert(incSig.sameElements(fullSig),
+      "incrementally maintained signatures drifted from a full rebuild")
+    assert(TextOps.dedupMinhash(spark, dir).collect().sameElements(incT06),
+      "t06 over the incremental table drifted from the full rebuild")
+    assert(TextOps.dedupExact(spark, dir).collect().sameElements(incT05),
+      "t05 over the incremental table drifted from the full rebuild")
+    // the cross-batch exact duplicate is visible
+    assert(incT05.exists(r => r.getLong(3) > 0),
+      s"cross-batch duplicate not detected: ${incT05.mkString(";")}")
+    ops.Warehouse.invalidateDataset(dir)
+  }
+
   test("funnel index build releases every stage pin") {
     TextOps.clearFunnelCache()
     // drop the persisted artifact too, so this exercises a REAL build

@@ -401,29 +401,39 @@ object SimOps {
     * artifact is a (cell, i, c) parquet in the [[Warehouse]] — a fresh
     * process LOADS the trained quantizer instead of re-running Lloyd's —
     * and the in-JVM memo keeps the collected copy so per-query consumers
-    * don't re-read it. */
+    * don't re-read it. `pinned` lets a caller that ALREADY holds
+    * checkpointed (flat, norms) relations (the cold IVF build) share
+    * them with a cold training pass instead of paying a second
+    * flatten+norms derivation. */
   private def trainedRows(s: SparkSession, d: String,
-      k: Int = KmeansK, seedLo: Int = KmeansSeedLo): Array[(Long, Long, Double)] =
+      k: Int = KmeansK, seedLo: Int = KmeansSeedLo,
+      pinned: Option[(DataFrame, DataFrame)] = None): Array[(Long, Long, Double)] =
     modelCache.get(embKey(d, s"|$k|$seedLo")) {
       val path = Warehouse.getOrBuild("kmeans", d, "embeddings.parquet",
         s"k$k-s$seedLo") { tmp =>
         // checkpoint the flattened corpus + norms once: every Lloyd round
         // (and nothing else) re-reads them, so they should not re-derive
-        // from parquet per round; both pins — and the final centroid
-        // snapshot — are released once the 512 model rows are collected,
-        // so training leaves NOTHING in the BlockManager
+        // from parquet per round; pins taken HERE — and the final
+        // centroid snapshot — are released once the model rows land, so
+        // training leaves NOTHING in the BlockManager
         val emb = Tables.embeddings(s, d)
-        val (f, fPin) = Checkpoints.pin(flat(emb))
-        try {
-          val (n, nPin) = Checkpoints.pin(norms(f))
-          try {
-            import s.implicits._
-            Warehouse.writeParquet(
-              trainAndCollect(s, emb, f, n, k, seedLo)
-                .toSeq.toDF("cell", "i", "c"),
-              tmp.toString)
-          } finally Checkpoints.release(nPin)
-        } finally Checkpoints.release(fPin)
+        def train(f: DataFrame, n: DataFrame): Unit = {
+          import s.implicits._
+          Warehouse.writeParquet(
+            trainAndCollect(s, emb, f, n, k, seedLo)
+              .toSeq.toDF("cell", "i", "c"),
+            tmp.toString)
+        }
+        pinned match {
+          case Some((f, n)) => train(f, n)
+          case None =>
+            val (f, fPin) = Checkpoints.pin(flat(emb))
+            try {
+              val (n, nPin) = Checkpoints.pin(norms(f))
+              try train(f, n)
+              finally Checkpoints.release(nPin)
+            } finally Checkpoints.release(fPin)
+        }
       }
       import s.implicits._
       s.read.parquet(path).select("cell", "i", "c")
@@ -456,15 +466,16 @@ object SimOps {
   private[graft] def ivfIndex(s: SparkSession, d: String): DataFrame = {
     val path = indexCache.get(embKey(d)) {
       Warehouse.getOrBuild("ivf", d, "embeddings.parquet") { tmp =>
-        // the trained model loads (or builds) first — a warehouse hit
-        // skips Lloyd's entirely; the assignment pass then pins one
-        // flat/norms derivation of its own
-        val rows = trainedRows(s, d)
+        // one flat/norms pass feeds BOTH a cold training run (shared
+        // via `pinned`) and the corpus→cell assignment; a warehoused
+        // model skips Lloyd's entirely and the pins serve only the
+        // assignment
         val emb = Tables.embeddings(s, d)
         val (f, fPin) = Checkpoints.pin(flat(emb))
         try {
           val (n, nPin) = Checkpoints.pin(norms(f))
           try {
+            val rows = trainedRows(s, d, pinned = Some((f, n)))
             import s.implicits._
             val cent = rows.toSeq.toDF("cell", "i", "c")
             val assign = exactAssign(emb, f, n, cent, rows)

@@ -257,6 +257,59 @@ class StreamingSpec extends SparkSpecBase {
       s"resume re-emitted a replayed document or lost a new one: $run2")
   }
 
+  test("curated stream maintains the signature table incrementally per micro-batch") {
+    // the production wiring of the incremental dedup index: each curated
+    // micro-batch appends to the corpus table AND to the signature
+    // artifact (TextOps.appendToSigIndex) — historic signature files
+    // carry over untouched, only the batch hashes
+    implicit val sqlCtx = spark.sqlContext
+    val ds = java.nio.file.Files.createTempDirectory("graft-stream-sig").toString
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val curated = StreamOps.curateDocs(
+      input.toDF().toDF("doc_id", "ingest_ts", "text"))
+    val q = curated.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val docs = batch.select(col("doc_id"), col("text"),
+          lit("en").as("lang"), lit("srcS").as("source"),
+          length(col("text")).cast("long").as("n_chars"))
+        if (!docs.isEmpty) {
+          docs.write.mode("append").parquet(s"$ds/documents.parquet")
+          graft.ops.TextOps.appendToSigIndex(spark, ds, docs)
+        }
+        ()
+      }
+      .start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), "alpha bravo charlie delta echo foxtrot one"),
+        (2L, ts("2024-01-01 10:00:10"), "golf hotel india juliet kilo lima mike two"))
+      q.processAllAvailable()
+      val afterB1 = graft.ops.TextOps.sigIndex(spark, ds).inputFiles
+        .map(_.split('/').last).toSet
+      assert(afterB1.nonEmpty, "first batch did not build the signature table")
+      input.addData(
+        (3L, ts("2024-01-01 10:05:00"), "november oscar papa quebec romeo sierra three"))
+      q.processAllAvailable()
+      val afterB2 = graft.ops.TextOps.sigIndex(spark, ds).inputFiles
+        .map(_.split('/').last).toSet
+      assert(afterB1.subsetOf(afterB2) && afterB2.size > afterB1.size,
+        s"batch 2 was not an incremental append: $afterB1 vs $afterB2")
+      // the maintained table equals a from-scratch build over the full corpus
+      val inc = graft.ops.TextOps.sigIndex(spark, ds)
+        .orderBy("doc_id").collect()
+      graft.ops.TextOps.clearSigCache()
+      graft.ops.Warehouse.invalidate("sig", ds)
+      val full = graft.ops.TextOps.sigIndex(spark, ds)
+        .orderBy("doc_id").collect()
+      assert(inc.sameElements(full),
+        "stream-maintained signatures drifted from a full rebuild")
+    } finally {
+      q.stop()
+      graft.ops.Warehouse.invalidateDataset(ds)
+    }
+  }
+
   test("ingest dedup drops replayed observations across triggers, state watermark-bounded") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]

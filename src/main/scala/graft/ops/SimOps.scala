@@ -969,6 +969,13 @@ object SimOps {
         (col("label") === col("label_b")).as("same_label"),
         col("embedding").as("ea"), col("eb"))
       .dropDuplicates("keep_id", "dup_id")
+    exactVerify(cands)
+  }
+
+  /** DECIMAL-exact verify stage over candidate pairs carrying
+    * (keep_id, dup_id, same_label, ea, eb) — shared by the full build
+    * and the incremental updater. */
+  private def exactVerify(cands: DataFrame): DataFrame =
     cands
       .select(col("keep_id"), col("dup_id"), col("same_label"),
         explode(arrays_zip(col("ea"), col("eb"))).as("z"))
@@ -985,7 +992,6 @@ object SimOps {
       .filter(col("cosine") > 0.4)
       .select(col("keep_id"), col("dup_id"), r6(col("cosine")).as("cosine"),
         col("same_label"))
-  }
 
   /** Build-time near-dup manifest, materialized ONCE per corpus version
     * as the warehouse artifact `neardup@…` holding two tables:
@@ -1005,9 +1011,12 @@ object SimOps {
         val emb = Tables.embeddings(s, d)
         // the one corpus count (bandBits geometry sizing) runs at build
         // time, not per query
-        val bucketed = nearDupBuckets(emb, bandBits(emb.count()))
+        val n = emb.count()
+        val bits = bandBits(n)
+        val bucketed = nearDupBuckets(emb, bits)
         val sizes = bucketed.groupBy("band", "key")
           .agg(count(lit(1)).as("n_members"))
+        writeNearDupMeta(s, tmp.toString, n, bits)
         Warehouse.writeParquet(
           sizes.filter(col("n_members") > MaxNearDupBucket)
             .select("band", "key", "n_members"),
@@ -1015,6 +1024,106 @@ object SimOps {
         Warehouse.writeParquet(nearDupPairs(bucketed, sizes), s"$tmp/pairs")
       }
     }
+
+  /** `meta/` table of the near-dup artifact: the corpus size and band
+    * bit-width the manifest was built with — what the incremental
+    * updater reads to detect a geometry change. */
+  private def writeNearDupMeta(s: SparkSession, dir: String,
+      n: Long, bits: Int): Unit = {
+    import s.implicits._
+    Warehouse.writeParquet(
+      Seq((n, bits)).toDF("n_vectors", "bits"), s"$dir/meta")
+  }
+
+  /** INCREMENTAL near-dup maintenance — the embedding analog of
+    * TextOps.appendToSigIndex for an append-only corpus. A full rebuild
+    * re-joins the WHOLE corpus against itself inside every bucket; the
+    * updater instead:
+    *
+    *  1. re-derives the cheap per-vector bucket projection and bucket
+    *     sizes over the grown corpus (one scan + one keyed count — the
+    *     O(n) part that cannot be skipped, since every bucket's size
+    *     may have grown);
+    *  2. generates candidates only for pairs INVOLVING an appended
+    *     vector (batch-side × corpus-side bucket join instead of
+    *     corpus × corpus) and exact-verifies them;
+    *  3. rechecks the PRIOR pair list against the new bucket sizes —
+    *     appends only grow buckets, so an old pair dies exactly when
+    *     every bucket it shared crossed [[MaxNearDupBucket]]; the
+    *     recheck is a pair-list-sized join, and verified cosines carry
+    *     over unchanged.
+    *
+    * The result is row-identical to a full rebuild at the new corpus
+    * version (spec-asserted). Falls back to the full build when no
+    * prior artifact exists or the corpus growth changed [[bandBits]]
+    * (different bucket keys — nothing to carry over). `appended` must
+    * be exactly the vectors added since the prior version. */
+  def appendToNearDup(s: SparkSession, d: String, appended: DataFrame): Unit = {
+    import s.implicits._
+    val priorMeta = Warehouse.latest("neardup", d).flatMap { prior =>
+      scala.util.Try(
+        s.read.parquet(s"$prior/meta").select("bits").as[Int].head()
+      ).toOption.map(bits => (prior, bits))
+    }
+    val emb = Tables.embeddings(s, d)
+    val n = emb.count()
+    val bits = bandBits(n)
+    priorMeta match {
+      case Some((prior, priorBits)) if priorBits == bits =>
+        Warehouse.getOrBuild("neardup", d, "embeddings.parquet") { tmp =>
+          val bucketed = nearDupBuckets(emb, bits)
+          val sizes = bucketed.groupBy("band", "key")
+            .agg(count(lit(1)).as("n_members"))
+          writeNearDupMeta(s, tmp.toString, n, bits)
+          Warehouse.writeParquet(
+            sizes.filter(col("n_members") > MaxNearDupBucket)
+              .select("band", "key", "n_members"),
+            s"$tmp/audit")
+          val ok = bucketed.join(
+            sizes.filter(col("n_members") <= MaxNearDupBucket)
+              .hint("shuffle_hash"),
+            Seq("band", "key"))
+          // candidates involving >= 1 appended member, canonical
+          // lower-id-first; both-new pairs arrive twice and collapse in
+          // the keyed dropDuplicates
+          val newIds = appended.select(col("vec_id")).distinct()
+          val okNew = ok.join(newIds, Seq("vec_id"), "left_semi")
+          val cands = okNew
+            .join(ok.select(col("band"), col("key"), col("vec_id").as("vb"),
+              col("label").as("label_b"), col("embedding").as("embb"))
+              .hint("shuffle_hash"), Seq("band", "key"))
+            .filter(col("vec_id") =!= col("vb"))
+            .filter(expr("graft_cosine(embedding, embb)") > 0.4 - 1e-9)
+            .select(
+              when(col("vec_id") < col("vb"), col("vec_id")).otherwise(col("vb"))
+                .as("keep_id"),
+              when(col("vec_id") < col("vb"), col("vb")).otherwise(col("vec_id"))
+                .as("dup_id"),
+              (col("label") === col("label_b")).as("same_label"),
+              when(col("vec_id") < col("vb"), col("embedding")).otherwise(col("embb"))
+                .as("ea"),
+              when(col("vec_id") < col("vb"), col("embb")).otherwise(col("embedding"))
+                .as("eb"))
+            .dropDuplicates("keep_id", "dup_id")
+          val newPairs = exactVerify(cands)
+          // prior pairs survive iff the two members still share an
+          // under-cap bucket (appends only grow buckets)
+          val kb = ok.select(col("vec_id").as("keep_id"), col("band"), col("key"))
+          val db = ok.select(col("vec_id").as("dup_id"), col("band"), col("key"))
+          val surviving = s.read.parquet(s"$prior/pairs")
+            .join(kb, Seq("keep_id"))
+            .join(db, Seq("dup_id", "band", "key"), "left_semi")
+            .select("keep_id", "dup_id", "cosine", "same_label")
+            .dropDuplicates("keep_id", "dup_id")
+          Warehouse.writeParquet(surviving.unionByName(newPairs), s"$tmp/pairs")
+        }
+        ()
+      case _ =>
+        // no prior artifact, a pre-meta artifact, or a bandBits change:
+        // bucket keys differ, nothing carries over — full build
+        buildNearDup(s, d)
+    }
+  }
 
   /** The LIVE pair lineage the build materializes — exposed so the
     * plan lock (PlanShapeSpec) keeps asserting the scale contract on

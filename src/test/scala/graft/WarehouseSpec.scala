@@ -92,6 +92,41 @@ class WarehouseSpec extends SparkSpecBase {
       back.schema.treeString)
   }
 
+  test("appending an embedding batch updates the near-dup manifest incrementally == full rebuild") {
+    import spark.implicits._
+    val ds = java.nio.file.Files.createTempDirectory("graft-nd-inc").toString
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base.write.mode("overwrite").parquet(s"$ds/embeddings.parquet")
+    ops.SimOps.clearNearDupCache()
+    ops.SimOps.buildNearDup(spark, ds)
+    // batch: three EXACT copies of existing vectors (guaranteed
+    // cross-batch cosine-1 pairs in the same buckets) + two fresh ones
+    val copies = base.filter(col("vec_id").isin(7L, 11L, 13L))
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"), col("label"))
+    val fresh = base.filter(col("vec_id").isin(401L, 402L))
+      .select((col("vec_id") + 2000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding"), col("label"))
+    val appended = copies.unionByName(fresh)
+    base.unionByName(appended).write.mode("overwrite")
+      .parquet(s"$ds/embeddings.parquet")
+    ops.SimOps.appendToNearDup(spark, ds, appended)
+    val inc = ops.SimOps.embedNearDup(spark, ds).collect()
+    val incKeep = ops.SimOps.embedKeep(spark, ds).collect()
+    // the cross-batch exact-copy pairs surfaced
+    for (id <- Seq(7L, 11L, 13L))
+      assert(inc.exists(r => r.getLong(0) == id && r.getLong(1) == id + 1000L),
+        s"cross-batch copy pair ($id, ${id + 1000L}) missing")
+    // row-identical to a from-scratch build at the new corpus version
+    ops.SimOps.clearNearDupCache()
+    ops.Warehouse.invalidate("neardup", ds)
+    val full = ops.SimOps.embedNearDup(spark, ds).collect()
+    assert(inc.sameElements(full),
+      s"incremental manifest drifted: ${inc.length} vs ${full.length} pairs")
+    assert(ops.SimOps.embedKeep(spark, ds).collect().sameElements(incKeep),
+      "v14 over the incremental manifest drifted from the full rebuild")
+    ops.Warehouse.invalidateDataset(ds)
+  }
+
   test("near-dup serve paths scan the warehouse artifact, not the live lineage") {
     val sf = "/root/testdata/sf0.001"
     ops.SimOps.clearNearDupCache()

@@ -26,7 +26,11 @@ def main() -> None:
       SELECT doc_id + {stride}*r.k AS doc_id,
              CASE WHEN r.k = 0 THEN text
                   ELSE 'rep' || r.k || 'tok ' || text END AS text,
-             lang, source, n_chars
+             lang, source,
+             -- keep the n_chars == length(text) invariant the quality
+             -- and stats operators rely on
+             CASE WHEN r.k = 0 THEN n_chars
+                  ELSE n_chars + length('rep' || r.k || 'tok ') END AS n_chars
       FROM '{src}/documents.parquet',
            (SELECT unnest(generate_series(0, {n - 1})) AS k) r
     ) TO '{dst}/documents.parquet' (FORMAT PARQUET)

@@ -171,23 +171,31 @@ object Export {
         col("y"), col("x"), col("ndvi"), col("evi"))
   }
 
-  /** Per-granule cache sink — processor.py:358-366: one (tile, date)
-    * partition per granule, overwritable for corrupt-cache invalidation
-    * (processor.py:349-356). */
+  /** Per-granule cache sink — processor.py:358-366 (cache probe at
+    * :349-356): tile-partitioned, date-sorted zstd parquet;
+    * invalidation is per-TILE overwrite (the m03 anti-join decides
+    * granule-level skips on keys, not directories). */
   def writeGranuleCache(granule: DataFrame, cacheDir: String): Unit =
     granule
       .withColumn("p_date", to_date(col("time")))
-      // Partition by tile ONLY: a fixed (tile, day) directory layout is
-      // the classic small-files trap — this corpus alone spans ~2.5k
-      // distinct days, i.e. ~10k directories whose listing/commit cost
-      // dwarfs the data (measured 27 s vs <2 s at sf0.001). Days sort
-      // WITHIN each tile's files instead, so a (tile, day) probe prunes
-      // to one row group via parquet min/max stats — the same skip
-      // behavior as directory pruning with a bounded file count. The
-      // reference's per-(tile,day) `.nc` file (processor.py:342-344) is
-      // this layout's degenerate case.
-      .repartition(col("tile_id"))
-      .sortWithinPartitions("p_date", "time")
+      // Partition DIRECTORIES by tile only: a fixed (tile, day) dir
+      // layout is the classic small-files trap — this corpus alone
+      // spans ~2.5k distinct days, i.e. ~10k directories whose
+      // listing/commit cost dwarfs the data (measured 27 s vs <2 s at
+      // sf0.001). Days sort WITHIN each tile's files instead, so a
+      // (tile, day) probe prunes to one row group via parquet min/max
+      // stats — the same skip behavior as directory pruning at a
+      // bounded file count; the reference's per-(tile,day) `.nc` file
+      // (processor.py:342-344) is this layout's degenerate case.
+      // RANGE-partition on (tile, day) so a big tile's history splits
+      // across tasks (a hash-on-tile repartition caps write parallelism
+      // at the tile count), and lead the sort with tile_id: the
+      // partitioned-write planner requires an ordering by the partition
+      // column and ELIMINATES any user sort that does not satisfy it —
+      // a (p_date, time)-only sort is silently dropped and the
+      // row-group pruning claim with it.
+      .repartitionByRange(col("tile_id"), col("p_date"))
+      .sortWithinPartitions("tile_id", "p_date", "time")
       .write.mode(SaveMode.Overwrite)
       .partitionBy("tile_id")
       .option("compression", "zstd")

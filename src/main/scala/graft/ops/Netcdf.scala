@@ -269,8 +269,11 @@ object Netcdf {
       val lastOff =
         if (!isRecordVar(schema, v)) begin + slabL
         else begin + math.max(numRecs - 1, 0).toLong * recSize + slabL
-      require(begin >= 0 && slabL * math.max(numRecs, 1) <= Int.MaxValue &&
-          lastOff <= Int.MaxValue.toLong,
+      // the numRecs factor bounds the RECORD payload allocation only; a
+      // fixed variable allocates one slab regardless of record count
+      require(begin >= 0 && lastOff <= Int.MaxValue.toLong &&
+          (!isRecordVar(schema, v) ||
+            slabL * math.max(numRecs, 1) <= Int.MaxValue),
         s"${v.name}: data extends past 2 GiB — this round-trip reader " +
           "addresses with 32-bit offsets; larger CDF-2 files are " +
           "write-only here")

@@ -1070,59 +1070,69 @@ object SimOps {
     val bits = bandBits(n)
     priorMeta match {
       case Some((prior, priorBits)) if priorBits == bits =>
-        Warehouse.getOrBuild("neardup", d, "embeddings.parquet") { tmp =>
-          val bucketed = nearDupBuckets(emb, bits)
-          val sizes = bucketed.groupBy("band", "key")
-            .agg(count(lit(1)).as("n_members"))
-          writeNearDupMeta(s, tmp.toString, n, bits)
-          Warehouse.writeParquet(
-            sizes.filter(col("n_members") > MaxNearDupBucket)
-              .select("band", "key", "n_members"),
-            s"$tmp/audit")
-          val ok = bucketed.join(
-            sizes.filter(col("n_members") <= MaxNearDupBucket)
-              .hint("shuffle_hash"),
-            Seq("band", "key"))
-          // candidates involving >= 1 appended member, canonical
-          // lower-id-first; both-new pairs arrive twice and collapse in
-          // the keyed dropDuplicates
-          val newIds = appended.select(col("vec_id")).distinct()
-          val okNew = ok.join(newIds, Seq("vec_id"), "left_semi")
-          val cands = okNew
-            .join(ok.select(col("band"), col("key"), col("vec_id").as("vb"),
-              col("label").as("label_b"), col("embedding").as("embb"))
-              .hint("shuffle_hash"), Seq("band", "key"))
-            .filter(col("vec_id") =!= col("vb"))
-            .filter(expr("graft_cosine(embedding, embb)") > 0.4 - 1e-9)
-            .select(
-              when(col("vec_id") < col("vb"), col("vec_id")).otherwise(col("vb"))
-                .as("keep_id"),
-              when(col("vec_id") < col("vb"), col("vb")).otherwise(col("vec_id"))
-                .as("dup_id"),
-              (col("label") === col("label_b")).as("same_label"),
-              when(col("vec_id") < col("vb"), col("embedding")).otherwise(col("embb"))
-                .as("ea"),
-              when(col("vec_id") < col("vb"), col("embb")).otherwise(col("embedding"))
-                .as("eb"))
-            .dropDuplicates("keep_id", "dup_id")
-          val newPairs = exactVerify(cands)
-          // prior pairs survive iff the two members still share an
-          // under-cap bucket (appends only grow buckets)
-          val kb = ok.select(col("vec_id").as("keep_id"), col("band"), col("key"))
-          val db = ok.select(col("vec_id").as("dup_id"), col("band"), col("key"))
-          val surviving = s.read.parquet(s"$prior/pairs")
-            .join(kb, Seq("keep_id"))
-            .join(db, Seq("dup_id", "band", "key"), "left_semi")
-            .select("keep_id", "dup_id", "cosine", "same_label")
-            .dropDuplicates("keep_id", "dup_id")
-          Warehouse.writeParquet(surviving.unionByName(newPairs), s"$tmp/pairs")
-        }
-        ()
+        // the incremental path is an optimization: if a concurrent
+        // newer-version build prunes `prior` mid-read (or anything else
+        // fails), fall back to the idempotent full build
+        try appendToNearDupIncremental(s, d, appended, emb, n, bits, prior)
+        catch { case scala.util.control.NonFatal(_) => buildNearDup(s, d) }
       case _ =>
         // no prior artifact, a pre-meta artifact, or a bandBits change:
         // bucket keys differ, nothing carries over — full build
         buildNearDup(s, d)
     }
+  }
+
+  private def appendToNearDupIncremental(s: SparkSession, d: String,
+      appended: DataFrame, emb: DataFrame, n: Long, bits: Int,
+      prior: String): Unit = {
+    Warehouse.getOrBuild("neardup", d, "embeddings.parquet") { tmp =>
+      val bucketed = nearDupBuckets(emb, bits)
+      val sizes = bucketed.groupBy("band", "key")
+        .agg(count(lit(1)).as("n_members"))
+      writeNearDupMeta(s, tmp.toString, n, bits)
+      Warehouse.writeParquet(
+        sizes.filter(col("n_members") > MaxNearDupBucket)
+          .select("band", "key", "n_members"),
+        s"$tmp/audit")
+      val ok = bucketed.join(
+        sizes.filter(col("n_members") <= MaxNearDupBucket)
+          .hint("shuffle_hash"),
+        Seq("band", "key"))
+      // candidates involving >= 1 appended member, canonical
+      // lower-id-first; both-new pairs arrive twice and collapse in
+      // the keyed dropDuplicates
+      val newIds = appended.select(col("vec_id")).distinct()
+      val okNew = ok.join(newIds, Seq("vec_id"), "left_semi")
+      val cands = okNew
+        .join(ok.select(col("band"), col("key"), col("vec_id").as("vb"),
+          col("label").as("label_b"), col("embedding").as("embb"))
+          .hint("shuffle_hash"), Seq("band", "key"))
+        .filter(col("vec_id") =!= col("vb"))
+        .filter(expr("graft_cosine(embedding, embb)") > 0.4 - 1e-9)
+        .select(
+          when(col("vec_id") < col("vb"), col("vec_id")).otherwise(col("vb"))
+            .as("keep_id"),
+          when(col("vec_id") < col("vb"), col("vb")).otherwise(col("vec_id"))
+            .as("dup_id"),
+          (col("label") === col("label_b")).as("same_label"),
+          when(col("vec_id") < col("vb"), col("embedding")).otherwise(col("embb"))
+            .as("ea"),
+          when(col("vec_id") < col("vb"), col("embb")).otherwise(col("embedding"))
+            .as("eb"))
+        .dropDuplicates("keep_id", "dup_id")
+      val newPairs = exactVerify(cands)
+      // prior pairs survive iff the two members still share an
+      // under-cap bucket (appends only grow buckets)
+      val kb = ok.select(col("vec_id").as("keep_id"), col("band"), col("key"))
+      val db = ok.select(col("vec_id").as("dup_id"), col("band"), col("key"))
+      val surviving = s.read.parquet(s"$prior/pairs")
+        .join(kb, Seq("keep_id"))
+        .join(db, Seq("dup_id", "band", "key"), "left_semi")
+        .select("keep_id", "dup_id", "cosine", "same_label")
+        .dropDuplicates("keep_id", "dup_id")
+      Warehouse.writeParquet(surviving.unionByName(newPairs), s"$tmp/pairs")
+    }
+    ()
   }
 
   /** The LIVE pair lineage the build materializes — exposed so the

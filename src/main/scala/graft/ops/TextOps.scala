@@ -300,11 +300,17 @@ object TextOps {
     Warehouse.latest("sig", d) match {
       case None => buildSigIndex(s, d)
       case Some(prior) =>
-        Warehouse.getOrBuild("sig", d, "documents.parquet") { tmp =>
-          Warehouse.copyData(prior, tmp)
-          signatures(appended).write.mode("append").parquet(tmp.toString)
-        }
-        ()
+        // a concurrent build of a newer version may prune `prior` while
+        // this updater reads it — the incremental path is an
+        // optimization, so any failure falls back to the (idempotent)
+        // full build rather than surfacing the race
+        try {
+          Warehouse.getOrBuild("sig", d, "documents.parquet") { tmp =>
+            Warehouse.copyData(prior, tmp)
+            signatures(appended).write.mode("append").parquet(tmp.toString)
+          }
+          ()
+        } catch { case scala.util.control.NonFatal(_) => buildSigIndex(s, d) }
     }
   }
 

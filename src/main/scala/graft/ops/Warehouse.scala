@@ -66,11 +66,16 @@ object Warehouse {
     s"$base-$h"
   }
 
-  private def prefix(table: String, d: String): String =
-    sanitize(s"$table@${dsTag(d)}@")
+  /** A build family is identified by (table, params, dataset): the
+    * PARAMS belong to the identity, not the version — pruning stale
+    * VERSIONS of `kmeans` with params `k8-s100` must never touch the
+    * coexisting `k4-s200` family. */
+  private def prefix(table: String, params: String, d: String): String =
+    sanitize(s"$table@${if (params.isEmpty) "default" else params}@${dsTag(d)}@")
 
-  private def dirFor(table: String, d: String, version: String): Path =
-    root.resolve(prefix(table, d) + sanitize(s"v$LayoutVersion-$version"))
+  private def dirFor(table: String, params: String, d: String,
+      version: String): Path =
+    root.resolve(prefix(table, params, d) + sanitize(s"v$LayoutVersion-$version"))
 
   private def manifest(dir: Path): Path = dir.resolve("_MANIFEST.json")
 
@@ -81,15 +86,16 @@ object Warehouse {
     * the filesystem probe itself is once-per-session. */
   def getOrBuild(table: String, d: String, srcFile: String,
       params: String = "")(build: Path => Unit): String = {
-    val version = BuildCache.version(d, srcFile) +
-      (if (params.isEmpty) "" else s"-$params")
-    val dir = dirFor(table, d, version)
+    val version = BuildCache.version(d, srcFile)
+    val dir = dirFor(table, params, d, version)
     if (Files.exists(manifest(dir))) return dir.toString
     Files.createDirectories(root)
     val tmp = root.resolve(dir.getFileName.toString +
       s".tmp-${ProcessHandle.current.pid}-${System.nanoTime()}")
-    build(tmp)
+    try build(tmp)
+    catch { case e: Throwable => rmTree(tmp); throw e }
     val m = s"""{"table":"$table","dataset":"$d","source":"$srcFile",""" +
+      s""""params":"${sanitize(params)}",""" +
       s""""version":"${sanitize(version)}","layout":$LayoutVersion,""" +
       s""""built_ms":${System.currentTimeMillis()}}"""
     Files.write(manifest(tmp), m.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -103,28 +109,30 @@ object Warehouse {
         rmTree(tmp)
         require(Files.exists(manifest(dir)), s"racing build left $dir incomplete")
     }
-    prune(table, d, keep = dir.getFileName.toString)
+    prune(table, params, d, keep = dir.getFileName.toString)
     dir.toString
   }
 
-  /** Drop every COMPLETED stale version of `table@dataset` other than
-    * `keep` — superseded artifacts are dead weight the moment a newer
-    * version lands. In-flight `.tmp-` dirs of other processes are left
-    * alone (they self-resolve or get swept by [[invalidate]]). */
-  private def prune(table: String, d: String, keep: String): Unit = {
-    val p = prefix(table, d)
+  /** Drop every COMPLETED stale version of `table@params@dataset` other
+    * than `keep` — superseded artifacts are dead weight the moment a
+    * newer version lands. In-flight `.tmp-` dirs of other processes are
+    * left alone (they self-resolve or get swept by [[invalidate]]). */
+  private def prune(table: String, params: String, d: String,
+      keep: String): Unit = {
+    val p = prefix(table, params, d)
     listRoot().foreach { f =>
       val n = f.getFileName.toString
       if (n.startsWith(p) && n != keep && Files.exists(manifest(f))) rmTree(f)
     }
   }
 
-  /** The most recently completed artifact of `table@dataset`, any
-    * version — the incremental-maintenance hook: an updater carries the
-    * prior version's data files into the next version's build instead
-    * of recomputing them (see TextOps.appendToSigIndex). */
+  /** The most recently completed artifact of `table@dataset` (default
+    * params), any version — the incremental-maintenance hook: an
+    * updater carries the prior version's data files into the next
+    * version's build instead of recomputing them (see
+    * TextOps.appendToSigIndex). */
   def latest(table: String, d: String): Option[String] = {
-    val p = prefix(table, d)
+    val p = prefix(table, "", d)
     listRoot()
       .filter(f => f.getFileName.toString.startsWith(p) &&
         Files.exists(manifest(f)))
@@ -148,13 +156,15 @@ object Warehouse {
     } finally s.close()
   }
 
-  /** Delete every artifact (and tmp) of `table@dataset` — the forced-
-    * rebuild hook ([[graft.Bench]] measures real builds, specs exercise
-    * the build path). */
+  /** Delete every artifact (and tmp) of `table@dataset`, ALL param
+    * families — the forced-rebuild hook ([[graft.Bench]] measures real
+    * builds, specs exercise the build path). */
   def invalidate(table: String, d: String): Unit = {
-    val p = prefix(table, d)
+    val head = sanitize(s"$table@")
+    val tag = sanitize(s"@${dsTag(d)}@")
     listRoot().foreach { f =>
-      if (f.getFileName.toString.startsWith(p)) rmTree(f)
+      val n = f.getFileName.toString
+      if (n.startsWith(head) && n.contains(tag)) rmTree(f)
     }
   }
 

@@ -60,6 +60,17 @@ class ExportSpec extends SparkSpecBase {
     assert(dirs.length == 1, s"expected 1 tile dir, got ${dirs.length}")
     assert(dirs.head.listFiles().count(_.getName.startsWith("part-")) <= 4,
       "per-day small-files layout crept back")
+    // rows INSIDE a part file are time-ordered — the row-group pruning
+    // contract. The partitioned-write planner eliminates any user sort
+    // that does not lead with the partition column, so a sort-order
+    // regression silently voids pruning; this catches it at the file
+    // level (within one tile, (p_date, time) order == time order).
+    val part = dirs.head.listFiles().filter(_.getName.startsWith("part-")).head
+    val times = spark.read.parquet(part.getAbsolutePath)
+      .selectExpr("unix_micros(CAST(time AS TIMESTAMP)) AS t")
+      .collect().map(_.getLong(0))
+    assert(times.length > 1 && times.sliding(2).forall(p => p(1) >= p(0)),
+      "granule-cache file rows are not date-sorted (pruning contract broken)")
     Export.writeGranuleCache(g, out) // idempotent overwrite
     assert(spark.read.parquet(out).count() == n1)
   }

@@ -1094,10 +1094,15 @@ object SimOps {
         sizes.filter(col("n_members") > MaxNearDupBucket)
           .select("band", "key", "n_members"),
         s"$tmp/audit")
-      val ok = bucketed.join(
+      // the under-cap bucket relation feeds FOUR consumers below (the
+      // batch semi-join, the candidate join side, and both recheck key
+      // projections); pin it once so the O(n) scan+explode+size join
+      // does not re-derive per consumer — released after the write
+      val (ok, okPin) = Checkpoints.pin(bucketed.join(
         sizes.filter(col("n_members") <= MaxNearDupBucket)
           .hint("shuffle_hash"),
-        Seq("band", "key"))
+        Seq("band", "key")))
+      try {
       // candidates involving >= 1 appended member, canonical
       // lower-id-first; both-new pairs arrive twice and collapse in
       // the keyed dropDuplicates
@@ -1131,6 +1136,7 @@ object SimOps {
         .select("keep_id", "dup_id", "cosine", "same_label")
         .dropDuplicates("keep_id", "dup_id")
       Warehouse.writeParquet(surviving.unionByName(newPairs), s"$tmp/pairs")
+      } finally Checkpoints.release(okPin)
     }
     ()
   }

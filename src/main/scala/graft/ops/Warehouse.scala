@@ -7,14 +7,16 @@ import org.apache.spark.sql.{DataFrame, Row}
   * signature table, funnel membership, k-means model, IVF inverted
   * file, merged cube, and near-dup pair table. Layout:
   *
-  * {{{ <root>/<table>@<dataset>@v<Layout>-<version>/  (parquet + _MANIFEST.json) }}}
+  * {{{ <root>/<table>@<params>@<dataset>@v<Layout>-<version>/  (parquet + _MANIFEST.json) }}}
   *
-  * where `version` is the SOURCE table's change marker
-  * ([[BuildCache.version]]: newest mtime + byte size) plus any build
-  * parameters — the directory name IS the cache key, so a regenerated
-  * dataset gets a fresh name and rebuilds while a FRESH PROCESS finds
-  * the completed artifact and reuses it instead of paying the ~19 s of
-  * index builds per session the in-JVM memo alone could not avoid.
+  * where `params` identifies the build FAMILY (`default` when none —
+  * pruning one family's stale versions must never touch a sibling
+  * parameterization) and `version` is the SOURCE table's change marker
+  * ([[BuildCache.version]]: newest mtime + byte size) — the directory
+  * name IS the cache key, so a regenerated dataset gets a fresh name
+  * and rebuilds while a FRESH PROCESS finds the completed artifact and
+  * reuses it instead of paying the ~19 s of index builds per session
+  * the in-JVM memo alone could not avoid.
   * This is the production posture the reference's granule cache
   * approximates (processor.py:342-356 keys `.nc` files by
   * tile+dayofyear and skips re-processing on hit): build artifacts
@@ -37,8 +39,9 @@ import org.apache.spark.sql.{DataFrame, Row}
 object Warehouse {
 
   /** Bump when any build algorithm or the on-disk layout changes
-    * meaning: every persisted artifact is then orphaned and rebuilt. */
-  val LayoutVersion = 1
+    * meaning: every persisted artifact is then orphaned and rebuilt.
+    * v2: params moved from the version suffix into the name prefix. */
+  val LayoutVersion = 2
 
   /** Root directory: `graft.warehouse` system property (spec isolation),
     * else `GRAFT_WAREHOUSE` env, else `spark-warehouse/graft` under the
@@ -120,9 +123,18 @@ object Warehouse {
   private def prune(table: String, params: String, d: String,
       keep: String): Unit = {
     val p = prefix(table, params, d)
+    // dirs from a superseded LayoutVersion (e.g. the pre-params naming
+    // `table@dsTag@v1-…`) match no current prefix and would leak
+    // forever; sweep anything for this table+dataset that is not at the
+    // current layout
+    val head = sanitize(s"$table@")
+    val tag = sanitize(s"@${dsTag(d)}@")
+    val layout = sanitize(s"@v$LayoutVersion-")
     listRoot().foreach { f =>
       val n = f.getFileName.toString
-      if (n.startsWith(p) && n != keep && Files.exists(manifest(f))) rmTree(f)
+      val stale = (n.startsWith(p) && n != keep) ||
+        (n.startsWith(head) && n.contains(tag) && !n.contains(layout))
+      if (stale && Files.exists(manifest(f))) rmTree(f)
     }
   }
 

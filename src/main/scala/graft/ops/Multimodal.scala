@@ -324,7 +324,41 @@ object Multimodal {
        |ORDER BY lang, split""".stripMargin
   }
 
+  // ---------------------------------------------------------------- x07
+  /** Exact media dedup by content digest — the t05/t09 dedup story
+    * extended to the binary family: one digest per payload, lowest
+    * media_id wins, copy count carried for the audit. Only the 16-byte
+    * digest ever shuffles — at 100 TB, media dedup moves hashes, never
+    * payload bytes (the digest projection prunes the binary column at
+    * the scan, like every metadata query in this family). */
+  val mediaDedup: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val m = mediaFromDocuments(s, d)
+      .select(col("media_id"), col("media_type"),
+        md5(col("payload")).as("digest"))
+    m.withColumn("rn",
+        row_number().over(Window.partitionBy("digest").orderBy("media_id")))
+      .withColumn("n_copies", count(lit(1)).over(Window.partitionBy("digest")))
+      .filter(col("rn") === 1)
+      .select("media_id", "media_type", "digest", "n_copies")
+      .orderBy("media_id")
+  }
+
+  val mediaDedupSql: String =
+    """SELECT media_id, media_type, digest, n_copies FROM (
+      |  SELECT media_id, media_type, digest,
+      |    row_number() OVER (PARTITION BY digest ORDER BY media_id) AS rn,
+      |    count(*) OVER (PARTITION BY digest) AS n_copies
+      |  FROM (
+      |    SELECT doc_id AS media_id,
+      |      ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      |      md5(text) AS digest
+      |    FROM documents))
+      |WHERE rn = 1
+      |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x07_media_dedup" -> mediaDedup,
     "x06_train_val_split" -> trainValSplit,
     "x01_media_meta" -> mediaMeta,
     "x02_media_type_stats" -> mediaTypeStats,
@@ -333,6 +367,7 @@ object Multimodal {
     "x05_training_manifest" -> trainingManifest)
 
   val oracle: Map[String, String] = Map(
+    "x07_media_dedup" -> mediaDedupSql,
     "x06_train_val_split" -> trainValSplitSql,
     "x01_media_meta" -> mediaMetaSql,
     "x02_media_type_stats" -> mediaTypeStatsSql,

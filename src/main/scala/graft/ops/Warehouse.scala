@@ -106,8 +106,12 @@ object Warehouse {
       Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
       buildsRun.incrementAndGet()
     } catch {
-      case _: java.nio.file.FileAlreadyExistsException |
-          _: java.nio.file.DirectoryNotEmptyException =>
+      // a lost race surfaces as FileAlreadyExists/DirectoryNotEmpty on
+      // some filesystems but as a BARE FileSystemException ("Directory
+      // not empty", rename(2) ENOTEMPTY) on Linux — catch the common
+      // supertype; the require() below still fails loudly if the move
+      // failed for any reason OTHER than a completed winner existing
+      case _: java.nio.file.FileSystemException =>
         // lost a cross-process race: adopt the winner, drop our copy
         rmTree(tmp)
         require(Files.exists(manifest(dir)), s"racing build left $dir incomplete")

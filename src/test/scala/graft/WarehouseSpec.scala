@@ -81,6 +81,42 @@ class WarehouseSpec extends SparkSpecBase {
     }
   }
 
+  test("concurrent builders of one key converge on a single artifact, no tmp litter") {
+    withTempRoot { root =>
+      val ds = java.nio.file.Files.createTempDirectory("graft-wh-race").toString
+      writeDocs(ds, "race")
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      def build(): String =
+        Warehouse.getOrBuild("race", ds, "documents.parquet") { tmp =>
+          java.nio.file.Files.createDirectories(tmp)
+          barrier.await() // both builders in-flight simultaneously
+          java.nio.file.Files.write(tmp.resolve("data.bin"), Array[Byte](1, 2, 3))
+          Thread.sleep(50)
+        }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val fa = pool.submit(() => build())
+        val fb = pool.submit(() => build())
+        val (a, b) = (fa.get(), fb.get())
+        // both callers land on the SAME completed artifact — the move
+        // loser adopted the winner rather than erroring or duplicating
+        assert(a == b, s"racing builders diverged: $a vs $b")
+        assert(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(a, "_MANIFEST.json")), "no manifest")
+        assert(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(a, "data.bin")), "artifact data missing")
+        val names = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+        try {
+          import scala.jdk.CollectionConverters._
+          val dirs = names.iterator().asScala.map(_.getFileName.toString).toSeq
+          assert(dirs.count(_.startsWith("race@")) == 1,
+            s"duplicate artifacts: $dirs")
+          assert(dirs.forall(d => !d.contains(".tmp-")), s"tmp litter: $dirs")
+        } finally names.close()
+      } finally pool.shutdown()
+    }
+  }
+
   test("writeParquet keeps an empty relation readable with its schema") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-wh-empty").toString

@@ -142,6 +142,22 @@ object Export {
     val (h, w) = (dim("y"), dim("x"))
     Seq("time", "ndvi", "evi").foreach(v => require(p.data.contains(v),
       s"not a graft cube container: missing variable $v"))
+    // Shape/type guard: the byte-level decode below reads int32 for
+    // time and float32 over (time, y, x) for the indices — a container
+    // that merely NAMES these variables but types or shapes them
+    // differently would decode garbage, not fail. Reject it here.
+    def dimNames(v: Netcdf.NcVar): Seq[String] = v.dimIds.map(p.s.dims(_)._1)
+    Seq(("time", Netcdf.NcInt, Seq("time")),
+        ("ndvi", Netcdf.NcFloat, Seq("time", "y", "x")),
+        ("evi", Netcdf.NcFloat, Seq("time", "y", "x"))).foreach {
+      case (n, tpe, shape) =>
+        val v = p.s.vars.find(_.name == n).getOrElse(
+          sys.error(s"not a graft cube container: missing variable $n"))
+        require(v.tpe == tpe && dimNames(v) == shape,
+          s"not a graft cube container: $n has type ${v.tpe} over " +
+            s"(${dimNames(v).mkString(",")}), expected $tpe over " +
+            s"(${shape.mkString(",")})")
+    }
     val tb = java.nio.ByteBuffer.wrap(p.data("time"))
     val days = Array.fill(p.numRecs)(tb.getInt())
     val nd = p.data("ndvi")

@@ -1059,25 +1059,31 @@ object SimOps {
     * (different bucket keys — nothing to carry over). `appended` must
     * be exactly the vectors added since the prior version. */
   def appendToNearDup(s: SparkSession, d: String, appended: DataFrame): Unit = {
-    import s.implicits._
     val priorMeta = Warehouse.latest("neardup", d).flatMap { prior =>
-      scala.util.Try(
-        s.read.parquet(s"$prior/meta").select("bits").as[Int].head()
-      ).toOption.map(bits => (prior, bits))
+      scala.util.Try {
+        val m = s.read.parquet(s"$prior/meta")
+          .select("n_vectors", "bits").head()
+        (prior, m.getLong(0), m.getInt(1))
+      }.toOption
     }
-    val emb = Tables.embeddings(s, d)
-    val n = emb.count()
-    val bits = bandBits(n)
     priorMeta match {
-      case Some((prior, priorBits)) if priorBits == bits =>
-        // the incremental path is an optimization: if a concurrent
-        // newer-version build prunes `prior` mid-read (or anything else
-        // fails), fall back to the idempotent full build
-        try appendToNearDupIncremental(s, d, appended, emb, n, bits, prior)
-        catch { case scala.util.control.NonFatal(_) => buildNearDup(s, d) }
+      case Some((prior, priorN, priorBits)) =>
+        // corpus size = prior meta + batch size: the artifact already
+        // persists n_vectors, so the append path runs a batch-sized
+        // count, never a corpus-wide one
+        val n = priorN + appended.count()
+        val bits = bandBits(n)
+        if (priorBits == bits) {
+          // the incremental path is an optimization: if a concurrent
+          // newer-version build prunes `prior` mid-read (or anything
+          // else fails), fall back to the idempotent full build
+          try appendToNearDupIncremental(s, d, appended,
+            Tables.embeddings(s, d), n, bits, prior)
+          catch { case scala.util.control.NonFatal(_) => buildNearDup(s, d) }
+        } else buildNearDup(s, d)
       case _ =>
-        // no prior artifact, a pre-meta artifact, or a bandBits change:
-        // bucket keys differ, nothing carries over — full build
+        // no prior artifact or a pre-meta artifact: bucket keys may
+        // differ, nothing to carry over — full build
         buildNearDup(s, d)
     }
   }

@@ -1387,19 +1387,36 @@ object TextOps {
       .select(col("w"), length(bin(col("c"))).cast("int").as("klass"))
     val scores = toks.join(klass.hint("shuffle_hash"), "w")
       .groupBy("doc_id").agg(avg("klass").as("score"))
-    scores.agg(
-        count(lit(1)).as("n_docs"),
-        r6(expr("percentile(score, 0.6666666666666666)")).as("c_head_exact"),
-        r6(expr("percentile(score, 0.3333333333333333)")).as("c_mid_exact"),
-        expr("approx_percentile(score, 0.6666666666666666, 1000)").as("ah"),
-        expr("approx_percentile(score, 0.3333333333333333, 1000)").as("am"),
-        expr("percentile(score, 0.6166666666666666)").as("hlo"),
-        expr("percentile(score, 0.7166666666666666)").as("hhi"),
-        expr("percentile(score, 0.2833333333333333)").as("mlo"),
-        expr("percentile(score, 0.3833333333333333)").as("mhi"))
+    val cuts = scores.agg(
+      count(lit(1)).as("n_docs"),
+      r6(expr("percentile(score, 0.6666666666666666)")).as("c_head_exact"),
+      r6(expr("percentile(score, 0.3333333333333333)")).as("c_mid_exact"),
+      expr("approx_percentile(score, 0.6666666666666666, 1000)").as("ah"),
+      expr("approx_percentile(score, 0.3333333333333333, 1000)").as("am"),
+      expr("percentile(score, 0.6166666666666666)").as("hlo"),
+      expr("percentile(score, 0.7166666666666666)").as("hhi"),
+      expr("percentile(score, 0.2833333333333333)").as("mlo"),
+      expr("percentile(score, 0.3833333333333333)").as("mhi"))
+    // The ±0.05-quantile window endpoints are INTERPOLATED values; on a
+    // tiny corpus the window can lie strictly inside a gap between two
+    // consecutive scores, so the sketch (which returns actual elements)
+    // could never land inside it and the verdict would flip on a
+    // healthy sketch. A second pass counts the actual elements in each
+    // window: an EMPTY window excuses the check (vacuously in-bound),
+    // a populated one asserts for real — well-defined at every n.
+    scores.crossJoin(broadcast(cuts))
+      .groupBy("n_docs", "c_head_exact", "c_mid_exact",
+        "ah", "am", "hlo", "hhi", "mlo", "mhi")
+      .agg(
+        sum(when(col("score").between(col("hlo"), col("hhi")), 1)
+          .otherwise(0)).as("n_in_head_win"),
+        sum(when(col("score").between(col("mlo"), col("mhi")), 1)
+          .otherwise(0)).as("n_in_mid_win"))
       .select(col("n_docs"), col("c_head_exact"), col("c_mid_exact"),
-        (col("ah") >= col("hlo") && col("ah") <= col("hhi")).as("head_in_bound"),
-        (col("am") >= col("mlo") && col("am") <= col("mhi")).as("mid_in_bound"))
+        (col("n_in_head_win") === 0 ||
+          col("ah").between(col("hlo"), col("hhi"))).as("head_in_bound"),
+        (col("n_in_mid_win") === 0 ||
+          col("am").between(col("mlo"), col("mhi"))).as("mid_in_bound"))
       .orderBy("n_docs")
   }
 

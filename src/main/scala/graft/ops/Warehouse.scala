@@ -82,6 +82,17 @@ object Warehouse {
 
   private def manifest(dir: Path): Path = dir.resolve("_MANIFEST.json")
 
+  /** Manifest fields are provenance for humans AND parsed back by
+    * [[latest]] — dataset paths with quotes/backslashes must not break
+    * the JSON, so every interpolated string is escaped. */
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   /** Resolve-or-build: returns the artifact directory for
     * `(table, dataset, source version [, params])`, running `build`
     * (which must populate the passed tmp dir) only when no completed
@@ -97,9 +108,10 @@ object Warehouse {
       s".tmp-${ProcessHandle.current.pid}-${System.nanoTime()}")
     try build(tmp)
     catch { case e: Throwable => rmTree(tmp); throw e }
-    val m = s"""{"table":"$table","dataset":"$d","source":"$srcFile",""" +
-      s""""params":"${sanitize(params)}",""" +
-      s""""version":"${sanitize(version)}","layout":$LayoutVersion,""" +
+    val m = s"""{"table":${jsonStr(table)},"dataset":${jsonStr(d)},""" +
+      s""""source":${jsonStr(srcFile)},""" +
+      s""""params":${jsonStr(sanitize(params))},""" +
+      s""""version":${jsonStr(sanitize(version))},"layout":$LayoutVersion,""" +
       s""""built_ms":${System.currentTimeMillis()}}"""
     Files.write(manifest(tmp), m.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     try {
@@ -138,7 +150,12 @@ object Warehouse {
       val n = f.getFileName.toString
       val stale = (n.startsWith(p) && n != keep) ||
         (n.startsWith(head) && n.contains(tag) && !n.contains(layout))
-      if (stale && Files.exists(manifest(f))) rmTree(f)
+      // a ".tmp-" sibling can ALREADY carry a manifest in the window
+      // between its manifest write and its atomic rename — deleting it
+      // there makes the victim's move throw and (if it was a different
+      // version than `keep`) aborts a valid build; tmp sweeping belongs
+      // to invalidate() only
+      if (stale && !n.contains(".tmp-") && Files.exists(manifest(f))) rmTree(f)
     }
   }
 
@@ -151,9 +168,33 @@ object Warehouse {
     val p = prefix(table, "", d)
     listRoot()
       .filter(f => f.getFileName.toString.startsWith(p) &&
+        !f.getFileName.toString.contains(".tmp-") &&
         Files.exists(manifest(f)))
-      .sortBy(f => Files.getLastModifiedTime(manifest(f)).toMillis)
+      // order by the RECORDED source state (the version marker's mtime
+      // component, then size), not filesystem mtime: a restored backup
+      // or clock skew must not promote an older corpus state to "prior"
+      // for the incremental carry. built_ms and manifest mtime are only
+      // tiebreaks within one source version.
+      .sortBy { f =>
+        val m = readManifest(f)
+        (m._1, m._2, m._3, Files.getLastModifiedTime(manifest(f)).toMillis)
+      }
       .lastOption.map(_.toString)
+  }
+
+  /** (source mtime, source size, built_ms) parsed from a manifest;
+    * zeros when unreadable (sorts first, so a corrupt manifest never
+    * shadows a healthy prior). */
+  private def readManifest(dir: Path): (Long, Long, Long) = {
+    try {
+      val txt = new String(Files.readAllBytes(manifest(dir)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val ver = """"version":"(\d+)-(\d+)"""".r.findFirstMatchIn(txt)
+      val built = """"built_ms":(\d+)""".r.findFirstMatchIn(txt)
+      (ver.map(_.group(1).toLong).getOrElse(0L),
+        ver.map(_.group(2).toLong).getOrElse(0L),
+        built.map(_.group(1).toLong).getOrElse(0L))
+    } catch { case scala.util.control.NonFatal(_) => (0L, 0L, 0L) }
   }
 
   /** Copy a completed artifact's DATA files (not its manifest) into a

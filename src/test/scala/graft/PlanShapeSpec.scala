@@ -139,19 +139,36 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(bandBits(100L * 1000 * 1000 * 1000) == 31)
   }
 
-  test("t08 verify stage never broadcasts a corpus-derived relation") {
-    // every relation in t08 (candidates, candidate docs, pruned
-    // shingles, sizes) derives from the corpus, so candidate volume —
-    // and with it every build side — scales with the near-dup rate; a
-    // broadcast that fits at sf0.1 is a driver OOM at 100 TB. Executed
-    // plan after an action so an AQE runtime swap would be caught too.
-    val df = SparkEntry.queries("t08_ngram_jaccard")(spark, d)
+  test("textdup BUILD verify stage never broadcasts a corpus-derived relation") {
+    // t08 now serves from the materialized verify table, so the scale
+    // contract moves to the BUILD plan (what textdup_build executes):
+    // every relation in the verify stage (candidates, candidate docs,
+    // pruned shingles, sizes) derives from the corpus, so candidate
+    // volume — and with it every build side — scales with the near-dup
+    // rate; a broadcast that fits at sf0.1 is a driver OOM at 100 TB.
+    // Executed plan after an action so an AQE runtime swap is caught.
+    val df = graft.ops.TextOps.jaccardVerifyPlan(spark, d)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastHashJoin"),
-      s"t08 broadcasts a corpus-derived relation:\n$p")
+      s"verify build broadcasts a corpus-derived relation:\n$p")
     assert(!p.contains("BroadcastExchange"),
-      s"t08 broadcasts a corpus-derived relation:\n$p")
+      s"verify build broadcasts a corpus-derived relation:\n$p")
+  }
+
+  test("textdup BUILD mining reads the signature artifact, expands pairs in-row") {
+    val df = graft.ops.TextOps.minhashPairsPlan(spark, d)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("/sig@"),
+      s"pair mining does not read the signature index:\n$p")
+    // the signature derivation (per-shingle md5 array fold) must not
+    // appear — that is the sig build's job
+    assert(!p.contains("array_min"),
+      s"pair mining re-derives signatures:\n$p")
+    // in-row bucket expansion: one Generate (the band explode + pair
+    // flatten), no self-join of the banded relation
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"pair mining regressed to a banded self-join:\n$p")
   }
 
   test("AOI clip broadcasts the one-row bounds, never the grid") {
@@ -176,15 +193,19 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Generate"), s"fingerprint regressed to explode:\n$p")
   }
 
-  test("dedup queries serve from the materialized signature table, not the live lineage") {
-    for (q <- Seq("t06_dedup_minhash", "t08_ngram_jaccard", "t12_bucket_audit")) {
-      val p = SparkEntry.queries(q)(spark, d).queryExecution.sparkPlan.toString
-      assert(p.contains("/sig@"),
-        s"$q does not read the signature index:\n$p")
-      // the signature derivation (per-shingle md5 array fold) must not
-      // appear in the serve plan — that is the build step's job
-      assert(!p.contains("array_min"),
-        s"$q re-derives signatures at query time:\n$p")
+  test("text near-dup SERVE paths are artifact scans of the warehouse") {
+    // t06/t08/t12 read exactly their artifact table; t11/t13 aggregate
+    // the label table — none re-derives banding, verification, or the
+    // iterative CC at query time
+    for (q <- Seq("t06_dedup_minhash", "t08_ngram_jaccard",
+        "t11_dedup_components", "t12_bucket_audit", "t13_component_audit")) {
+      val df = SparkEntry.queries(q)(spark, d)
+      assert(df.inputFiles.nonEmpty &&
+        df.inputFiles.forall(_.contains("textdup@")),
+        s"$q does not serve from the textdup artifact: ${df.inputFiles.toSeq.take(3)}")
+      val p = df.queryExecution.sparkPlan.toString
+      assert(!p.contains("Generate") && !p.contains("array_min"),
+        s"$q re-derives the near-dup lineage at query time:\n$p")
     }
   }
 

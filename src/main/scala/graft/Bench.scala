@@ -74,6 +74,8 @@ object Bench {
     // whose read-back p08 serves.
     var cubeBuildSec = timed(ops.Pipeline.buildCube(spark, sfDir))
     var gcacheBuildSec = timed(ops.Pipeline.buildGranuleCache(spark, sfDir))
+    // the GeoTIFF frame sink x08 reads back (consumes the cube build)
+    var gtiffBuildSec = timed(ops.Export.buildGeoTiffFrames(spark, sfDir))
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.LinkedHashMap(
@@ -174,20 +176,30 @@ object Bench {
       gcacheBuildSec = best
       if (n > 0) reruns("gcache_build") = n
     }
+    locally {
+      val (best, n) = BenchGate.settle(gtiffBuildSec,
+        bFlagged("gtiff_build", _),
+        () => { ops.Export.clearGtiffCache()
+          ops.Warehouse.invalidate("gtiff", sfDir)
+          timed(ops.Export.buildGeoTiffFrames(spark, sfDir)) }, MaxReruns)
+      gtiffBuildSec = best
+      if (n > 0) reruns("gtiff_build") = n
+    }
 
     val qRegs = BenchGate.check(prevQ, times.toMap, allow)
     val bRegs = BenchGate.check(prevB,
       Map("ivf_build" -> ivfBuildSec, "sig_build" -> sigBuildSec,
         "textdup_build" -> textDupBuildSec,
         "funnel_build" -> funnelBuildSec, "neardup_build" -> nearDupBuildSec,
-        "cube_build" -> cubeBuildSec, "gcache_build" -> gcacheBuildSec), allow,
+        "cube_build" -> cubeBuildSec, "gcache_build" -> gcacheBuildSec,
+        "gtiff_build" -> gtiffBuildSec), allow,
       BenchGate.BuildFactor, BenchGate.BuildFloorSec, BenchGate.BuildDeltaSec)
     val gate = BenchGate.report(artifact.map(_._1), qRegs, bRegs, reruns.toMap)
 
     val qs = times.toSeq.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = times.values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ivf_build":$ivfBuildSec,"sig_build":$sigBuildSec,"textdup_build":$textDupBuildSec,"funnel_build":$funnelBuildSec,"neardup_build":$nearDupBuildSec,"cube_build":$cubeBuildSec,"gcache_build":$gcacheBuildSec,"sf":"$sfDir","gate":$gate}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ivf_build":$ivfBuildSec,"sig_build":$sigBuildSec,"textdup_build":$textDupBuildSec,"funnel_build":$funnelBuildSec,"neardup_build":$nearDupBuildSec,"cube_build":$cubeBuildSec,"gcache_build":$gcacheBuildSec,"gtiff_build":$gtiffBuildSec,"sf":"$sfDir","gate":$gate}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -25,7 +25,7 @@ object SparkEntry {
     Relational.queries ++ PixelOps.queries ++ Quality.queries ++
       Merge.queries ++ Stats.queries ++ Meta.queries ++ Events.queries ++
       TextOps.queries ++ SimOps.queries ++ Multimodal.queries ++
-      Resample.queries ++ Pipeline.queries
+      Resample.queries ++ Pipeline.queries ++ Export.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +33,5 @@ object SparkEntry {
     Relational.oracle ++ PixelOps.oracle ++ Quality.oracle ++
       Merge.oracle ++ Stats.oracle ++ Meta.oracle ++ Events.oracle ++
       TextOps.oracle ++ SimOps.oracle ++ Multimodal.oracle ++
-      Resample.oracle ++ Pipeline.oracle
+      Resample.oracle ++ Pipeline.oracle ++ Export.oracle
 }

@@ -42,7 +42,7 @@ object GeoTiff {
   private val TDouble = 12
 
   private val CompNone = 1
-  private val CompLzw = 5
+  private[graft] val CompLzw = 5
   private val CompDeflate = 8
 
   /** zlib-compress one strip (TIFF compression 8 payload). */
@@ -200,7 +200,10 @@ object GeoTiff {
       pixelScaleX: Double, pixelScaleY: Double,
       tieLon: Double, tieLat: Double,
       epsg: Int, nodata: String, metadataXml: String,
-      bands: Seq[Array[Float]], compression: Int = 1)
+      bands: Seq[Array[Float]], compression: Int = 1,
+      /** Entry count of StripOffsets (tag 273) — the physical strip
+        * layout as written, `bands × ceil(height / RowsPerStrip)`. */
+      nStrips: Int = 0)
 
   /** Parse back what [[encode]] writes (same subset of TIFF). */
   def decode(bytes: Array[Byte]): Decoded = {
@@ -273,7 +276,8 @@ object GeoTiff {
         b.getShort(geoKeyOff + 8 + i * 8 + 6) & 0xffff
     }.getOrElse(0)
     Decoded(w, h, scale.head, scale(1), tie(3), tie(4), epsg,
-      ascii(42113), ascii(42112), bands, compression)
+      ascii(42113), ascii(42112), bands, compression,
+      nStrips = entries.get(273).map(_._2).getOrElse(0))
   }
 
   /** src_geotiff_read over real bytes (SURVEY.md §2.1): binaryFile scan

@@ -248,7 +248,7 @@ object Pipeline {
     * gate thresholds, the scene-level valid-share filter, and the m02
     * merge, chained exactly as [[run]] wires them — ends at the `cube`
     * relation both p05 and p06 consume. */
-  private val cubeCtes: String = {
+  private[graft] val cubeCtes: String = {
     val f = Pixels.Sql0
     s"""WITH qc AS (
        |${Quality.qcSqlBody}

@@ -277,6 +277,7 @@ class ExportSpec extends SparkSpecBase {
       val dec = ops.GeoTiff.decode(ops.GeoTiff.encode(g, "2024-06-01", bands,
         compress = compress))
       assert(dec.width == 40 && dec.height == 150)
+      assert(dec.nStrips == 6, s"150 rows must chunk 3 strips x 2 bands, got ${dec.nStrips}")
       assert(dec.bands.head.sameElements(vals), s"compress=$compress NDVI strips garbled")
       assert(dec.bands(1).sameElements(bands(1)._2), s"compress=$compress EVI strips garbled")
     }

@@ -45,9 +45,15 @@ object Pipeline {
     * recompute it saved. The production [[runAndWrite]] flow persists
     * this stage through `Export.writeGranuleCache` and feeds the rest
     * of the DAG from the cache — one fact scan, like the reference. */
-  private[graft] def gatedPixels(spark: SparkSession, dir: String): DataFrame = {
-    val px = PixelOps.withIndices(Pixels.pixels(spark, dir))
-    val gatedGranules = Quality.granuleQc(spark, dir)
+  private[graft] def gatedPixels(spark: SparkSession, dir: String): DataFrame =
+    gateOf(Pixels.pixels(spark, dir))
+
+  /** Stage 1 over an arbitrary raw pixel relation — QC is per-granule,
+    * so gating a batch alone yields the batch's slice of the full
+    * corpus's gated relation (what [[appendToCube]] relies on). */
+  private[graft] def gateOf(raw: DataFrame): DataFrame = {
+    val px = PixelOps.withIndices(raw)
+    val gatedGranules = Quality.granuleQcOf(raw)
       .filter(col("contamination_pct") <= Quality.MaxContaminationPct &&
         col("valid_pct") >= Quality.MinValidPct)
       .select("tile_id", "time")
@@ -150,10 +156,98 @@ object Pipeline {
     val path = cubeCache.get(
       s"$d@${BuildCache.version(d, "lineitem.parquet")}") {
       Warehouse.getOrBuild("cube", d, "lineitem.parquet") { tmp =>
-        Warehouse.writeParquet(run(s, d).cubeRaw, tmp.toString)
+        val r = run(s, d)
+        Warehouse.writeParquet(r.cubeRaw, s"$tmp/cube")
+        // meta/ records what the incremental updater needs: the gated
+        // scene count (the keep rule's global <3 branch) and the cube's
+        // newest date (the append-only-by-date contract check)
+        writeCubeMeta(s, tmp.toString,
+          r.sceneStats.count(),
+          s.read.parquet(s"$tmp/cube")
+            .agg(max(date_format(col("date"), "yyyy-MM-dd")))
+            .head().getString(0))
       }
     }
-    s.read.parquet(path)
+    s.read.parquet(s"$path/cube")
+  }
+
+  private def writeCubeMeta(s: SparkSession, dir: String,
+      nScenes: Long, maxDate: String): Unit = {
+    import s.implicits._
+    Warehouse.writeParquet(
+      Seq((nScenes, maxDate)).toDF("n_scenes", "max_date"), s"$dir/meta")
+  }
+
+  /** INCREMENTAL cube maintenance — the merged-cube analog of
+    * TextOps.appendToSigIndex for a corpus that grows by WHOLE NEW
+    * DATES (the reference's resumable pipeline only ever appends newer
+    * acquisitions, processor.py:342-356). Every stage of the §3.1 DAG
+    * is per-granule (QC), per-scene (the valid-share keep rule, once
+    * the global scene count is ≥ 3) or per-(date,y,x) group, so a
+    * batch of strictly-newer dates merges into cube rows INDEPENDENT
+    * of the prior corpus: the prior version's cube parquet carries
+    * over untouched and only the batch runs the gate → filter → merge
+    * stages. Falls back to the full build when no prior artifact (or a
+    * pre-meta layout) exists, when the prior corpus had fewer than 3
+    * scenes (the keep rule's global branch could then flip for prior
+    * scenes), or when the batch violates the append-only-by-date
+    * contract. `appendedRaw` must be exactly the raw pixel rows added
+    * since the prior version. */
+  def appendToCube(s: SparkSession, d: String, appendedRaw: DataFrame): Unit = {
+    val priorMeta = Warehouse.latest("cube", d).flatMap { prior =>
+      scala.util.Try {
+        val m = s.read.parquet(s"$prior/meta")
+          .select("n_scenes", "max_date").head()
+        (prior, m.getLong(0), m.getString(1))
+      }.toOption
+    }
+    priorMeta match {
+      case Some((prior, nScenes, maxDate)) if nScenes >= 3 =>
+        // the incremental path is an optimization: any failure (a
+        // pruned prior, a contract violation) falls back to the
+        // idempotent full build
+        try appendToCubeIncremental(s, d, appendedRaw, prior, nScenes, maxDate)
+        catch { case scala.util.control.NonFatal(_) => buildCube(s, d) }
+      case _ => buildCube(s, d)
+    }
+  }
+
+  private def appendToCubeIncremental(s: SparkSession, d: String,
+      batchRaw: DataFrame, prior: String, priorScenes: Long,
+      priorMaxDate: String): Unit = {
+    Warehouse.getOrBuild("cube", d, "lineitem.parquet") { tmp =>
+      val gated = gateOf(batchRaw)
+      val scenes = gated.groupBy("time")
+        .agg(count(col("ndvi_c")).as("n_valid"), count(lit(1)).as("n_total"),
+          min(date_format(col("date"), "yyyy-MM-dd")).as("d0"))
+      // one batch-scene-sized driver row: the contract check and the
+      // meta update both need the batch's scene census
+      val sc = scenes.agg(count(lit(1)).as("n"),
+        min(col("d0")).as("dmin"), max(col("d0")).as("dmax")).head()
+      val nBatch = sc.getLong(0)
+      require(nBatch == 0 || sc.getString(1) > priorMaxDate,
+        s"appended dates must follow the prior cube " +
+          s"(${sc.getString(1)} <= $priorMaxDate)")
+      Warehouse.copyData(s"$prior/cube", tmp.resolve("cube"))
+      if (nBatch > 0) {
+        // global scene count = prior (>= 3) + batch, so the keep rule
+        // reduces to the per-scene valid-share branch for every batch
+        // scene — identical to what the full rebuild would apply
+        val keep = scenes
+          .filter(lit(100.0) * col("n_valid") / col("n_total") >= 40.0)
+          .select("time")
+        gated.join(keep, Seq("time"), "left_semi")
+          .groupBy(col("date"), col("y"), col("x"))
+          .agg(avg("ndvi_c").as("ndvi"), avg("evi_c").as("evi"),
+            countDistinct("tile_id", "time").as("num_granules_merged"))
+          .withColumn("time", col("date").cast("timestamp"))
+          .write.mode("append").parquet(s"$tmp/cube")
+      }
+      writeCubeMeta(s, tmp.toString, priorScenes + nBatch,
+        if (nBatch > 0 && sc.getString(2) > priorMaxDate) sc.getString(2)
+        else priorMaxDate)
+    }
+    ()
   }
 
   /** Explicit build step (the cube-write half of the production

@@ -30,8 +30,14 @@ object Quality {
     * parameter feeds BOTH the Catalyst predicates here and the oracle SQL
     * fragments (Pixels.Sql(cfg)) — one source of truth for thresholds. */
   def granuleQc(s: SparkSession, d: String,
+      cfg: Indices.QcConfig = Indices.DefaultQc): DataFrame =
+    granuleQcOf(Pixels.pixels(s, d), cfg)
+
+  /** [[granuleQc]] over an arbitrary pixel relation — the form the
+    * incremental cube maintenance aggregates over a batch alone (QC is
+    * per-granule, so a batch's verdicts equal the full corpus's). */
+  private[graft] def granuleQcOf(px: DataFrame,
       cfg: Indices.QcConfig = Indices.DefaultQc): DataFrame = {
-    val px = Pixels.pixels(s, d)
     val mask = Indices.combinedMask(col("red"), col("nir"), col("blue"), col("fmask"), cfg)
     val haze = coalesce(Indices.haze(col("blue"), cfg), lit(false))
     val anomaly = coalesce(

@@ -429,6 +429,204 @@ object TextOps {
     jaccardVerifyTable(Tables.documents(s, d),
       minhashPairTable(sigIndex(s, d)).select("doc_a", "doc_b"))
 
+  /** INCREMENTAL text near-dup maintenance — the text analog of
+    * SimOps.appendToNearDup, run after [[appendToSigIndex]] has landed
+    * the grown signature table. A full rebuild re-pairs the WHOLE
+    * corpus inside every band bucket; the updater instead:
+    *
+    *  1. re-derives the per-doc banding and bucket sizes over the
+    *     grown signature table (one artifact scan + one keyed count —
+    *     the O(n) part that cannot be skipped, since any bucket may
+    *     have grown);
+    *  2. mines candidate pairs only where ≥ 1 member is appended
+    *     (batch-side × corpus-side bucket join) and exact-verifies
+    *     just those pairs' n-gram Jaccard;
+    *  3. rechecks the PRIOR pair list against the new bucket sizes —
+    *     appends only grow buckets, so an old pair dies exactly when
+    *     every bucket it shared crossed [[MaxBucketMembers]]; both the
+    *     signature-estimated and the verified exact Jaccard carry over
+    *     unchanged (they are pure per-pair functions);
+    *  4. recomputes the cluster labels from the UPDATED pair graph —
+    *     connected components are global, but the input is the
+    *     result-sized pair table, not the corpus.
+    *
+    * Row-identical to a full rebuild at the new corpus version
+    * (spec-asserted). Text banding has no corpus-dependent geometry
+    * (4 fixed bands), so unlike the embedding family there is no
+    * bandBits fallback — only a missing prior forces the full build. */
+  def appendToTextDup(s: SparkSession, d: String, appended: DataFrame): Unit = {
+    Warehouse.latest("textdup", d) match {
+      case None => buildTextDup(s, d)
+      case Some(prior) =>
+        // the incremental path is an optimization: if a concurrent
+        // newer-version build prunes `prior` mid-read (or anything
+        // else fails), fall back to the idempotent full build
+        try appendToTextDupIncremental(s, d, appended, prior)
+        catch { case scala.util.control.NonFatal(_) => buildTextDup(s, d) }
+    }
+  }
+
+  private def appendToTextDupIncremental(s: SparkSession, d: String,
+      appended: DataFrame, prior: String): Unit = {
+    Warehouse.getOrBuild("textdup", d, "documents.parquet") { tmp =>
+      val sig = sigIndex(s, d)
+      val sigArr = array(Seeds.map(i => col(s"s$i")): _*)
+      val bands = sig
+        .select(col("doc_id"), sigArr.as("sg"), explode(bandStructs).as("bk"))
+        .select(col("doc_id"), col("sg"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      val sizes = bands.groupBy("band", "key")
+        .agg(count(lit(1)).as("n_members"))
+      Warehouse.writeParquet(
+        sizes.filter(col("n_members") > MaxBucketMembers)
+          .select("band", "key", "n_members"),
+        s"$tmp/audit")
+      // the under-cap band membership feeds the batch candidate join
+      // and both prior-pair recheck projections; pin it once
+      val (ok, okPin) = Checkpoints.pin(bands.join(
+        sizes.filter(col("n_members") <= MaxBucketMembers)
+          .select("band", "key").hint("shuffle_hash"),
+        Seq("band", "key")))
+      try {
+        val newIds = appended.select(col("doc_id")).distinct()
+        val okNew = ok.join(newIds, Seq("doc_id"), "left_semi")
+        val matches = Seeds.map(i =>
+          when(element_at(col("sga"), i + 1) === element_at(col("sgb"), i + 1), 1)
+            .otherwise(0)).reduce(_ + _)
+        val newPairs = okNew
+          .join(ok.select(col("band"), col("key"), col("doc_id").as("db"),
+            col("sg").as("sgb0")).hint("shuffle_hash"), Seq("band", "key"))
+          .filter(col("doc_id") =!= col("db"))
+          .select(
+            when(col("doc_id") < col("db"), col("doc_id")).otherwise(col("db"))
+              .as("doc_a"),
+            when(col("doc_id") < col("db"), col("db")).otherwise(col("doc_id"))
+              .as("doc_b"),
+            when(col("doc_id") < col("db"), col("sg")).otherwise(col("sgb0"))
+              .as("sga"),
+            when(col("doc_id") < col("db"), col("sgb0")).otherwise(col("sg"))
+              .as("sgb"))
+          .dropDuplicates("doc_a", "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            r6(matches.cast("double") / Seeds.size).as("est_jaccard"))
+        // prior pairs survive iff the two members still share an
+        // under-cap bucket (appends only grow buckets)
+        val ka = ok.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+        val kb = ok.select(col("doc_id").as("doc_b"), col("band"), col("key"))
+        val surviving = s.read.parquet(s"$prior/pairs")
+          .join(ka.hint("shuffle_hash"), Seq("doc_a"))
+          .join(kb.hint("shuffle_hash"), Seq("doc_b", "band", "key"), "left_semi")
+          .select("doc_a", "doc_b", "est_jaccard")
+          .dropDuplicates("doc_a", "doc_b")
+        Warehouse.writeParquet(surviving.unionByName(newPairs), s"$tmp/pairs")
+        val pairs = s.read.parquet(s"$tmp/pairs")
+        // verified Jaccards carry for surviving pairs (shingle sets are
+        // per-doc); only the fresh pairs verify
+        val newVerify = jaccardVerifyTable(Tables.documents(s, d),
+          pairs.join(s.read.parquet(s"$prior/verify").select("doc_a", "doc_b"),
+            Seq("doc_a", "doc_b"), "left_anti").select("doc_a", "doc_b"))
+        val survVerify = s.read.parquet(s"$prior/verify")
+          .join(pairs.select("doc_a", "doc_b").hint("shuffle_hash"),
+            Seq("doc_a", "doc_b"), "left_semi")
+        Warehouse.writeParquet(survVerify.unionByName(newVerify), s"$tmp/verify")
+        val edges = pairs.filter(col("est_jaccard") >= 0.5)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        Warehouse.writeParquet(connectedComponents(edges), s"$tmp/comp")
+      } finally Checkpoints.release(okPin)
+    }
+    ()
+  }
+
+  /** INCREMENTAL funnel maintenance — run after [[appendToSigIndex]]
+    * and [[appendToTextDup]] for the same batch. Contract: the corpus
+    * is append-only with MONOTONIC doc_ids (the streaming feed's
+    * shape), so prior docs' stage membership can only ever GROW:
+    *
+    *  - exact dedup keeps the LOWEST doc_id per hash — appended docs
+    *    (all higher-id) can never displace a prior keeper, so prior
+    *    stage-1 membership stands; a batch doc joins iff its hash is
+    *    unseen in `hashes/` and it is the lowest batch id for it;
+    *  - the near-dup drop rule (lose to a lower-id stage-1 survivor)
+    *    is recomputed WHOLE from the updated pair table — pair death
+    *    on a bucket-cap crossing can RESURRECT a previously-dropped
+    *    prior doc, and mined pairs only ever connect old→new or
+    *    new→new, so prior survivors never start losing;
+    *  - quality / repetition / decontamination are pure per-doc flags
+    *    against a FIXED eval set (doc_id < [[EvalDocs]], the corpus
+    *    head), evaluated only for docs whose membership is new (batch
+    *    survivors plus any resurrected priors) via one semi-join-pruned
+    *    pass over the documents table.
+    *
+    * Row-identical to a full rebuild (spec-asserted, including a
+    * cap-crossing resurrection case). Falls back to the full build on
+    * a missing/pre-layout prior or a non-monotonic batch. */
+  def appendToFunnel(s: SparkSession, d: String, appended: DataFrame): Unit = {
+    Warehouse.latest("funnel", d) match {
+      case None => buildFunnel(s, d)
+      case Some(prior) =>
+        try appendToFunnelIncremental(s, d, appended, prior)
+        catch { case scala.util.control.NonFatal(_) => buildFunnel(s, d) }
+    }
+  }
+
+  private def appendToFunnelIncremental(s: SparkSession, d: String,
+      appended: DataFrame, prior: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    Warehouse.getOrBuild("funnel", d, "documents.parquet") { tmp =>
+      val priorStages = s.read.parquet(s"$prior/stages")
+      val priorHashes = s.read.parquet(s"$prior/hashes")
+      val priorMax = priorHashes.agg(max("doc_id")).head().getLong(0)
+      val batchMin = appended.agg(min("doc_id")).head().getLong(0)
+      require(batchMin > priorMax,
+        s"appended doc_ids must exceed the prior corpus ($batchMin <= $priorMax)")
+      val batchHashes = appended.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("h"))
+      Warehouse.writeParquet(
+        priorHashes.unionByName(batchHashes), s"$tmp/hashes")
+      def stage(n: String): DataFrame =
+        priorStages.filter(col("stage") === n).select("doc_id")
+      val s0 = stage("00_total").unionByName(appended.select("doc_id"))
+      // batch doc joins stage 1 iff its hash is unseen in the prior
+      // corpus and it is the lowest batch id carrying it
+      val k1new = batchHashes
+        .join(priorHashes.select("h").hint("shuffle_hash"), Seq("h"), "left_anti")
+        .withColumn("m", min("doc_id").over(Window.partitionBy("h")))
+        .filter(col("doc_id") === col("m")).select("doc_id")
+      val k1 = stage("01_exact_dedup").unionByName(k1new)
+      // stage 2 drops recompute whole from the UPDATED pair table:
+      // a pair-table-sized join, and the only stage where prior
+      // membership can grow (resurrection on pair death)
+      val pairs = s.read.parquet(s"${textDupIndex(s, d)}/pairs")
+      val drop2 = pairs.filter(col("est_jaccard") >= FunnelJaccard)
+        .join(k1.select(col("doc_id").as("doc_a")), "doc_a")
+        .select(col("doc_b").as("doc_id")).distinct()
+      val k2 = k1.join(drop2, Seq("doc_id"), "left_anti")
+      // per-doc flags are needed only where membership is new: batch
+      // survivors plus resurrected priors — one pruned documents pass
+      val newEval = k2.join(stage("02_near_dedup"), Seq("doc_id"), "left_anti")
+      val docsNew = Tables.documents(s, d)
+        .join(newEval.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      val k3new = qualityFlags(docsNew).filter(col("keep")).select("doc_id")
+      val k3 = stage("03_quality").unionByName(k3new)
+      val k4new = k3new.join(
+        repetitionStats(docsNew).filter(col("repetitive")).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      val k4 = stage("04_repetition").unionByName(k4new)
+      val ev = ngrams(Tables.documents(s, d), DecontamN)
+        .filter(col("doc_id") < EvalDocs).select("s").distinct()
+      val contaminated = ngrams(docsNew, DecontamN)
+        .join(broadcast(ev), "s").select("doc_id").distinct()
+      val k5new = k4new.join(contaminated, Seq("doc_id"), "left_anti")
+      val k5 = stage("05_decontaminated").unionByName(k5new)
+      Warehouse.writeParquet(
+        FunnelStageNames.zip(Seq(s0, k1, k2, k3, k4, k5))
+          .map { case (st, df) => df.select(lit(st).as("stage"), col("doc_id")) }
+          .reduce(_ unionByName _),
+        s"$tmp/stages")
+    }
+    ()
+  }
+
   val dedupMinhashSql: String = {
     val bandSelects = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, s${2 * b} || s${2 * b + 1} AS key FROM sig").mkString("\nUNION ALL\n")
@@ -612,8 +810,13 @@ object TextOps {
     * component, a punctuation-density penalty, combined into one score
     * and bucketed. Pure per-row expressions — one codegen span, no
     * shuffle before the final sort. */
-  val qualityScore: Q = (s, d) => {
-    val doc = Tables.documents(s, d)
+  val qualityScore: Q = (s, d) =>
+    qualityFlags(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** The t10 per-document flags over an arbitrary doc relation — a
+    * pure per-row function, so the incremental funnel can evaluate
+    * just the docs whose stage membership is new. */
+  private[graft] def qualityFlags(doc: DataFrame): DataFrame = {
     val nToks = size(toks).cast("double")
     val stopRatio = (size(expr(s"filter(split(text, ' '), x -> x = '$Stop1')"))
       + size(expr(s"filter(split(text, ' '), x -> x = '$Stop2')"))).cast("double") / nToks
@@ -634,7 +837,6 @@ object TextOps {
         when(col("quality") >= 0.8, "high")
           .when(col("quality") >= 0.5, "medium").otherwise("low"))
       .withColumn("keep", col("bucket") =!= "low")
-      .orderBy("doc_id")
   }
 
   /** Inner relation of the t10 oracle — (doc_id, stop_ratio,
@@ -1169,7 +1371,7 @@ object TextOps {
       .join(k1.select(col("doc_id").as("doc_a")), "doc_a")
       .select(col("doc_b").as("doc_id")).distinct()
     val k2 = pin(k1.join(drop2, Seq("doc_id"), "left_anti"))
-    val k3 = pin(k2.join(qualityScore(s, d).filter(col("keep")).select("doc_id"), "doc_id"))
+    val k3 = pin(k2.join(qualityFlags(doc).filter(col("keep")).select("doc_id"), "doc_id"))
     val k4 = pin(k3.join(repetitionStats(doc).filter(col("repetitive")).select("doc_id"),
       Seq("doc_id"), "left_anti"))
     val k5 = pin(k4.join(decontaminate(s, d).select("doc_id"), Seq("doc_id"), "left_anti"))
@@ -1215,11 +1417,18 @@ object TextOps {
               })
               .map { case (st, df) => df.select(lit(st).as("stage"), col("doc_id")) }
               .reduce(_ unionByName _),
-            tmp.toString)
+            s"$tmp/stages")
         } finally pins.foreach(Checkpoints.release)
+        // hashes/ side table: what the INCREMENTAL updater joins a
+        // batch against to settle exact-dedup membership without
+        // re-hashing the historic corpus
+        Warehouse.writeParquet(
+          Tables.documents(s, d).select(col("doc_id"),
+            md5(col("text").cast("binary")).as("h")),
+          s"$tmp/hashes")
       }
     }
-    s.read.parquet(path)
+    s.read.parquet(s"$path/stages")
   }
 
   /** Explicit build step (the curation CREATE INDEX analog); queries

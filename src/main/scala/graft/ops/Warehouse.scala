@@ -40,8 +40,10 @@ object Warehouse {
 
   /** Bump when any build algorithm or the on-disk layout changes
     * meaning: every persisted artifact is then orphaned and rebuilt.
-    * v2: params moved from the version suffix into the name prefix. */
-  val LayoutVersion = 2
+    * v2: params moved from the version suffix into the name prefix.
+    * v3: cube gained `cube/`+`meta/` subdirs and funnel gained
+    * `stages/`+`hashes/` (the incremental-maintenance side tables). */
+  val LayoutVersion = 3
 
   /** Root directory: `graft.warehouse` system property (spec isolation),
     * else `GRAFT_WAREHOUSE` env, else `spark-warehouse/graft` under the

@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Pipeline, TextOps, Warehouse}
+
+/** Round-9 incremental maintenance: the funnel, the text near-dup
+  * manifest and the merged cube update from a batch instead of
+  * rebuilding, and every updater's result is row-identical to a full
+  * rebuild at the new corpus version. */
+class IncrementalSpec extends SparkSpecBase {
+
+  private def tmpDs(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Base corpus: the sf0.001 documents table copied into a mutable
+    * dataset dir this suite owns. */
+  private def seedDocs(ds: String) = {
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base.write.mode("overwrite").parquet(s"$ds/documents.parquet")
+    base
+  }
+
+  /** A batch of appended documents with every interesting shape:
+    * EXACT copies of prior docs (stage-1 hash drops + est_jaccard-1.0
+    * banding pairs), a batch-internal exact-dup pair, and fresh
+    * unique docs. All ids exceed the prior corpus (monotonic
+    * append). */
+  private def makeBatch(base: org.apache.spark.sql.DataFrame) = {
+    val copies = base.filter(col("doc_id").isin(3L, 17L, 42L))
+      .select((col("doc_id") + 1000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val twinText = concat(col("text"), lit(" twin mark"))
+    val twin = base.filter(col("doc_id") === 5L)
+      .select(lit(1200L).as("doc_id"), twinText.as("text"), col("lang"),
+        col("source"), col("n_chars"))
+    val twin2 = base.filter(col("doc_id") === 5L)
+      .select(lit(1201L).as("doc_id"), twinText.as("text"), col("lang"),
+        col("source"), col("n_chars"))
+    val fresh = base.filter(col("doc_id").isin(100L, 101L))
+      .select((col("doc_id") + 1300L).as("doc_id"),
+        concat(col("text"), lit(" zq"), col("doc_id")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    copies.unionByName(twin).unionByName(twin2).unionByName(fresh)
+  }
+
+  private def resetTextCaches(): Unit = {
+    TextOps.clearSigCache()
+    TextOps.clearTextDupCache()
+    TextOps.clearFunnelCache()
+  }
+
+  test("appendToTextDup + appendToFunnel == full rebuild at the new corpus version") {
+    val ds = tmpDs("graft-inc-text")
+    val base = seedDocs(ds)
+    resetTextCaches()
+    TextOps.buildSigIndex(spark, ds)
+    TextOps.buildTextDup(spark, ds)
+    TextOps.buildFunnel(spark, ds)
+    // inject a fabricated prior pair whose members share NO band
+    // bucket: the incremental recheck must drop it (the cap-crossing
+    // death path, exercised without a 4096-member bucket)
+    val priorDup = Warehouse.latest("textdup", ds).get
+    import spark.implicits._
+    Seq((100L, 101L, 0.875)).toDF("doc_a", "doc_b", "est_jaccard")
+      .write.mode("append").parquet(s"$priorDup/pairs")
+    val batch = makeBatch(base)
+    base.unionByName(batch).write.mode("overwrite")
+      .parquet(s"$ds/documents.parquet")
+    TextOps.appendToSigIndex(spark, ds, batch)
+    TextOps.appendToTextDup(spark, ds, batch)
+    TextOps.appendToFunnel(spark, ds, batch)
+    def snap() = (
+      TextOps.dedupMinhash(spark, ds).collect(),
+      TextOps.ngramJaccard(spark, ds).collect(),
+      TextOps.dedupComponents(spark, ds).collect(),
+      TextOps.componentAudit(spark, ds).collect(),
+      TextOps.funnelIndex(spark, ds).orderBy("stage", "doc_id").collect())
+    val (p1, v1, c1, a1, f1) = snap()
+    // the cross-batch copy pairs surfaced with exact-dup estimates
+    for (id <- Seq(3L, 17L, 42L))
+      assert(p1.exists(r => r.getLong(0) == id && r.getLong(1) == id + 1000L
+          && r.getDouble(2) == 1.0),
+        s"cross-batch copy pair ($id, ${id + 1000L}) missing")
+    // the fabricated no-shared-bucket pair died in the recheck
+    assert(!p1.exists(r => r.getLong(0) == 100L && r.getLong(1) == 101L),
+      "recheck kept a prior pair whose members share no under-cap bucket")
+    // full rebuild from scratch at the same corpus version
+    resetTextCaches()
+    Warehouse.invalidate("sig", ds)
+    Warehouse.invalidate("textdup", ds)
+    Warehouse.invalidate("funnel", ds)
+    val (p2, v2, c2, a2, f2) = snap()
+    assert(p1.sameElements(p2), s"pairs drifted: ${p1.length} vs ${p2.length}")
+    assert(v1.sameElements(v2), s"verify drifted: ${v1.length} vs ${v2.length}")
+    assert(c1.sameElements(c2), s"components drifted: ${c1.length} vs ${c2.length}")
+    assert(a1.sameElements(a2), "component audit drifted")
+    assert(f1.sameElements(f2), s"funnel stages drifted: ${f1.length} vs ${f2.length}")
+    Warehouse.invalidateDataset(ds)
+  }
+
+  test("appendToFunnel: batch exact-dups drop at stage 1, survivors flow through the gates") {
+    val ds = tmpDs("graft-inc-funnel")
+    val base = seedDocs(ds)
+    resetTextCaches()
+    TextOps.buildFunnel(spark, ds)
+    val batch = makeBatch(base)
+    base.unionByName(batch).write.mode("overwrite")
+      .parquet(s"$ds/documents.parquet")
+    TextOps.appendToSigIndex(spark, ds, batch)
+    TextOps.appendToTextDup(spark, ds, batch)
+    TextOps.appendToFunnel(spark, ds, batch)
+    val stages = TextOps.funnelIndex(spark, ds).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // exact copies of prior docs lose stage 1 to the prior keeper
+    for (id <- Seq(1003L, 1017L, 1042L))
+      assert(!stages("01_exact_dedup").contains(id), s"copy $id survived exact dedup")
+    // the batch-internal twin pair keeps only its lowest id at stage 1
+    assert(stages("01_exact_dedup").contains(1200L), "lower twin lost stage 1")
+    assert(!stages("01_exact_dedup").contains(1201L), "higher twin survived stage 1")
+    // fresh unique docs reach stage 1
+    for (id <- Seq(1400L, 1401L))
+      assert(stages("01_exact_dedup").contains(id), s"fresh doc $id lost stage 1")
+    Warehouse.invalidateDataset(ds)
+  }
+
+  test("appendToCube == full rebuild; prior date partitions carry by file") {
+    val ds = tmpDs("graft-inc-cube")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val cutoff = "1998-06-01"
+    li.filter(col("l_shipdate") <= lit(cutoff))
+      .write.mode("overwrite").parquet(s"$ds/lineitem.parquet")
+    Pipeline.clearCubeCache()
+    Pipeline.buildCube(spark, ds)
+    val prior = Warehouse.latest("cube", ds).get
+    val carriedName = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(prior, "cube"))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("part-")).toSeq.head
+      } finally st.close()
+    }
+    // regenerate the corpus with the newer dates appended
+    li.write.mode("overwrite").parquet(s"$ds/lineitem.parquet")
+    Pipeline.clearCubeCache()
+    val batchRaw = graft.ops.Pixels.pixels(spark, ds)
+      .filter(col("date") > lit(cutoff))
+    Pipeline.appendToCube(spark, ds, batchRaw)
+    def snap() = Pipeline.cubeIndex(spark, ds)
+      .select(col("date"), col("y"), col("x"),
+        graft.ops.Num.r6(col("ndvi")).as("ndvi"),
+        graft.ops.Num.r6(col("evi")).as("evi"),
+        col("num_granules_merged"))
+      .orderBy("date", "y", "x").collect()
+    val inc = snap()
+    val incDir = Warehouse.latest("cube", ds).get
+    assert(incDir != prior, "append did not produce a new cube version")
+    assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(incDir, "cube", carriedName)),
+      "incremental cube did not carry the prior version's data files")
+    // new dates actually landed
+    assert(inc.exists(_.getDate(0).toString > cutoff), "no appended dates in cube")
+    // full rebuild at the same version
+    Pipeline.clearCubeCache()
+    Warehouse.invalidate("cube", ds)
+    val full = snap()
+    assert(inc.sameElements(full),
+      s"incremental cube drifted: ${inc.length} vs ${full.length} rows")
+    Warehouse.invalidateDataset(ds)
+  }
+}

@@ -307,13 +307,16 @@ object SimOps {
       f.filter(col("vec_id").between(seedLo, seedLo + k - 1))
         .select(col("vec_id").as("cell"), col("i"), col("v").as("c")))
     for (_ <- 1 to iters) {
+      // fused assign+update: one chain computes the winning cell AND
+      // the (cell, i) member mean without re-joining the corpus
+      // against a separate assignment relation (r9, VERDICT #6). The
+      // model is k×dim — driver-sized by design — so one collect per
+      // round feeds LOCAL broadcast relations instead of three
+      // distributed agg+broadcast jobs.
       import emb.sparkSession.implicits._
       val centRows = cent.select("cell", "i", "c")
         .as[(Long, Long, Double)].collect()
-      val assign = exactAssign(emb, f, n, cent, centRows)
-      val upd = f.join(assign, "vec_id")
-        .groupBy("cell", "i")
-        .agg((xsumHi(col("v")) / count(lit(1))).as("cnew"))
+      val upd = fusedUpdate(emb, f, n, centRows)
       val (next, nextPin) = Checkpoints.pin(
         cent.join(upd, Seq("cell", "i"), "left")
           .select(col("cell"), col("i"),
@@ -323,6 +326,68 @@ object SimOps {
       pin = nextPin
     }
     cent
+  }
+
+  /** One Lloyd round, fused: [[exactAssign]]'s two-stage winner rule
+    * applied at (i, v) ROW granularity so the (cell, i) mean shares
+    * the f⋈candidates shuffle instead of re-joining the flattened
+    * corpus against a one-row-per-vector assignment (which cost a
+    * second corpus-wide shuffle per round). The per-round driver
+    * collect is gone too: the packed stage-1 centroids build
+    * distributively and broadcast. Numerics are bit-identical to the
+    * unfused form — dots and means accumulate in DECIMAL
+    * ([[Num.xsumHi]], order-independent), the float cast matches, and
+    * the winner rule is the same (cos desc, cell asc): `dense_rank`
+    * keeps exactly the rank-1 (vec, cell) pair's rows, ties included,
+    * because the ordering key contains the cell tie-break. */
+  private def fusedUpdate(emb: DataFrame, f: DataFrame, n: DataFrame,
+      centRows: Array[(Long, Long, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import emb.sparkSession.implicits._
+    val byCell = centRows.groupBy(_._1).toSeq.sortBy(_._1)
+    val cents = byCell.map { case (cell, rs) =>
+      (cell, rs.sortBy(_._2).map(_._3.toFloat)) }
+    // exact local replica of xsumHi(c * c): Spark's double→decimal cast
+    // parses Double.toString at scale 18 HALF_UP; the decimal sum is
+    // exact and order-independent, and only the final sqrt runs in
+    // double — so the driver-computed cell norms are bit-identical to
+    // the distributed aggregate they replace (v08 stays hash-locked)
+    def dec(x: Double): java.math.BigDecimal =
+      new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(18, java.math.RoundingMode.HALF_UP)
+    val cnrms = byCell.map { case (cell, rs) =>
+      (cell, math.sqrt(rs.map(r => dec(r._3 * r._3))
+        .reduce(_.add(_)).doubleValue())) }
+    val centDF = centRows.toSeq.toDF("cell", "i", "c")
+    val centsRow = Seq(Tuple1(cents)).toDF("cents")
+    val cnDF = cnrms.toDF("cell", "cnrm")
+    // stage 1 entirely IN-ROW: one broadcast row carries all k packed
+    // centroids, each vector ranks them with the codegen'd cosine and
+    // keeps the top margin inside the row — no n×k relation, no
+    // ranking shuffle (the unfused form paid a corpus×k window per
+    // round). Ordering matches row_number(ncos desc, cell asc): the
+    // sort key is (-ncos, cell) ascending.
+    val cand = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centsRow))
+      .select(col("vec_id"), explode(expr(
+        s"""transform(slice(array_sort(transform(cents,
+           |  s -> struct(-graft_cosine(embedding, s._2) AS nneg,
+           |              s._1 AS cell))),
+           |  1, $AssignMargin), x -> x.cell)""".stripMargin)).as("cell"))
+    val wC = Window.partitionBy("vec_id", "cell")
+    val wA = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("cell").asc)
+    f.join(cand, "vec_id")
+      .join(broadcast(centDF), Seq("cell", "i"))
+      .withColumn("dot",
+        sum((col("v") * col("c")).cast("decimal(38,18)")).over(wC)
+          .cast("double"))
+      .join(n, "vec_id").join(broadcast(cnDF), "cell")
+      .withColumn("cos", col("dot") / (col("nrm") * col("cnrm")))
+      .withColumn("arn", dense_rank().over(wA))
+      .filter(col("arn") === 1)
+      .groupBy("cell", "i")
+      .agg((xsumHi(col("v")) / count(lit(1))).as("cnew"))
   }
 
   /** How many native-ranked cells per vector enter the exact re-rank in
@@ -345,17 +410,21 @@ object SimOps {
       cent: DataFrame, centRows: Array[(Long, Long, Double)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import emb.sparkSession.implicits._
-    val packed = centRows.groupBy(_._1).toSeq
+    // stage-1 prune entirely IN-ROW (same form as [[fusedUpdate]]):
+    // one broadcast row carries all k packed centroids and each vector
+    // keeps its top margin inside the row — no n×k relation and no
+    // ranking shuffle; the (-ncos, cell) ascending sort matches
+    // row_number(ncos desc, cell asc) exactly, ties included
+    val cents = centRows.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (cell, rs) => (cell, rs.sortBy(_._2).map(_._3.toFloat)) }
-      .toDF("cell", "cf")
-    val wP = Window.partitionBy("vec_id").orderBy(col("ncos").desc, col("cell").asc)
+    val centsRow = Seq(Tuple1(cents)).toDF("cents")
     val cand = emb.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(packed))
-      .select(col("vec_id"), col("cell"),
-        expr("graft_cosine(embedding, cf)").as("ncos"))
-      .withColumn("prk", row_number().over(wP))
-      .filter(col("prk") <= AssignMargin)
-      .select("vec_id", "cell")
+      .crossJoin(broadcast(centsRow))
+      .select(col("vec_id"), explode(expr(
+        s"""transform(slice(array_sort(transform(cents,
+           |  s -> struct(-graft_cosine(embedding, s._2) AS nneg,
+           |              s._1 AS cell))),
+           |  1, $AssignMargin), x -> x.cell)""".stripMargin)).as("cell"))
     val cn = cent.groupBy("cell").agg(sqrt(xsumHi(col("c") * col("c"))).as("cnrm"))
     val wA = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cell").asc)
     f.join(cand, "vec_id")

@@ -1,11 +1,19 @@
 #!/usr/bin/env python3
-"""Generate an N-times perturbed replica of a testdata dir's documents
-and embeddings tables for the graft.ScaleProbe experiment.
+"""Generate an N-times perturbed replica of a testdata dir for the
+graft.ScaleProbe experiment and the above-sf0.1 oracle envelope.
 
 Each replica k gets: doc_id/vec_id offset by k*stride; a unique 'rep<k>tok'
 text prefix (so shingles/signatures differ per replica and dedup stays
 non-degenerate); the embedding array rotated by k positions (so LSH
 buckets and cosines differ per replica). Replica 0 is the original.
+
+The FACT tables replicate too (r9): lineitem/orders with the order key
+offset by k*1000003 (NOT a multiple of 32, so each replica lands on new
+pixel rows y=(l_orderkey%32) instead of duplicating cells), events with
+offset event/user ids, and the five dimension tables hard-linked from
+the source — so the ENTIRE query surface, not just the text/vector
+families, is runnable and DuckDB-checkable at N x the corpus.
+Everything is a deterministic pure function of the source tables.
 
 Usage: scalegen.py <src_dir> <dst_dir> [n=8] [stride=5000]
 """
@@ -45,9 +53,52 @@ def main() -> None:
            (SELECT unnest(generate_series(0, {n - 1})) AS k) r
     ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
     """)
+    okey_stride = 1000003  # NOT divisible by 32: replicas shift y
+    con.execute(f"""
+    COPY (
+      SELECT l_orderkey + {okey_stride}*r.k AS l_orderkey,
+             l_partkey, l_suppkey, l_linenumber, l_quantity,
+             l_extendedprice, l_discount, l_tax, l_returnflag,
+             l_linestatus, l_shipdate
+      FROM '{src}/lineitem.parquet',
+           (SELECT unnest(generate_series(0, {n - 1})) AS k) r
+    ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+    COPY (
+      SELECT o_orderkey + {okey_stride}*r.k AS o_orderkey,
+             o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             o_orderpriority
+      FROM '{src}/orders.parquet',
+           (SELECT unnest(generate_series(0, {n - 1})) AS k) r
+    ) TO '{dst}/orders.parquet' (FORMAT PARQUET)
+    """)
+    # events.ts is INT64 TIMESTAMP(NANOS) and the engine's read contract
+    # depends on that physical type (Tables.events + nanosAsLong) — a
+    # DuckDB rewrite would silently retype it to micros, so the replica
+    # goes through pyarrow, which round-trips timestamp[ns] exactly
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    ev = pq.read_table(f'{src}/events.parquet')
+    reps = []
+    for k in range(n):
+        t = ev
+        if k:
+            t = t.set_column(t.schema.get_field_index('event_id'), 'event_id',
+                             pc.add(t['event_id'], 10000000 * k))
+            t = t.set_column(t.schema.get_field_index('user_id'), 'user_id',
+                             pc.add(t['user_id'], 100000 * k))
+        reps.append(t)
+    pq.write_table(pa.concat_tables(reps), f'{dst}/events.parquet')
+    for t in ['region', 'nation', 'customer', 'supplier', 'part']:
+        dstf = f'{dst}/{t}.parquet'
+        if not os.path.exists(dstf):
+            os.link(f'{src}/{t}.parquet', dstf)
     docs = con.sql(f"SELECT count(*) FROM '{dst}/documents.parquet'").fetchone()[0]
     embs = con.sql(f"SELECT count(*) FROM '{dst}/embeddings.parquet'").fetchone()[0]
-    print(f"wrote {dst}: {docs} docs, {embs} embeddings ({n} replicas)")
+    li = con.sql(f"SELECT count(*) FROM '{dst}/lineitem.parquet'").fetchone()[0]
+    print(f"wrote {dst}: {docs} docs, {embs} embeddings, {li} lineitems ({n} replicas)")
 
 
 if __name__ == "__main__":

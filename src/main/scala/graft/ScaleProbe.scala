@@ -23,6 +23,7 @@ object ScaleProbe {
     ops.Warehouse.invalidateDataset(dir)
     val builds = Seq(
       "sig_build" -> timed(ops.TextOps.buildSigIndex(spark, dir)),
+      "textdup_build" -> timed(ops.TextOps.buildTextDup(spark, dir)),
       "neardup_build" -> timed(ops.SimOps.buildNearDup(spark, dir)),
       "funnel_build" -> timed(ops.TextOps.buildFunnel(spark, dir)),
       "ivf_build" -> timed(ops.SimOps.buildIvf(spark, dir)))

@@ -330,11 +330,18 @@ object TextOps {
     * streams instead of collecting. */
   private def minhashPairTable(sig: DataFrame): DataFrame = {
     val sigArr = array(Seeds.map(i => col(s"s$i")): _*)
-    val bands = sig.select(col("doc_id"), sigArr.as("sg"), explode(bandStructs).as("bk"))
-      .select(col("doc_id"), col("sg"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val pairs = bands
-      .groupBy("band", "key")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sg")))).as("ms"))
+    pairsOfBuckets(
+      sig.select(col("doc_id"), sigArr.as("sg"), explode(bandStructs).as("bk"))
+        .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("sg"))))
+          .as("ms")))
+  }
+
+  /** Pair expansion from the aggregated bucket relation
+    * `(band, key, ms: array<(doc_id, sg)>)` — split out so the build
+    * can feed the SAME bucket scan to both the audit and the mining. */
+  private def pairsOfBuckets(buckets: DataFrame): DataFrame = {
+    val pairs = buckets
       .filter(size(col("ms")) > 1 && size(col("ms")) <= MaxBucketMembers)
       .select(explode(expr(
         """flatten(transform(ms, (a, i) ->
@@ -392,8 +399,26 @@ object TextOps {
     textDupCache.get(s"$d@${BuildCache.version(d, "documents.parquet")}") {
       Warehouse.getOrBuild("textdup", d, "documents.parquet") { tmp =>
         val sig = sigIndex(s, d)
-        Warehouse.writeParquet(oversizedBandBuckets(sig), s"$tmp/audit")
-        Warehouse.writeParquet(minhashPairTable(sig), s"$tmp/pairs")
+        // ONE banding scan feeds both the audit and the mining: the
+        // bucket aggregation already carries every bucket's size (the
+        // member array), so the over-cap census and the under-cap pair
+        // expansion split from a single pinned relation instead of
+        // re-exploding the signature table per table
+        val sigArr = array(Seeds.map(i => col(s"s$i")): _*)
+        val (buckets, bPin) = Checkpoints.pin(
+          sig.select(col("doc_id"), sigArr.as("sg"),
+              explode(bandStructs).as("bk"))
+            .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
+            .agg(sort_array(collect_list(struct(col("doc_id"), col("sg"))))
+              .as("ms")))
+        try {
+          Warehouse.writeParquet(
+            buckets.select(col("band"), col("key"),
+                size(col("ms")).cast("long").as("n_members"))
+              .filter(col("n_members") > MaxBucketMembers),
+            s"$tmp/audit")
+          Warehouse.writeParquet(pairsOfBuckets(buckets), s"$tmp/pairs")
+        } finally Checkpoints.release(bPin)
         val pairs = s.read.parquet(s"$tmp/pairs")
         Warehouse.writeParquet(
           jaccardVerifyTable(Tables.documents(s, d),

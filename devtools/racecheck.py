@@ -17,9 +17,9 @@ import sys
 import tempfile
 
 
-def main() -> int:
-    classes = sys.argv[1] if len(sys.argv) > 1 \
-        else 'target/scala-2.13/classes:/opt/spark/jars/*'
+def run_round(classes: str) -> int:
+    """One race attempt. Returns 0 = raced and passed, 2 = no overlap
+    (startup skew — retry), 1 = protocol violation."""
     root = tempfile.mkdtemp(prefix='graft-race-wh-')
     ds = tempfile.mkdtemp(prefix='graft-race-ds-')
     # the key hashes the source file's version: any readable file works
@@ -34,11 +34,21 @@ def main() -> int:
     if any(rc != 0 for rc in rcs):
         print(f'FAIL: exit codes {rcs}\n' + '\n'.join(outs))
         return 1
-    results = [re.search(r'RACE_RESULT pid=(\d+) dir=(\S+) built=(\d+)', o)
-               for o in outs]
+    results = [re.search(
+        r'RACE_RESULT pid=(\d+) dir=(\S+) built=(\d+) start=(\d+) end=(\d+)', o)
+        for o in outs]
     if any(r is None for r in results):
         print('FAIL: unparseable probe output\n' + '\n'.join(outs))
         return 1
+    # the harness is only honest when both builds were IN FLIGHT at
+    # once — a late starter takes the manifest fast-path (built=0,
+    # start=end=0) or builds after the winner completed; either way the
+    # adoption path never ran and the round must retry, not pass
+    windows = [(int(r.group(4)), int(r.group(5))) for r in results]
+    if any(s == 0 for s, _ in windows) or \
+            not (windows[0][0] < windows[1][1] and windows[1][0] < windows[0][1]):
+        print(f'no overlap (startup skew): windows={windows}, retrying')
+        return 2
     dirs = {r.group(2) for r in results}
     built = sum(int(r.group(3)) for r in results)
     entries = os.listdir(root)
@@ -48,9 +58,8 @@ def main() -> int:
     if len(dirs) != 1:
         print(f'FAIL: processes diverged: {dirs}'); ok = False
     if built != 1:
-        # both built=1 would mean the adoption path failed; both 0 means
-        # no process raced (reuse) — rerun-worthy, treated as failure to
-        # keep the harness honest
+        # with overlap proven, exactly one move wins; built=2 means the
+        # loser's adoption path failed to detect the collision
         print(f'FAIL: expected exactly one builder, got {built}'); ok = False
     if len(artifact) != 1:
         print(f'FAIL: expected one completed artifact, got {artifact}'); ok = False
@@ -61,8 +70,20 @@ def main() -> int:
         if not os.path.exists(os.path.join(d, f)):
             print(f'FAIL: artifact incomplete, missing {f}'); ok = False
     if ok:
-        print(f'racecheck OK: one artifact, one builder of two pids, no litter')
+        print('racecheck OK: overlapping builds, one artifact, '
+              'one builder of two pids, no litter')
     return 0 if ok else 1
+
+
+def main() -> int:
+    classes = sys.argv[1] if len(sys.argv) > 1 \
+        else 'target/scala-2.13/classes:/opt/spark/jars/*'
+    for _ in range(3):
+        rc = run_round(classes)
+        if rc != 2:
+            return rc
+    print('FAIL: no overlapping race in 3 attempts')
+    return 1
 
 
 if __name__ == '__main__':

@@ -12,13 +12,20 @@ package graft
 object RaceProbe {
   def main(args: Array[String]): Unit = {
     val ds = args(0)
+    var bStart = 0L
+    var bEnd = 0L
     val dir = ops.Warehouse.getOrBuild("race2p", ds, "documents.parquet") { tmp =>
+      bStart = System.currentTimeMillis()
       java.nio.file.Files.createDirectories(tmp)
       Thread.sleep(2000) // hold the build open so the processes overlap
       java.nio.file.Files.write(tmp.resolve("data.bin"), Array[Byte](1, 2, 3))
+      bEnd = System.currentTimeMillis()
       ()
     }
+    // the build window lets the harness PROVE the two processes were
+    // in-flight simultaneously — a fast-path reuse (manifest already
+    // complete) reports 0/0 and the harness retries the round
     println(s"RACE_RESULT pid=${ProcessHandle.current.pid} dir=$dir " +
-      s"built=${ops.Warehouse.buildsRun.get()}")
+      s"built=${ops.Warehouse.buildsRun.get()} start=$bStart end=$bEnd")
   }
 }

@@ -158,14 +158,22 @@ object Pipeline {
       Warehouse.getOrBuild("cube", d, "lineitem.parquet") { tmp =>
         val r = run(s, d)
         Warehouse.writeParquet(r.cubeRaw, s"$tmp/cube")
-        // meta/ records what the incremental updater needs: the gated
-        // scene count (the keep rule's global <3 branch) and the cube's
-        // newest date (the append-only-by-date contract check)
-        writeCubeMeta(s, tmp.toString,
-          r.sceneStats.count(),
-          s.read.parquet(s"$tmp/cube")
-            .agg(max(date_format(col("date"), "yyyy-MM-dd")))
-            .head().getString(0))
+        // meta/ records what the incremental updater needs, derived
+        // from the GRANULE census (pre-gate): the gated scene count
+        // (the keep rule's global <3 branch) and the newest date over
+        // ALL granules — including QC- or valid-share-dropped ones that
+        // never produced cube rows — so the append guard rejects any
+        // batch touching an already-seen date (a partial-granule append
+        // would otherwise compute batch-slice QC verdicts and silently
+        // diverge from a full rebuild)
+        val qc = Quality.granuleQc(s, d)
+        val pass = col("contamination_pct") <= Quality.MaxContaminationPct &&
+          col("valid_pct") >= Quality.MinValidPct
+        val m = qc.agg(
+          countDistinct(when(pass, col("time"))).as("n_scenes"),
+          max(date_format(col("time"), "yyyy-MM-dd")).as("max_date")).head()
+        writeCubeMeta(s, tmp.toString, m.getLong(0),
+          Option(m.getString(1)).getOrElse("0000-00-00"))
       }
     }
     s.read.parquet(s"$path/cube")
@@ -216,36 +224,54 @@ object Pipeline {
       batchRaw: DataFrame, prior: String, priorScenes: Long,
       priorMaxDate: String): Unit = {
     Warehouse.getOrBuild("cube", d, "lineitem.parquet") { tmp =>
-      val gated = gateOf(batchRaw)
-      val scenes = gated.groupBy("time")
-        .agg(count(col("ndvi_c")).as("n_valid"), count(lit(1)).as("n_total"),
-          min(date_format(col("date"), "yyyy-MM-dd")).as("d0"))
-      // one batch-scene-sized driver row: the contract check and the
-      // meta update both need the batch's scene census
-      val sc = scenes.agg(count(lit(1)).as("n"),
-        min(col("d0")).as("dmin"), max(col("d0")).as("dmax")).head()
-      val nBatch = sc.getLong(0)
-      require(nBatch == 0 || sc.getString(1) > priorMaxDate,
-        s"appended dates must follow the prior cube " +
-          s"(${sc.getString(1)} <= $priorMaxDate)")
-      Warehouse.copyData(s"$prior/cube", tmp.resolve("cube"))
-      if (nBatch > 0) {
-        // global scene count = prior (>= 3) + batch, so the keep rule
-        // reduces to the per-scene valid-share branch for every batch
-        // scene — identical to what the full rebuild would apply
-        val keep = scenes
-          .filter(lit(100.0) * col("n_valid") / col("n_total") >= 40.0)
-          .select("time")
-        gated.join(keep, Seq("time"), "left_semi")
-          .groupBy(col("date"), col("y"), col("x"))
-          .agg(avg("ndvi_c").as("ndvi"), avg("evi_c").as("evi"),
-            countDistinct("tile_id", "time").as("num_granules_merged"))
-          .withColumn("time", col("date").cast("timestamp"))
-          .write.mode("append").parquet(s"$tmp/cube")
-      }
-      writeCubeMeta(s, tmp.toString, priorScenes + nBatch,
-        if (nBatch > 0 && sc.getString(2) > priorMaxDate) sc.getString(2)
-        else priorMaxDate)
+      // granule census FIRST, pinned: the gate's semi-join, the meta
+      // update and the contract guard all consume it, so the batch
+      // pays ONE QC aggregation pass (the sibling updaters' pin
+      // discipline)
+      val (qc, qcPin) = Checkpoints.pin(Quality.granuleQcOf(batchRaw))
+      try {
+        val pass = col("contamination_pct") <= Quality.MaxContaminationPct &&
+          col("valid_pct") >= Quality.MinValidPct
+        val mrow = qc.agg(
+          count(lit(1)).as("n_granules"),
+          min(date_format(col("time"), "yyyy-MM-dd")).as("dmin"),
+          max(date_format(col("time"), "yyyy-MM-dd")).as("dmax"),
+          countDistinct(when(pass, col("time"))).as("n_pass")).head()
+        val nGran = mrow.getLong(0)
+        // contract check against ALL batch granules (pre-QC): a batch
+        // touching an already-seen date — even one that never produced
+        // cube rows — would compute partial-granule verdicts; the
+        // require sends it to the full-rebuild fallback instead
+        require(nGran == 0L || mrow.getString(1) > priorMaxDate,
+          s"appended dates must follow the prior corpus " +
+            s"(${mrow.getString(1)} <= $priorMaxDate)")
+        Warehouse.copyData(s"$prior/cube", tmp.resolve("cube"))
+        if (nGran > 0) {
+          val (gated, gPin) = Checkpoints.pin(
+            PixelOps.withIndices(batchRaw).join(
+              qc.filter(pass).select("tile_id", "time"),
+              Seq("tile_id", "time"), "left_semi"))
+          try {
+            // global scene count = prior (>= 3) + batch, so the keep
+            // rule reduces to the per-scene valid-share branch for
+            // every batch scene — identical to the full rebuild
+            val keep = gated.groupBy("time")
+              .agg(count(col("ndvi_c")).as("n_valid"),
+                count(lit(1)).as("n_total"))
+              .filter(lit(100.0) * col("n_valid") / col("n_total") >= 40.0)
+              .select("time")
+            gated.join(keep, Seq("time"), "left_semi")
+              .groupBy(col("date"), col("y"), col("x"))
+              .agg(avg("ndvi_c").as("ndvi"), avg("evi_c").as("evi"),
+                countDistinct("tile_id", "time").as("num_granules_merged"))
+              .withColumn("time", col("date").cast("timestamp"))
+              .write.mode("append").parquet(s"$tmp/cube")
+          } finally Checkpoints.release(gPin)
+        }
+        writeCubeMeta(s, tmp.toString, priorScenes + mrow.getLong(3),
+          if (nGran > 0 && mrow.getString(2) > priorMaxDate) mrow.getString(2)
+          else priorMaxDate)
+      } finally Checkpoints.release(qcPin)
     }
     ()
   }

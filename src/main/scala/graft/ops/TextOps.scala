@@ -328,13 +328,18 @@ object TextOps {
     * buckets drop out (audit via oversizedBandBuckets) and a corpus
     * that trips the cap wants the t08-style self-join form back, which
     * streams instead of collecting. */
-  private def minhashPairTable(sig: DataFrame): DataFrame = {
+  private def minhashPairTable(sig: DataFrame): DataFrame =
+    pairsOfBuckets(sigBuckets(sig))
+
+  /** The aggregated bucket relation `(band, key, ms: array<(doc_id,
+    * sg)>)` every banding consumer derives from — ONE definition so
+    * the plan-shape hook and the build lineage cannot drift. */
+  private def sigBuckets(sig: DataFrame): DataFrame = {
     val sigArr = array(Seeds.map(i => col(s"s$i")): _*)
-    pairsOfBuckets(
-      sig.select(col("doc_id"), sigArr.as("sg"), explode(bandStructs).as("bk"))
-        .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("sg"))))
-          .as("ms")))
+    sig.select(col("doc_id"), sigArr.as("sg"), explode(bandStructs).as("bk"))
+      .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sg"))))
+        .as("ms"))
   }
 
   /** Pair expansion from the aggregated bucket relation
@@ -404,13 +409,7 @@ object TextOps {
         // member array), so the over-cap census and the under-cap pair
         // expansion split from a single pinned relation instead of
         // re-exploding the signature table per table
-        val sigArr = array(Seeds.map(i => col(s"s$i")): _*)
-        val (buckets, bPin) = Checkpoints.pin(
-          sig.select(col("doc_id"), sigArr.as("sg"),
-              explode(bandStructs).as("bk"))
-            .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
-            .agg(sort_array(collect_list(struct(col("doc_id"), col("sg"))))
-              .as("ms")))
+        val (buckets, bPin) = Checkpoints.pin(sigBuckets(sig))
         try {
           Warehouse.writeParquet(
             buckets.select(col("band"), col("key"),
@@ -604,6 +603,12 @@ object TextOps {
       val batchMin = appended.agg(min("doc_id")).head().getLong(0)
       require(batchMin > priorMax,
         s"appended doc_ids must exceed the prior corpus ($batchMin <= $priorMax)")
+      // the decontamination eval set is the corpus HEAD (doc_id <
+      // EvalDocs): a batch landing inside that range would GROW the
+      // eval set and silently change prior docs' stage-5 verdicts —
+      // only a full rebuild re-evaluates them
+      require(batchMin >= EvalDocs,
+        s"append extends the eval head ($batchMin < $EvalDocs) — full rebuild")
       val batchHashes = appended.select(col("doc_id"),
         md5(col("text").cast("binary")).as("h"))
       Warehouse.writeParquet(
@@ -639,7 +644,12 @@ object TextOps {
       val k4 = stage("04_repetition").unionByName(k4new)
       val ev = ngrams(Tables.documents(s, d), DecontamN)
         .filter(col("doc_id") < EvalDocs).select("s").distinct()
-      val contaminated = ngrams(docsNew, DecontamN)
+      // mirror the full build's training-side filter: eval-head docs
+      // (doc_id < EvalDocs) are the eval SET, never decontamination
+      // candidates — without this a resurrected eval-head doc would
+      // self-match its own n-grams and wrongly drop from stage 5
+      val contaminated = ngrams(docsNew.filter(col("doc_id") >= EvalDocs),
+          DecontamN)
         .join(broadcast(ev), "s").select("doc_id").distinct()
       val k5new = k4new.join(contaminated, Seq("doc_id"), "left_anti")
       val k5 = stage("05_decontaminated").unionByName(k5new)

@@ -42,8 +42,11 @@ object Warehouse {
     * meaning: every persisted artifact is then orphaned and rebuilt.
     * v2: params moved from the version suffix into the name prefix.
     * v3: cube gained `cube/`+`meta/` subdirs and funnel gained
-    * `stages/`+`hashes/` (the incremental-maintenance side tables). */
-  val LayoutVersion = 3
+    * `stages/`+`hashes/` (the incremental-maintenance side tables).
+    * v4: cube meta max_date re-keyed to ALL granules (pre-QC), so the
+    * append guard rejects partial-granule batches whose date never
+    * produced cube rows — v3 metas would admit them. */
+  val LayoutVersion = 4
 
   /** Root directory: `graft.warehouse` system property (spec isolation),
     * else `GRAFT_WAREHOUSE` env, else `spark-warehouse/graft` under the

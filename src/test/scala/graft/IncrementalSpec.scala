@@ -123,6 +123,77 @@ class IncrementalSpec extends SparkSpecBase {
     Warehouse.invalidateDataset(ds)
   }
 
+  test("appendToFunnel falls back to a full rebuild when the batch would extend the eval head") {
+    // prior corpus of 10 docs (all inside the doc_id < EvalDocs eval
+    // range); the batch lands at ids 10-14, still < EvalDocs — it would
+    // GROW the decontamination eval set, so the incremental path must
+    // decline and the result must still equal a from-scratch build
+    val ds = tmpDs("graft-inc-evalhead")
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 10L)
+    base.write.mode("overwrite").parquet(s"$ds/documents.parquet")
+    resetTextCaches()
+    TextOps.buildFunnel(spark, ds)
+    // batch doc 12 shares a long n-gram run with prior doc 2 (an eval
+    // doc): a buggy incremental would self-match it against the eval
+    // set and drop it; the full build keeps every eval-head doc
+    val batch = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id").between(30L, 33L))
+      .select((col("doc_id") - 20L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    base.unionByName(batch).write.mode("overwrite")
+      .parquet(s"$ds/documents.parquet")
+    TextOps.appendToSigIndex(spark, ds, batch)
+    TextOps.appendToTextDup(spark, ds, batch)
+    TextOps.appendToFunnel(spark, ds, batch)
+    val inc = TextOps.funnelIndex(spark, ds).orderBy("stage", "doc_id").collect()
+    resetTextCaches()
+    Warehouse.invalidate("sig", ds)
+    Warehouse.invalidate("textdup", ds)
+    Warehouse.invalidate("funnel", ds)
+    val full = TextOps.funnelIndex(spark, ds).orderBy("stage", "doc_id").collect()
+    assert(inc.sameElements(full),
+      s"eval-head append diverged from full rebuild: ${inc.length} vs ${full.length}")
+    Warehouse.invalidateDataset(ds)
+  }
+
+  test("appendToCube rejects a partial-granule batch for an already-seen date") {
+    // the prior build holds HALF of the newest date's rows (its
+    // granules may even be fully QC-dropped); appending the other half
+    // must NOT compute batch-slice verdicts — the date guard sends it
+    // to the full-rebuild fallback and the result equals a from-scratch
+    // build
+    val ds = tmpDs("graft-inc-cube-part")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val lastDate = li.agg(max(to_date(col("l_shipdate")))).head().getDate(0).toString
+    val heldBack = col("l_shipdate").cast("date") === lit(lastDate) &&
+      col("l_linenumber") >= 4
+    li.filter(!heldBack).write.mode("overwrite").parquet(s"$ds/lineitem.parquet")
+    Pipeline.clearCubeCache()
+    Pipeline.buildCube(spark, ds)
+    val prior = Warehouse.latest("cube", ds).get
+    li.write.mode("overwrite").parquet(s"$ds/lineitem.parquet")
+    Pipeline.clearCubeCache()
+    val batchRaw = graft.ops.Pixels.pixels(spark, ds)
+      .filter(col("date") === lit(lastDate) &&
+        col("px_id") % 8 >= 4)
+    Pipeline.appendToCube(spark, ds, batchRaw)
+    val incDir = Warehouse.latest("cube", ds).get
+    assert(incDir != prior, "append produced no new cube version")
+    def snap() = Pipeline.cubeIndex(spark, ds)
+      .select(col("date"), col("y"), col("x"),
+        graft.ops.Num.r6(col("ndvi")).as("ndvi"),
+        graft.ops.Num.r6(col("evi")).as("evi"),
+        col("num_granules_merged"))
+      .orderBy("date", "y", "x").collect()
+    val viaAppend = snap()
+    Pipeline.clearCubeCache()
+    Warehouse.invalidate("cube", ds)
+    assert(snap().sameElements(viaAppend),
+      "partial-granule append diverged from the full rebuild")
+    Warehouse.invalidateDataset(ds)
+  }
+
   test("appendToCube == full rebuild; prior date partitions carry by file") {
     val ds = tmpDs("graft-inc-cube")
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

@@ -310,6 +310,80 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("curated stream maintains the whole text manifest chain (sig -> textdup -> funnel) per micro-batch") {
+    // the full streamed curation posture: each micro-batch appends to
+    // the corpus and drives all three incremental updaters in
+    // dependency order, so every artifact the dedup/funnel queries
+    // serve from is stream-maintained; the chain must equal a
+    // from-scratch build at the final corpus version
+    implicit val sqlCtx = spark.sqlContext
+    val ds = java.nio.file.Files.createTempDirectory("graft-stream-chain").toString
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base.write.parquet(s"$ds/documents.parquet")
+    graft.ops.TextOps.clearSigCache()
+    graft.ops.TextOps.clearTextDupCache()
+    graft.ops.TextOps.clearFunnelCache()
+    graft.ops.TextOps.buildFunnel(spark, ds)
+    // stream rows reference a source doc: copy=true ships its exact
+    // text (a cross-batch near-dup pair + exact-dedup drop), else a
+    // perturbed unique text
+    val input = MemoryStream[(Long, Long, Boolean)]
+    val q = input.toDF().toDF("doc_id", "src_id", "copy")
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val docs = batch.join(
+            base.select(col("doc_id").as("src_id"), col("text"),
+              col("lang"), col("source"), col("n_chars")), "src_id")
+          .select(col("doc_id"),
+            when(col("copy"), col("text"))
+              .otherwise(concat(col("text"), lit(" zq"), col("doc_id"))).as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        if (!docs.isEmpty) {
+          docs.write.mode("append").parquet(s"$ds/documents.parquet")
+          graft.ops.TextOps.appendToSigIndex(spark, ds, docs)
+          graft.ops.TextOps.appendToTextDup(spark, ds, docs)
+          graft.ops.TextOps.appendToFunnel(spark, ds, docs)
+        }
+        ()
+      }
+      .start()
+    try {
+      input.addData((1003L, 3L, true), (1300L, 100L, false))
+      q.processAllAvailable()
+      input.addData((1017L, 17L, true), (1301L, 101L, false))
+      q.processAllAvailable()
+      def snap() = (
+        graft.ops.TextOps.dedupMinhash(spark, ds).collect(),
+        graft.ops.TextOps.dedupComponents(spark, ds).collect(),
+        graft.ops.TextOps.funnelIndex(spark, ds)
+          .orderBy("stage", "doc_id").collect())
+      val (p1, c1, f1) = snap()
+      // copies surfaced as pairs across batches; copies lost stage 1
+      for (id <- Seq(3L, 17L))
+        assert(p1.exists(r => r.getLong(0) == id && r.getLong(1) == id + 1000L),
+          s"streamed copy pair ($id, ${id + 1000L}) missing")
+      val k1 = f1.filter(_.getString(0) == "01_exact_dedup").map(_.getLong(1)).toSet
+      assert(!k1.contains(1003L) && !k1.contains(1017L),
+        "streamed exact copies survived stage 1")
+      assert(k1.contains(1300L) && k1.contains(1301L),
+        "streamed fresh docs lost stage 1")
+      // the stream-maintained chain equals a from-scratch build
+      graft.ops.TextOps.clearSigCache()
+      graft.ops.TextOps.clearTextDupCache()
+      graft.ops.TextOps.clearFunnelCache()
+      graft.ops.Warehouse.invalidate("sig", ds)
+      graft.ops.Warehouse.invalidate("textdup", ds)
+      graft.ops.Warehouse.invalidate("funnel", ds)
+      val (p2, c2, f2) = snap()
+      assert(p1.sameElements(p2), "stream-maintained pairs drifted")
+      assert(c1.sameElements(c2), "stream-maintained components drifted")
+      assert(f1.sameElements(f2), "stream-maintained funnel drifted")
+    } finally {
+      q.stop()
+      graft.ops.Warehouse.invalidateDataset(ds)
+    }
+  }
+
   test("curated stream maintains the near-dup pair manifest incrementally per micro-batch") {
     // the embedding analog of the signature wiring above (r9, VERDICT
     // #3): each micro-batch appends to the embedding corpus AND drives

@@ -191,7 +191,8 @@ object Export {
     * :349-356): tile-partitioned, date-sorted zstd parquet;
     * invalidation is per-TILE overwrite (the m03 anti-join decides
     * granule-level skips on keys, not directories). */
-  def writeGranuleCache(granule: DataFrame, cacheDir: String): Unit =
+  def writeGranuleCache(granule: DataFrame, cacheDir: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
     granule
       .withColumn("p_date", to_date(col("time")))
       // Partition DIRECTORIES by tile only: a fixed (tile, day) dir
@@ -212,7 +213,7 @@ object Export {
       // row-group pruning claim with it.
       .repartitionByRange(col("tile_id"), col("p_date"))
       .sortWithinPartitions("tile_id", "p_date", "time")
-      .write.mode(SaveMode.Overwrite)
+      .write.mode(mode)
       .partitionBy("tile_id")
       .option("compression", "zstd")
       .parquet(cacheDir)

@@ -304,12 +304,83 @@ object Pipeline {
         Export.writeGranuleCache(
           gatedPixels(s, d)
             .select("tile_id", "time", "date", "y", "x", "ndvi_c", "evi_c"),
-          tmp.toString)
+          s"$tmp/cache")
+        // meta: newest date over ALL granules (pre-QC), the same
+        // append-only-by-date guard key the cube records — a date whose
+        // granules were all QC-dropped left no cache rows but must
+        // still block later partial appends
+        val maxDate = Quality.granuleQc(s, d)
+          .agg(max(date_format(col("time"), "yyyy-MM-dd"))).head().getString(0)
+        writeGcacheMeta(s, tmp.toString, Option(maxDate).getOrElse("0000-00-00"))
       }
     }
-    s.read.parquet(path)
+    s.read.parquet(s"$path/cache")
       .select(col("tile_id").cast("long"), col("time"), col("date"),
         col("y"), col("x"), col("ndvi_c"), col("evi_c"))
+  }
+
+  private def writeGcacheMeta(s: SparkSession, dir: String,
+      maxDate: String): Unit = {
+    import s.implicits._
+    Warehouse.writeParquet(Seq(Tuple1(maxDate)).toDF("max_date"), s"$dir/meta")
+  }
+
+  /** INCREMENTAL granule-cache maintenance — the artifact this engine
+    * keeps that is closest in spirit to the reference's resumable
+    * per-granule cache (processor.py:342-356: completed granules are
+    * never re-processed, new acquisitions append). The cache holds the
+    * STAGE-1 relation (per-granule QC gate, no cross-granule rule at
+    * all), so a batch of strictly-newer dates appends cleanly: the
+    * prior partitioned tree carries over by file and only the batch
+    * runs scan → indices → QC gate, landing as additional date-sorted
+    * files inside the existing tile partitions (row-group pruning is
+    * per file, so the probe behavior is unchanged). Falls back to the
+    * full build on a missing/pre-meta prior or a batch that touches an
+    * already-seen date (partial-granule QC would diverge). */
+  def appendToGranuleCache(s: SparkSession, d: String,
+      batchRaw: DataFrame): Unit = {
+    val priorMeta = Warehouse.latest("gcache", d).flatMap { prior =>
+      scala.util.Try(
+        s.read.parquet(s"$prior/meta").select("max_date").head().getString(0)
+      ).toOption.map(maxDate => (prior, maxDate))
+    }
+    priorMeta match {
+      case Some((prior, maxDate)) =>
+        try appendToGranuleCacheIncremental(s, d, batchRaw, prior, maxDate)
+        catch { case scala.util.control.NonFatal(_) => buildGranuleCache(s, d) }
+      case _ => buildGranuleCache(s, d)
+    }
+  }
+
+  private def appendToGranuleCacheIncremental(s: SparkSession, d: String,
+      batchRaw: DataFrame, prior: String, priorMaxDate: String): Unit = {
+    Warehouse.getOrBuild("gcache", d, "lineitem.parquet") { tmp =>
+      val (qc, qcPin) = Checkpoints.pin(Quality.granuleQcOf(batchRaw))
+      try {
+        val mrow = qc.agg(count(lit(1)).as("n"),
+          min(date_format(col("time"), "yyyy-MM-dd")).as("dmin"),
+          max(date_format(col("time"), "yyyy-MM-dd")).as("dmax")).head()
+        val nGran = mrow.getLong(0)
+        require(nGran == 0L || mrow.getString(1) > priorMaxDate,
+          s"appended dates must follow the prior cache " +
+            s"(${mrow.getString(1)} <= $priorMaxDate)")
+        Warehouse.copyTree(s"$prior/cache", tmp.resolve("cache"))
+        if (nGran > 0) {
+          val pass = col("contamination_pct") <= Quality.MaxContaminationPct &&
+            col("valid_pct") >= Quality.MinValidPct
+          Export.writeGranuleCache(
+            PixelOps.withIndices(batchRaw)
+              .join(qc.filter(pass).select("tile_id", "time"),
+                Seq("tile_id", "time"), "left_semi")
+              .select("tile_id", "time", "date", "y", "x", "ndvi_c", "evi_c"),
+            s"$tmp/cache", mode=org.apache.spark.sql.SaveMode.Append)
+        }
+        writeGcacheMeta(s, tmp.toString,
+          if (nGran > 0 && mrow.getString(2) > priorMaxDate) mrow.getString(2)
+          else priorMaxDate)
+      } finally Checkpoints.release(qcPin)
+    }
+    ()
   }
 
   /** Explicit build step for the granule cache; p08 builds lazily on

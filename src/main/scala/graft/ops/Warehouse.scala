@@ -45,8 +45,10 @@ object Warehouse {
     * `stages/`+`hashes/` (the incremental-maintenance side tables).
     * v4: cube meta max_date re-keyed to ALL granules (pre-QC), so the
     * append guard rejects partial-granule batches whose date never
-    * produced cube rows — v3 metas would admit them. */
-  val LayoutVersion = 4
+    * produced cube rows — v3 metas would admit them.
+    * v5: gcache gained `cache/`+`meta/` subdirs (the partitioned tree
+    * cannot share a root with a meta table). */
+  val LayoutVersion = 5
 
   /** Root directory: `graft.warehouse` system property (spec isolation),
     * else `GRAFT_WAREHOUSE` env, else `spark-warehouse/graft` under the
@@ -216,6 +218,27 @@ object Warehouse {
         .foreach(f => Files.copy(f, into.resolve(f.getFileName.toString),
           StandardCopyOption.REPLACE_EXISTING))
     } finally s.close()
+  }
+
+  /** Recursive [[copyData]] for artifacts whose data is a PARTITIONED
+    * parquet tree (the granule cache's `tile_id=X` dirs): copies the
+    * whole tree below `from` into `into`, manifest excluded. */
+  def copyTree(from: String, into: Path): Unit = {
+    val src = Paths.get(from)
+    def walk(s: Path, t: Path): Unit = {
+      Files.createDirectories(t)
+      val st = Files.list(s)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.foreach { f =>
+          val dst = t.resolve(f.getFileName.toString)
+          if (Files.isDirectory(f)) walk(f, dst)
+          else if (f.getFileName.toString != "_MANIFEST.json")
+            Files.copy(f, dst, StandardCopyOption.REPLACE_EXISTING)
+        }
+      } finally st.close()
+    }
+    walk(src, into)
   }
 
   /** Delete every artifact (and tmp) of `table@dataset`, ALL param

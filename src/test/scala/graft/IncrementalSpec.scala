@@ -194,6 +194,51 @@ class IncrementalSpec extends SparkSpecBase {
     Warehouse.invalidateDataset(ds)
   }
 
+  test("appendToGranuleCache == full rebuild; prior tile tree carries by file; p08 serves it") {
+    val ds = tmpDs("graft-inc-gcache")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val cutoff = "1998-06-01"
+    li.filter(col("l_shipdate") <= lit(cutoff))
+      .write.mode("overwrite").parquet(s"$ds/lineitem.parquet")
+    Pipeline.clearGranuleCacheCache()
+    Pipeline.buildGranuleCache(spark, ds)
+    val prior = Warehouse.latest("gcache", ds).get
+    // remember one prior data file (inside a tile partition dir)
+    val carried = {
+      val base = java.nio.file.Paths.get(prior, "cache")
+      val st = java.nio.file.Files.walk(base)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala
+          .filter(f => f.getFileName.toString.startsWith("part-"))
+          .map(base.relativize(_).toString).toSeq.head
+      } finally st.close()
+    }
+    li.write.mode("overwrite").parquet(s"$ds/lineitem.parquet")
+    Pipeline.clearGranuleCacheCache()
+    val batchRaw = graft.ops.Pixels.pixels(spark, ds)
+      .filter(col("date") > lit(cutoff))
+    Pipeline.appendToGranuleCache(spark, ds, batchRaw)
+    val incDir = Warehouse.latest("gcache", ds).get
+    assert(incDir != prior, "append produced no new gcache version")
+    assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(incDir, "cache", carried)),
+      "incremental gcache did not carry the prior tile tree by file")
+    def rows() = Pipeline.granuleCacheIndex(spark, ds)
+      .orderBy("tile_id", "time", "y", "x").collect()
+    def p08() = Pipeline.pipelineCachedQ(spark, ds).collect()
+    val (incRows, incP08) = (rows(), p08())
+    assert(incRows.exists(_.getDate(2).toString > cutoff),
+      "no appended dates in the cache")
+    Pipeline.clearGranuleCacheCache()
+    Warehouse.invalidate("gcache", ds)
+    assert(rows().sameElements(incRows),
+      "incremental granule cache drifted from the full rebuild")
+    assert(p08().sameElements(incP08),
+      "p08 over the incremental cache drifted from the full rebuild")
+    Warehouse.invalidateDataset(ds)
+  }
+
   test("appendToCube == full rebuild; prior date partitions carry by file") {
     val ds = tmpDs("graft-inc-cube")
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

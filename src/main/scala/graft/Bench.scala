@@ -36,15 +36,33 @@ object Bench {
     // also trains the smallest SF's quantizer (its artifacts persist for
     // sf0.001 and are not the measured dataset's).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    if (sfDir != "/root/testdata/sf0.001") {
+    // the smallest-SF sibling of the measured dataset (the warm-up
+    // corpus), derived from the SF-dir convention rather than hardcoded
+    val warmDir = scala.util.Try(
+      java.nio.file.Paths.get(sfDir).getParent.resolve("sf0.001"))
+      .filter(java.nio.file.Files.isDirectory(_))
+      .map(_.toString).getOrElse("/root/testdata/sf0.001")
+    if (sfDir != warmDir) {
       // force a REAL tiny build (a warehouse hit would skip the code
-      // paths the warm-up exists to compile)
+      // paths the warm-up exists to compile) — against a BENCH-PRIVATE
+      // throwaway warehouse root, so warming never invalidates the
+      // shared warehouse's sf0.001 artifacts out from under a
+      // concurrent session serving them
+      val prevRoot = sys.props.get("graft.warehouse")
       try {
+        sys.props("graft.warehouse") = java.nio.file.Files
+          .createTempDirectory("graft-bench-warm").toString
         ops.SimOps.clearIvfCaches()
-        ops.Warehouse.invalidate("ivf", "/root/testdata/sf0.001")
-        ops.Warehouse.invalidate("kmeans", "/root/testdata/sf0.001")
-        ops.SimOps.buildIvf(spark, "/root/testdata/sf0.001")
+        ops.SimOps.buildIvf(spark, warmDir)
       } catch { case _: Throwable => () }
+      finally {
+        prevRoot match {
+          case Some(v) => sys.props("graft.warehouse") = v
+          case None => sys.props -= "graft.warehouse"
+        }
+        // drop memo entries pointing into the throwaway root
+        ops.SimOps.clearIvfCaches()
+      }
     }
 
     def timed(f: => Unit): Double = {

@@ -43,10 +43,79 @@ object ScaleProbe {
       "v05_sim_ivf" -> q(ops.SimOps.simIvf),
       "v06_embed_neardup" -> q(ops.SimOps.embedNearDup),
       "v14_embed_keep" -> q(ops.SimOps.embedKeep))
-    val line = (Seq("dir" -> 0.0) ++ builds ++ queries).collect {
-      case (k, v) if k != "dir" => s""""$k":${math.rint(v * 1000) / 1000}"""
+    // ---- append-cost probe (r10): a FIXED-size batch against corpora
+    // of different sizes — the O(batch) incremental-maintenance claim
+    // is "these numbers stay ~flat between 1x and 8x data". Runs on a
+    // hard-linked copy of the text/vector tables (appends mutate the
+    // corpus dir; the probe must not touch the shared testdata).
+    val appends = probeAppends(spark, dir)
+    val line = (builds ++ queries ++ appends).map {
+      case (k, v) => s""""$k":${math.rint(v * 1000) / 1000}"""
     }.mkString(s"""{"dir":"$dir",""", ",", "}")
     println(line)
     spark.stop()
+  }
+
+  private def probeAppends(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }
+    val tmpDs = java.nio.file.Files.createTempDirectory("graft-probe-ds").toString
+    for (t <- Seq("documents.parquet", "embeddings.parquet")) {
+      val to = java.nio.file.Paths.get(tmpDs, t)
+      java.nio.file.Files.createDirectories(to)
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir, t))
+      try st.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .foreach { f =>
+          val dst = to.resolve(f.getFileName.toString)
+          try java.nio.file.Files.createLink(dst, f)
+          catch { case _: Exception => java.nio.file.Files.copy(f, dst); () }
+        }
+      finally st.close()
+    }
+    // cold artifact builds on the copy (untimed here — the build costs
+    // are measured above on the primary dir)
+    ops.TextOps.buildSigIndex(spark, tmpDs)
+    ops.TextOps.buildTextDup(spark, tmpDs)
+    ops.TextOps.buildFunnel(spark, tmpDs)
+    ops.SimOps.buildNearDup(spark, tmpDs)
+    ops.SimOps.buildIvf(spark, tmpDs)
+    // fixed-size batches: 200 docs (half exact copies, half perturbed),
+    // 40 vectors (small enough that bandBits stays put at the 1x corpus
+    // — a geometry flip would measure a full rebuild, not an append)
+    val docs = spark.read.parquet(s"$tmpDs/documents.parquet")
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    docs.filter(col("doc_id") < 200)
+      .select((col("doc_id") + maxId + 1).as("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" apx"), col("doc_id"))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("append").parquet(s"$tmpDs/documents.parquet")
+    val batchDocs = spark.read.parquet(s"$tmpDs/documents.parquet")
+      .filter(col("doc_id") > maxId)
+    val emb = spark.read.parquet(s"$tmpDs/embeddings.parquet")
+    val maxV = emb.agg(max("vec_id")).head.getLong(0)
+    emb.filter(col("vec_id") < 40)
+      .select((col("vec_id") + maxV + 1).as("vec_id"),
+        when(col("vec_id") % 2 === 0, col("embedding"))
+          .otherwise(reverse(col("embedding"))).as("embedding"),
+        col("label"))
+      .write.mode("append").parquet(s"$tmpDs/embeddings.parquet")
+    val batchVec = spark.read.parquet(s"$tmpDs/embeddings.parquet")
+      .filter(col("vec_id") > maxV)
+    val out = Seq(
+      "sig_append" -> timed(ops.TextOps.appendToSigIndex(spark, tmpDs, batchDocs)),
+      "textdup_append" -> timed(ops.TextOps.appendToTextDup(spark, tmpDs, batchDocs)),
+      "funnel_append" -> timed(ops.TextOps.appendToFunnel(spark, tmpDs, batchDocs)),
+      "neardup_append" -> timed(ops.SimOps.appendToNearDup(spark, tmpDs, batchVec)),
+      "ivf_append" -> timed(ops.SimOps.appendToIvf(spark, tmpDs, batchVec)))
+    ops.Warehouse.invalidateDataset(tmpDs)
+    out
   }
 }

@@ -505,6 +505,43 @@ object Export {
   /** Test hook: drop the per-dataset frame-dir memo. */
   private[graft] def clearGtiffCache(): Unit = gtiffCache.clear()
 
+  /** INCREMENTAL frame-sink maintenance — frames are `<date>.tif`, a
+    * pure per-date function of that date's cube rows, and the cube
+    * itself appends only strictly-newer dates (Pipeline.appendToCube's
+    * guard) — so the prior version's frames carry over BY FILE and only
+    * dates newer than the newest carried frame encode. Run after
+    * [[graft.ops.Pipeline.appendToCube]] for the same batch; the new
+    * frame set derives from the prior artifact's own file names, so no
+    * separate batch argument (or meta table) is needed. Falls back to
+    * the idempotent full build on a missing prior or any failure. */
+  def appendToGeoTiffFrames(s: SparkSession, d: String): Unit = {
+    Warehouse.latest("gtiff", d) match {
+      case None => buildGeoTiffFrames(s, d)
+      case Some(prior) =>
+        try {
+          Warehouse.getOrBuild("gtiff", d, "lineitem.parquet") { tmp =>
+            java.nio.file.Files.createDirectories(tmp)
+            Warehouse.copyData(prior, tmp)
+            val st = java.nio.file.Files.list(java.nio.file.Paths.get(prior))
+            val maxPrior =
+              try {
+                import scala.jdk.CollectionConverters._
+                st.iterator().asScala.map(_.getFileName.toString)
+                  .filter(_.endsWith(".tif"))
+                  .map(_.stripSuffix(".tif")).maxOption
+              } finally st.close()
+            val cube = Pipeline.cubeIndex(s, d)
+            writeGeoTiffs(
+              maxPrior.fold(cube)(mx => cube.filter(col("date") > lit(mx))),
+              tmp.toString, Resample.SrcGrid, lzw = true)
+          }
+          ()
+        } catch {
+          case scala.util.control.NonFatal(_) => buildGeoTiffFrames(s, d)
+        }
+    }
+  }
+
   /** x08 — the GeoTIFF SINK under the oracle (VERDICT r8 #8): decode
     * every written frame back and declare, per frame, the parsed header
     * geometry (width/height, physical strip count, compression tag) and

@@ -550,13 +550,29 @@ object SimOps {
             val assign = exactAssign(emb, f, n, cent, rows)
             emb.join(assign, "vec_id")
               .select("cell", "vec_id", "embedding")
-              .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+              .write.mode("overwrite").partitionBy("cell")
+              .parquet(tmp.resolve("cells").toString)
+            // a full build trains on the whole corpus: the meta records
+            // both the corpus size and the TRAINING size (equal here) —
+            // the frozen-centroid append contract reads them apart
+            val nVec = emb.count()
+            writeIvfMeta(s, tmp.toString, nVec, nVec)
           } finally Checkpoints.release(nPin)
         } finally Checkpoints.release(fPin)
       }
     }
     // partition-column type inference narrows cell to int; restore long
-    s.read.parquet(path).withColumn("cell", col("cell").cast("long"))
+    s.read.parquet(s"$path/cells").withColumn("cell", col("cell").cast("long"))
+  }
+
+  /** `meta/` table of the IVF artifact: the corpus size and the size of
+    * the corpus the quantizer was TRAINED on — the append contract's
+    * drift denominator ([[MaxIvfGrowth]]). */
+  private def writeIvfMeta(s: SparkSession, dir: String,
+      n: Long, trainedN: Long): Unit = {
+    import s.implicits._
+    Warehouse.writeParquet(
+      Seq((n, trainedN)).toDF("n_vectors", "trained_n"), s"$dir/meta")
   }
 
   /** Explicit build step (CREATE INDEX analog): trains the quantizer
@@ -566,6 +582,82 @@ object SimOps {
     * query timings measure serving, not index construction. */
   def buildIvf(s: SparkSession, d: String): Unit = {
     ivfIndex(s, d)
+    ()
+  }
+
+  /** Growth bound of the frozen-centroid append contract: once the
+    * corpus exceeds this multiple of the size the quantizer was trained
+    * on, [[appendToIvf]] declines the incremental path and the full
+    * build RETRAINS — the standard IVF posture (assignment quality
+    * degrades as the corpus drifts from the training distribution, but
+    * slowly; re-running Lloyd's per micro-batch would also re-shuffle
+    * every historic vector's cell, invalidating the whole inverted
+    * file). */
+  val MaxIvfGrowth = 1.5
+
+  /** INCREMENTAL IVF maintenance — the last artifact family to gain an
+    * append path (its full build is the steepest-scaling one: Lloyd's
+    * training + a corpus-wide assignment). Model contract: centroids
+    * are pinned to the corpus version they were TRAINED on; an append
+    * FREEZES them by copying the prior `kmeans` artifact to the new
+    * corpus version's key, then assigns ONLY the appended vectors
+    * against the frozen centroids (batch-sized posexplode + k dot
+    * products) and appends their rows to the cell-partitioned inverted
+    * file — prior cells carry by file. v05/v07/v08/v09/v10 then serve
+    * the frozen model + appended file transparently. Once the corpus
+    * outgrows the training set by [[MaxIvfGrowth]], or on any failure,
+    * the idempotent full build retrains from scratch.
+    *
+    * Row-identical to a full rebuild AT THE SAME (frozen) centroids —
+    * per-vector assignment is independent, so batch-only assignment
+    * composes exactly (spec-asserted). `appended` must be exactly the
+    * vectors added since the prior version. */
+  def appendToIvf(s: SparkSession, d: String, appended: DataFrame): Unit = {
+    val priorMeta = Warehouse.latest("ivf", d).flatMap { prior =>
+      scala.util.Try {
+        val m = s.read.parquet(s"$prior/meta")
+          .select("n_vectors", "trained_n").head()
+        (prior, m.getLong(0), m.getLong(1))
+      }.toOption
+    }
+    priorMeta match {
+      case Some((prior, priorN, trainedN)) =>
+        val n = priorN + appended.count()
+        if (n > trainedN * MaxIvfGrowth) buildIvf(s, d) // retrain policy
+        else {
+          try appendToIvfIncremental(s, d, appended, n, trainedN, prior)
+          catch { case scala.util.control.NonFatal(_) => buildIvf(s, d) }
+        }
+      case _ => buildIvf(s, d)
+    }
+  }
+
+  private def appendToIvfIncremental(s: SparkSession, d: String,
+      appended: DataFrame, n: Long, trainedN: Long, prior: String): Unit = {
+    // freeze the model FIRST: the prior version's trained centroids
+    // copy to the new corpus version's kmeans key, so every consumer
+    // (the v08 serve, this assignment, even a later full ivf rebuild at
+    // this corpus version) shares one pinned quantizer; the retrain
+    // path above is the only way centroids change
+    val priorKm = Warehouse.latest("kmeans", d, s"k$KmeansK-s$KmeansSeedLo")
+      .getOrElse(throw new IllegalStateException(
+        s"no prior kmeans artifact to freeze for $d"))
+    Warehouse.getOrBuild("kmeans", d, "embeddings.parquet",
+      s"k$KmeansK-s$KmeansSeedLo") { tmp => Warehouse.copyData(priorKm, tmp) }
+    Warehouse.getOrBuild("ivf", d, "embeddings.parquet") { tmp =>
+      Warehouse.copyTree(s"$prior/cells", tmp.resolve("cells"))
+      val rows = trainedRows(s, d) // loads the frozen copy at this version
+      import s.implicits._
+      val cent = rows.toSeq.toDF("cell", "i", "c")
+      // batch-sized flatten/norms/assignment — the corpus never re-scans
+      val bf = flat(appended)
+      val assign = exactAssign(appended, bf, norms(bf), cent, rows)
+      appended.join(assign, "vec_id")
+        .select("cell", "vec_id", "embedding")
+        .write.mode("append").partitionBy("cell")
+        .parquet(tmp.resolve("cells").toString)
+      writeIvfMeta(s, tmp.toString, n, trainedN)
+    }
     ()
   }
 
@@ -1024,22 +1116,35 @@ object SimOps {
     * DECIMAL-exact cosine on the handful of survivors only — the same
     * element values (float → double → decimal(38,18)) the oracle
     * accumulates, so the >0.4 cut is bit-identical. */
-  private def nearDupPairs(bucketed: DataFrame, sizes: DataFrame): DataFrame = {
+  private def nearDupPairs(bucketed: DataFrame, sizes: DataFrame): DataFrame =
+    exactVerify(dedupCands(nearDupCandExpansion(bucketed, sizes)))
+
+  /** The candidate expansion KEEPING its bucket key — the build
+    * persists (band, key, keep_id, dup_id) as `pairbk/` so the
+    * incremental recheck ("does this prior pair still share an
+    * under-cap bucket?") is a pair-sized anti-join against the audit
+    * census instead of a corpus-sized membership re-derivation. */
+  private def nearDupCandExpansion(bucketed: DataFrame,
+      sizes: DataFrame): DataFrame = {
     val ok = bucketed.join(
       sizes.filter(col("n_members") <= MaxNearDupBucket).hint("shuffle_hash"),
       Seq("band", "key"))
-    val cands = ok
+    ok
       .join(ok.select(col("band"), col("key"), col("vec_id").as("dup_id"),
         col("label").as("label_b"), col("embedding").as("eb"))
         .hint("shuffle_hash"), Seq("band", "key"))
       .filter(col("vec_id") < col("dup_id"))
       .filter(expr("graft_cosine(embedding, eb)") > 0.4 - 1e-9)
-      .select(col("vec_id").as("keep_id"), col("dup_id"),
-        (col("label") === col("label_b")).as("same_label"),
+      .select(col("band"), col("key"), col("vec_id").as("keep_id"),
+        col("dup_id"), (col("label") === col("label_b")).as("same_label"),
         col("embedding").as("ea"), col("eb"))
-      .dropDuplicates("keep_id", "dup_id")
-    exactVerify(cands)
   }
+
+  /** A pair sharing several band buckets collapses once before the
+    * exact verify, so the dedup exchange only carries survivors. */
+  private def dedupCands(exp: DataFrame): DataFrame =
+    exp.dropDuplicates("keep_id", "dup_id")
+      .select("keep_id", "dup_id", "same_label", "ea", "eb")
 
   /** DECIMAL-exact verify stage over candidate pairs carrying
     * (keep_id, dup_id, same_label, ea, eb) — shared by the full build
@@ -1083,14 +1188,30 @@ object SimOps {
         val n = emb.count()
         val bits = bandBits(n)
         val bucketed = nearDupBuckets(emb, bits)
-        val sizes = bucketed.groupBy("band", "key")
-          .agg(count(lit(1)).as("n_members"))
         writeNearDupMeta(s, tmp.toString, n, bits)
+        // the FULL size census persists (`sizes/`): the NEXT append
+        // merges batch-key counts into it instead of re-bucketing the
+        // grown corpus — what makes incremental maintenance O(batch)
+        Warehouse.writeParquet(
+          bucketed.groupBy("band", "key").agg(count(lit(1)).as("n_members")),
+          s"$tmp/sizes")
+        val sizes = s.read.parquet(s"$tmp/sizes")
         Warehouse.writeParquet(
           sizes.filter(col("n_members") > MaxNearDupBucket)
             .select("band", "key", "n_members"),
           s"$tmp/audit")
-        Warehouse.writeParquet(nearDupPairs(bucketed, sizes), s"$tmp/pairs")
+        val (exp, ePin) = Checkpoints.pin(nearDupCandExpansion(bucketed, sizes))
+        try {
+          Warehouse.writeParquet(exactVerify(dedupCands(exp)), s"$tmp/pairs")
+          // pairbk records every under-cap bucket each VERIFIED pair
+          // shares (buckets only die, never revive, so the mine-time
+          // list covers all future survival witnesses)
+          Warehouse.writeParquet(
+            exp.select("band", "key", "keep_id", "dup_id")
+              .join(s.read.parquet(s"$tmp/pairs").select("keep_id", "dup_id"),
+                Seq("keep_id", "dup_id"), "left_semi"),
+            s"$tmp/pairbk")
+        } finally Checkpoints.release(ePin)
       }
     }
 
@@ -1127,6 +1248,12 @@ object SimOps {
     * prior artifact exists or the corpus growth changed [[bandBits]]
     * (different bucket keys — nothing to carry over). `appended` must
     * be exactly the vectors added since the prior version. */
+  /** Datasets whose persisted n_vectors has been reconciled against
+    * the real corpus this session — the accumulated-count drift guard
+    * runs once per (JVM, dataset), not per micro-batch. */
+  private val nearDupReconciled =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def appendToNearDup(s: SparkSession, d: String, appended: DataFrame): Unit = {
     val priorMeta = Warehouse.latest("neardup", d).flatMap { prior =>
       scala.util.Try {
@@ -1139,17 +1266,26 @@ object SimOps {
       case Some((prior, priorN, priorBits)) =>
         // corpus size = prior meta + batch size: the artifact already
         // persists n_vectors, so the append path runs a batch-sized
-        // count, never a corpus-wide one
+        // count, never a corpus-wide one. The accumulation contract
+        // (every batch applied exactly once) is reconciled against the
+        // REAL corpus row count the first time this session adopts the
+        // meta — a parquet-footer metadata read, no data scan — and a
+        // mismatch (missed/overlapping batch, restored backup) routes
+        // to the full rebuild before the geometry can silently drift.
         val n = priorN + appended.count()
-        val bits = bandBits(n)
-        if (priorBits == bits) {
-          // the incremental path is an optimization: if a concurrent
-          // newer-version build prunes `prior` mid-read (or anything
-          // else fails), fall back to the idempotent full build
-          try appendToNearDupIncremental(s, d, appended,
-            Tables.embeddings(s, d), n, bits, prior)
-          catch { case scala.util.control.NonFatal(_) => buildNearDup(s, d) }
-        } else buildNearDup(s, d)
+        if (nearDupReconciled.add(d) && Tables.embeddings(s, d).count() != n) {
+          buildNearDup(s, d)
+        } else {
+          val bits = bandBits(n)
+          if (priorBits == bits) {
+            // the incremental path is an optimization: if a concurrent
+            // newer-version build prunes `prior` mid-read (or anything
+            // else fails), fall back to the idempotent full build
+            try appendToNearDupIncremental(s, d, appended,
+              Tables.embeddings(s, d), n, bits, prior)
+            catch { case scala.util.control.NonFatal(_) => buildNearDup(s, d) }
+          } else buildNearDup(s, d)
+        }
       case _ =>
         // no prior artifact or a pre-meta artifact: bucket keys may
         // differ, nothing to carry over — full build
@@ -1161,57 +1297,84 @@ object SimOps {
       appended: DataFrame, emb: DataFrame, n: Long, bits: Int,
       prior: String): Unit = {
     Warehouse.getOrBuild("neardup", d, "embeddings.parquet") { tmp =>
-      val bucketed = nearDupBuckets(emb, bits)
-      val sizes = bucketed.groupBy("band", "key")
-        .agg(count(lit(1)).as("n_members"))
+      // Batch-side bucketing is a pure per-vector function — O(batch),
+      // no corpus scan. The census then MERGES the batch's bucket
+      // counts into the persisted `sizes/` table (a result-sized
+      // columnar pass) instead of re-bucketing the grown corpus per
+      // append — at streaming cadence that re-derivation was the one
+      // remaining O(corpus) term in the chain.
+      val batchBuckets = nearDupBuckets(appended, bits)
+      val bc = batchBuckets.groupBy("band", "key").agg(count(lit(1)).as("b_n"))
       writeNearDupMeta(s, tmp.toString, n, bits)
+      Warehouse.writeParquet(
+        s.read.parquet(s"$prior/sizes")
+          .join(bc, Seq("band", "key"), "full_outer")
+          .select(col("band"), col("key"),
+            (coalesce(col("n_members"), lit(0L)) + coalesce(col("b_n"), lit(0L)))
+              .as("n_members")),
+        s"$tmp/sizes")
+      val sizes = s.read.parquet(s"$tmp/sizes")
       Warehouse.writeParquet(
         sizes.filter(col("n_members") > MaxNearDupBucket)
           .select("band", "key", "n_members"),
         s"$tmp/audit")
-      // the under-cap bucket relation feeds FOUR consumers below (the
-      // batch semi-join, the candidate join side, and both recheck key
-      // projections); pin it once so the O(n) scan+explode+size join
-      // does not re-derive per consumer — released after the write
-      val (ok, okPin) = Checkpoints.pin(bucketed.join(
-        sizes.filter(col("n_members") <= MaxNearDupBucket)
-          .hint("shuffle_hash"),
-        Seq("band", "key")))
+      val audit = s.read.parquet(s"$tmp/audit").select("band", "key")
+      // Mining: a new pair always involves an appended vector, and
+      // every bucket containing one is batch-hit — the corpus side
+      // needs the members of batch-hit under-cap buckets ONLY. The key
+      // set is batch-derived (≤ 4 keys per appended vector, a
+      // micro-batch bound, never corpus-scaled), so broadcasting it
+      // keeps the corpus bucket projection a map-side-pruned scan with
+      // no corpus-wide exchange.
+      val hitKeys = sizes.join(broadcast(bc.select("band", "key")),
+          Seq("band", "key"))
+        .filter(col("n_members") <= MaxNearDupBucket)
+        .select("band", "key")
+      val (members, mPin) = Checkpoints.pin(
+        nearDupBuckets(emb, bits).join(broadcast(hitKeys), Seq("band", "key")))
       try {
-      // candidates involving >= 1 appended member, canonical
-      // lower-id-first; both-new pairs arrive twice and collapse in
-      // the keyed dropDuplicates
-      val newIds = appended.select(col("vec_id")).distinct()
-      val okNew = ok.join(newIds, Seq("vec_id"), "left_semi")
-      val cands = okNew
-        .join(ok.select(col("band"), col("key"), col("vec_id").as("vb"),
-          col("label").as("label_b"), col("embedding").as("embb"))
-          .hint("shuffle_hash"), Seq("band", "key"))
-        .filter(col("vec_id") =!= col("vb"))
-        .filter(expr("graft_cosine(embedding, embb)") > 0.4 - 1e-9)
-        .select(
-          when(col("vec_id") < col("vb"), col("vec_id")).otherwise(col("vb"))
-            .as("keep_id"),
-          when(col("vec_id") < col("vb"), col("vb")).otherwise(col("vec_id"))
-            .as("dup_id"),
-          (col("label") === col("label_b")).as("same_label"),
-          when(col("vec_id") < col("vb"), col("embedding")).otherwise(col("embb"))
-            .as("ea"),
-          when(col("vec_id") < col("vb"), col("embb")).otherwise(col("embedding"))
-            .as("eb"))
-        .dropDuplicates("keep_id", "dup_id")
-      val newPairs = exactVerify(cands)
-      // prior pairs survive iff the two members still share an
-      // under-cap bucket (appends only grow buckets)
-      val kb = ok.select(col("vec_id").as("keep_id"), col("band"), col("key"))
-      val db = ok.select(col("vec_id").as("dup_id"), col("band"), col("key"))
-      val surviving = s.read.parquet(s"$prior/pairs")
-        .join(kb, Seq("keep_id"))
-        .join(db, Seq("dup_id", "band", "key"), "left_semi")
-        .select("keep_id", "dup_id", "cosine", "same_label")
-        .dropDuplicates("keep_id", "dup_id")
-      Warehouse.writeParquet(surviving.unionByName(newPairs), s"$tmp/pairs")
-      } finally Checkpoints.release(okPin)
+        // candidates involving >= 1 appended member, canonical
+        // lower-id-first; both-new pairs arrive twice and collapse in
+        // the keyed dropDuplicates
+        val newIds = appended.select(col("vec_id")).distinct()
+        val exp = members.join(newIds, Seq("vec_id"), "left_semi")
+          .join(members.select(col("band"), col("key"), col("vec_id").as("vb"),
+            col("label").as("label_b"), col("embedding").as("embb")),
+            Seq("band", "key"))
+          .filter(col("vec_id") =!= col("vb"))
+          .filter(expr("graft_cosine(embedding, embb)") > 0.4 - 1e-9)
+          .select(col("band"), col("key"),
+            when(col("vec_id") < col("vb"), col("vec_id")).otherwise(col("vb"))
+              .as("keep_id"),
+            when(col("vec_id") < col("vb"), col("vb")).otherwise(col("vec_id"))
+              .as("dup_id"),
+            (col("label") === col("label_b")).as("same_label"),
+            when(col("vec_id") < col("vb"), col("embedding")).otherwise(col("embb"))
+              .as("ea"),
+            when(col("vec_id") < col("vb"), col("embb")).otherwise(col("embedding"))
+              .as("eb"))
+        val newPairs = exactVerify(dedupCands(exp))
+        // prior pairs survive iff SOME recorded shared bucket is still
+        // under cap (appends only grow buckets, so the mine-time
+        // `pairbk/` list covers every possible survival witness);
+        // pair-table-sized, no corpus membership re-derivation
+        val priorPairs = s.read.parquet(s"$prior/pairs")
+        val priorPairbk = s.read.parquet(s"$prior/pairbk")
+        val aliveBk = priorPairbk.join(audit, Seq("band", "key"), "left_anti")
+        val surviving = priorPairs.join(
+          aliveBk.select("keep_id", "dup_id").dropDuplicates("keep_id", "dup_id"),
+          Seq("keep_id", "dup_id"), "left_semi")
+        Warehouse.writeParquet(surviving.unionByName(newPairs), s"$tmp/pairs")
+        val pairs = s.read.parquet(s"$tmp/pairs")
+        Warehouse.writeParquet(
+          priorPairbk.join(pairs.select("keep_id", "dup_id"),
+              Seq("keep_id", "dup_id"), "left_semi")
+            .unionByName(exp.select("band", "key", "keep_id", "dup_id")
+              .join(pairs.select("keep_id", "dup_id"),
+                Seq("keep_id", "dup_id"), "left_semi")
+              .dropDuplicates("band", "key", "keep_id", "dup_id")),
+          s"$tmp/pairbk")
+      } finally Checkpoints.release(mPin)
     }
     ()
   }

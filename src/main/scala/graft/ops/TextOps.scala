@@ -342,26 +342,53 @@ object TextOps {
         .as("ms"))
   }
 
-  /** Pair expansion from the aggregated bucket relation
-    * `(band, key, ms: array<(doc_id, sg)>)` — split out so the build
-    * can feed the SAME bucket scan to both the audit and the mining. */
-  private def pairsOfBuckets(buckets: DataFrame): DataFrame = {
-    val pairs = buckets
+  /** The per-doc banded projection of a signature relation:
+    * `(doc_id, sg, band, key)` — the exploded form [[sigBuckets]]
+    * aggregates; the incremental updater derives it for the BATCH
+    * alone (a pure per-document function) and, pruned to batch-hit
+    * buckets, for the corpus side of the candidate join. */
+  private def bandsOf(sig: DataFrame): DataFrame = {
+    val sigArr = array(Seeds.map(i => col(s"s$i")): _*)
+    sig.select(col("doc_id"), sigArr.as("sg"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("sg"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** In-row pair expansion from the aggregated bucket relation,
+    * KEEPING the bucket key on every emitted pair row — the build
+    * persists (band, key, doc_a, doc_b) as the `pairbk/` side table so
+    * the incremental recheck ("does this prior pair still share an
+    * under-cap bucket?") is a pair-sized anti-join against the audit
+    * census instead of a corpus-sized membership re-derivation. */
+  private def pairExpansion(buckets: DataFrame): DataFrame =
+    buckets
       .filter(size(col("ms")) > 1 && size(col("ms")) <= MaxBucketMembers)
-      .select(explode(expr(
+      .select(col("band"), col("key"), explode(expr(
         """flatten(transform(ms, (a, i) ->
           |  transform(slice(ms, i + 2, size(ms)), b ->
           |    struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
           |           a.sg AS sga, b.sg AS sgb))))""".stripMargin)).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"), col("p.sga"), col("p.sgb"))
-      .distinct()
+      .select(col("band"), col("key"),
+        col("p.doc_a"), col("p.doc_b"), col("p.sga"), col("p.sgb"))
+
+  /** Signature-estimated Jaccard per matching-sig count — shared by
+    * the build expansion and the incremental candidate join. */
+  private def estJaccard: org.apache.spark.sql.Column = {
     val matches = Seeds.map(i =>
       when(element_at(col("sga"), i + 1) === element_at(col("sgb"), i + 1), 1)
         .otherwise(0)).reduce(_ + _)
-    pairs
-      .select(col("doc_a"), col("doc_b"),
-        r6(matches.cast("double") / Seeds.size).as("est_jaccard"))
+    r6(matches.cast("double") / Seeds.size)
   }
+
+  /** Pair relation (doc_a, doc_b, est_jaccard) from the expansion —
+    * a pair sharing several buckets collapses once. */
+  private def pairsOfExpansion(exp: DataFrame): DataFrame =
+    exp.select(col("doc_a"), col("doc_b"), col("sga"), col("sgb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"), estJaccard.as("est_jaccard"))
+
+  private def pairsOfBuckets(buckets: DataFrame): DataFrame =
+    pairsOfExpansion(pairExpansion(buckets))
 
   /** MinHash+LSH near-dup candidates: 4 bands × 2 rows; a band collision
     * makes a candidate pair; estimated Jaccard = matching sigs / 8.
@@ -404,20 +431,38 @@ object TextOps {
     textDupCache.get(s"$d@${BuildCache.version(d, "documents.parquet")}") {
       Warehouse.getOrBuild("textdup", d, "documents.parquet") { tmp =>
         val sig = sigIndex(s, d)
-        // ONE banding scan feeds both the audit and the mining: the
-        // bucket aggregation already carries every bucket's size (the
-        // member array), so the over-cap census and the under-cap pair
-        // expansion split from a single pinned relation instead of
-        // re-exploding the signature table per table
+        // ONE banding scan feeds the audit, the FULL size census
+        // (`sizes/` — what makes the NEXT append O(batch): it merges
+        // batch-key counts into this table instead of re-exploding the
+        // grown signature table) and the mining: the bucket aggregation
+        // already carries every bucket's size (the member array), so
+        // all three split from a single pinned relation
         val (buckets, bPin) = Checkpoints.pin(sigBuckets(sig))
         try {
           Warehouse.writeParquet(
             buckets.select(col("band"), col("key"),
-                size(col("ms")).cast("long").as("n_members"))
+              size(col("ms")).cast("long").as("n_members")),
+            s"$tmp/sizes")
+          Warehouse.writeParquet(
+            s.read.parquet(s"$tmp/sizes")
               .filter(col("n_members") > MaxBucketMembers),
             s"$tmp/audit")
-          Warehouse.writeParquet(pairsOfBuckets(buckets), s"$tmp/pairs")
+          // pair expansion keeps its bucket key: `pairbk/` records every
+          // under-cap bucket each mined pair shares, so an append can
+          // settle pair death (every recorded bucket crossed the cap)
+          // without re-deriving corpus membership
+          val (exp, ePin) = Checkpoints.pin(pairExpansion(buckets))
+          try {
+            Warehouse.writeParquet(pairsOfExpansion(exp), s"$tmp/pairs")
+            Warehouse.writeParquet(
+              exp.select("band", "key", "doc_a", "doc_b"), s"$tmp/pairbk")
+          } finally Checkpoints.release(ePin)
         } finally Checkpoints.release(bPin)
+        // per-doc 16-bit SimHash (t07 serves from this table): a pure
+        // per-document function, so appends extend it by file like the
+        // signature table — the build pays the one token-explode pass
+        Warehouse.writeParquet(simhashDoc(Tables.documents(s, d)),
+          s"$tmp/simhash")
         val pairs = s.read.parquet(s"$tmp/pairs")
         Warehouse.writeParquet(
           jaccardVerifyTable(Tables.documents(s, d),
@@ -493,35 +538,45 @@ object TextOps {
   private def appendToTextDupIncremental(s: SparkSession, d: String,
       appended: DataFrame, prior: String): Unit = {
     Warehouse.getOrBuild("textdup", d, "documents.parquet") { tmp =>
-      val sig = sigIndex(s, d)
-      val sigArr = array(Seeds.map(i => col(s"s$i")): _*)
-      val bands = sig
-        .select(col("doc_id"), sigArr.as("sg"), explode(bandStructs).as("bk"))
-        .select(col("doc_id"), col("sg"),
-          col("bk.band").as("band"), col("bk.key").as("key"))
-      val sizes = bands.groupBy("band", "key")
-        .agg(count(lit(1)).as("n_members"))
+      // Batch-side banding is a pure per-document function — O(batch),
+      // no corpus scan. The census then MERGES the batch's bucket
+      // counts into the persisted `sizes/` table (one result-sized
+      // columnar pass) instead of re-exploding the grown signature
+      // table per append — at streaming cadence that re-derivation was
+      // the one remaining O(corpus) term in the incremental chain.
+      val batchBands = bandsOf(signatures(appended))
+      val bc = batchBands.groupBy("band", "key").agg(count(lit(1)).as("b_n"))
       Warehouse.writeParquet(
-        sizes.filter(col("n_members") > MaxBucketMembers)
-          .select("band", "key", "n_members"),
-        s"$tmp/audit")
-      // the under-cap band membership feeds the batch candidate join
-      // and both prior-pair recheck projections; pin it once
-      val (ok, okPin) = Checkpoints.pin(bands.join(
-        sizes.filter(col("n_members") <= MaxBucketMembers)
-          .select("band", "key").hint("shuffle_hash"),
-        Seq("band", "key")))
+        s.read.parquet(s"$prior/sizes")
+          .join(bc, Seq("band", "key"), "full_outer")
+          .select(col("band"), col("key"),
+            (coalesce(col("n_members"), lit(0L)) + coalesce(col("b_n"), lit(0L)))
+              .as("n_members")),
+        s"$tmp/sizes")
+      val sizes = s.read.parquet(s"$tmp/sizes")
+      Warehouse.writeParquet(
+        sizes.filter(col("n_members") > MaxBucketMembers), s"$tmp/audit")
+      val audit = s.read.parquet(s"$tmp/audit").select("band", "key")
+      // Mining: a new pair always involves an appended doc, and every
+      // bucket containing an appended doc is batch-hit — so the corpus
+      // side needs the members of batch-hit under-cap buckets ONLY.
+      // The key set is batch-derived (≤ 4 keys per appended doc, a
+      // micro-batch bound, never corpus-scaled), so broadcasting it
+      // keeps the signature-artifact scan map-side pruned: one
+      // shuffle-free columnar pass instead of a corpus-wide exchange.
+      val hitKeys = sizes.join(broadcast(bc.select("band", "key")),
+          Seq("band", "key"))
+        .filter(col("n_members") <= MaxBucketMembers)
+        .select("band", "key")
+      val (members, mPin) = Checkpoints.pin(
+        bandsOf(sigIndex(s, d)).join(broadcast(hitKeys), Seq("band", "key")))
       try {
         val newIds = appended.select(col("doc_id")).distinct()
-        val okNew = ok.join(newIds, Seq("doc_id"), "left_semi")
-        val matches = Seeds.map(i =>
-          when(element_at(col("sga"), i + 1) === element_at(col("sgb"), i + 1), 1)
-            .otherwise(0)).reduce(_ + _)
-        val newPairs = okNew
-          .join(ok.select(col("band"), col("key"), col("doc_id").as("db"),
-            col("sg").as("sgb0")).hint("shuffle_hash"), Seq("band", "key"))
+        val exp = members.join(newIds, Seq("doc_id"), "left_semi")
+          .join(members.select(col("band"), col("key"),
+            col("doc_id").as("db"), col("sg").as("sgb0")), Seq("band", "key"))
           .filter(col("doc_id") =!= col("db"))
-          .select(
+          .select(col("band"), col("key"),
             when(col("doc_id") < col("db"), col("doc_id")).otherwise(col("db"))
               .as("doc_a"),
             when(col("doc_id") < col("db"), col("db")).otherwise(col("doc_id"))
@@ -530,20 +585,29 @@ object TextOps {
               .as("sga"),
             when(col("doc_id") < col("db"), col("sgb0")).otherwise(col("sg"))
               .as("sgb"))
+        val newPairs = exp
           .dropDuplicates("doc_a", "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            r6(matches.cast("double") / Seeds.size).as("est_jaccard"))
-        // prior pairs survive iff the two members still share an
-        // under-cap bucket (appends only grow buckets)
-        val ka = ok.select(col("doc_id").as("doc_a"), col("band"), col("key"))
-        val kb = ok.select(col("doc_id").as("doc_b"), col("band"), col("key"))
-        val surviving = s.read.parquet(s"$prior/pairs")
-          .join(ka.hint("shuffle_hash"), Seq("doc_a"))
-          .join(kb.hint("shuffle_hash"), Seq("doc_b", "band", "key"), "left_semi")
-          .select("doc_a", "doc_b", "est_jaccard")
-          .dropDuplicates("doc_a", "doc_b")
+          .select(col("doc_a"), col("doc_b"), estJaccard.as("est_jaccard"))
+        // Prior pairs survive iff SOME recorded shared bucket is still
+        // under cap (appends only grow buckets, so `pairbk/` — written
+        // at mine time — covers every bucket that can ever be under cap
+        // again); a pair none of whose recorded buckets survives the
+        // audit died on a cap crossing. Pair-table-sized, no corpus
+        // membership re-derivation.
+        val priorPairs = s.read.parquet(s"$prior/pairs")
+        val priorPairbk = s.read.parquet(s"$prior/pairbk")
+        val aliveBk = priorPairbk.join(audit, Seq("band", "key"), "left_anti")
+        val surviving = priorPairs.join(
+          aliveBk.select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b"),
+          Seq("doc_a", "doc_b"), "left_semi")
         Warehouse.writeParquet(surviving.unionByName(newPairs), s"$tmp/pairs")
         val pairs = s.read.parquet(s"$tmp/pairs")
+        Warehouse.writeParquet(
+          priorPairbk.join(pairs.select("doc_a", "doc_b"),
+              Seq("doc_a", "doc_b"), "left_semi")
+            .unionByName(exp.select("band", "key", "doc_a", "doc_b")
+              .dropDuplicates("band", "key", "doc_a", "doc_b")),
+          s"$tmp/pairbk")
         // verified Jaccards carry for surviving pairs (shingle sets are
         // per-doc); only the fresh pairs verify
         val newVerify = jaccardVerifyTable(Tables.documents(s, d),
@@ -556,7 +620,11 @@ object TextOps {
         val edges = pairs.filter(col("est_jaccard") >= 0.5)
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
         Warehouse.writeParquet(connectedComponents(edges), s"$tmp/comp")
-      } finally Checkpoints.release(okPin)
+      } finally Checkpoints.release(mPin)
+      // the per-doc simhash table extends exactly like the signature
+      // artifact: carry the prior files, hash only the batch
+      Warehouse.copyData(s"$prior/simhash", tmp.resolve("simhash"))
+      simhashDoc(appended).write.mode("append").parquet(s"$tmp/simhash")
     }
     ()
   }
@@ -690,15 +758,17 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------- t07
-  /** 16-bit SimHash buckets: token-weighted signed bit votes from md5 hex
-    * digits; equal-simhash buckets with >1 doc are near-dup candidates. */
-  val dedupSimhash: Q = (s, d) => {
-    // Deliberately the explode + keyed-aggregate form, NOT the in-row
-    // array-fold form that t04/t06 use: the 16 per-bit votes would need
-    // 16 interpreted HOF passes per document (measured 1.7× slower than
-    // this shuffle at sf0.1), while the (doc, token) exchange is modest
-    // and the codegen'd aggregate combines map-side.
-    val doc = Tables.documents(s, d)
+  /** Per-document 16-bit SimHash: token-weighted signed bit votes from
+    * md5 hex digits — a pure per-document function, computed once at
+    * [[textDupIndex]] build time (the `simhash/` table) and EXTENDED
+    * per append batch like the signature table.
+    *
+    * Deliberately the explode + keyed-aggregate form, NOT the in-row
+    * array-fold form that t04/t06 use: the 16 per-bit votes would need
+    * 16 interpreted HOF passes per document (measured 1.7× slower than
+    * this shuffle at sf0.1), while the (doc, token) exchange is modest
+    * and the codegen'd aggregate combines map-side. */
+  private[graft] def simhashDoc(doc: DataFrame): DataFrame = {
     val tw = doc.select(col("doc_id"), explode(toks).as("tok"))
       .groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("w"))
@@ -709,10 +779,18 @@ object TextOps {
         .otherwise(-1)) > 0, 1 << j).otherwise(0)
     }.reduce(_ + _)
     tw.groupBy("doc_id").agg(bits.as("simhash"))
-      .groupBy("simhash").agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+  }
+
+  /** Equal-simhash buckets with >1 doc are near-dup candidates. Serves
+    * from the [[textDupIndex]] per-doc table — the last text query that
+    * re-scanned the corpus per run before r10; the serve path is one
+    * map-side-combined aggregate over the ~8-byte-per-doc artifact. */
+  val dedupSimhash: Q = (s, d) =>
+    s.read.parquet(s"${textDupIndex(s, d)}/simhash")
+      .groupBy("simhash")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
       .filter(col("n_docs") > 1)
       .orderBy("simhash")
-  }
 
   val dedupSimhashSql: String = {
     val bits = (0 until 16).map { j =>
@@ -749,8 +827,15 @@ object TextOps {
   private def jaccardVerifyTable(doc: DataFrame, cand: DataFrame): DataFrame = {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sh = shingles(doc).distinct()
-      .join(candDocs.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+    // prune the DOCUMENTS to candidate members BEFORE shingling: the
+    // semi-join does not push through the explode on its own, and
+    // shingling the whole corpus to then discard non-candidates is the
+    // difference between O(candidates) and O(corpus) work per verify —
+    // exactly what the incremental append (batch-sized candidate sets)
+    // must not pay
+    val sh = shingles(
+        doc.join(candDocs.hint("shuffle_hash"), Seq("doc_id"), "left_semi"))
+      .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand.hint("shuffle_hash")
       .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
@@ -1695,8 +1780,15 @@ object TextOps {
     val toks = doc.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val klass = toks.groupBy("w").agg(count(lit(1)).as("c"))
       .select(col("w"), length(bin(col("c"))).cast("int").as("klass"))
-    val scores = toks.join(klass.hint("shuffle_hash"), "w")
-      .groupBy("doc_id").agg(avg("klass").as("score"))
+    // the scores lineage (token explode + corpus-keyed frequency join)
+    // feeds BOTH the cutoff aggregate and the window-population pass —
+    // materialize it once so the second pass reads (doc_id, score)
+    // rows back instead of re-executing the whole explode+join chain
+    // (longs/doubles round-trip parquet exactly, hash unaffected)
+    val scores = Checkpoints.materialize(
+      toks.join(klass.hint("shuffle_hash"), "w")
+        .groupBy("doc_id").agg(avg("klass").as("score")),
+      "graft-t21-scores")
     val cuts = scores.agg(
       count(lit(1)).as("n_docs"),
       r6(expr("percentile(score, 0.6666666666666666)")).as("c_head_exact"),

@@ -47,8 +47,11 @@ object Warehouse {
     * append guard rejects partial-granule batches whose date never
     * produced cube rows — v3 metas would admit them.
     * v5: gcache gained `cache/`+`meta/` subdirs (the partitioned tree
-    * cannot share a root with a meta table). */
-  val LayoutVersion = 5
+    * cannot share a root with a meta table).
+    * v6: textdup gained `sizes/`+`pairbk/`+`simhash/` and neardup
+    * gained `sizes/`+`pairbk/` (the O(batch) incremental-append side
+    * tables); ivf split into `cells/`+`meta/` (frozen-model appends). */
+  val LayoutVersion = 6
 
   /** Root directory: `graft.warehouse` system property (spec isolation),
     * else `GRAFT_WAREHOUSE` env, else `spark-warehouse/graft` under the
@@ -166,15 +169,21 @@ object Warehouse {
     }
   }
 
-  /** The most recently completed artifact of `table@dataset` (default
-    * params), any version — the incremental-maintenance hook: an
-    * updater carries the prior version's data files into the next
-    * version's build instead of recomputing them (see
-    * TextOps.appendToSigIndex). */
-  def latest(table: String, d: String): Option[String] = {
-    val p = prefix(table, "", d)
+  /** The most recently completed artifact of `table@params@dataset`,
+    * any version — the incremental-maintenance hook: an updater
+    * carries the prior version's data files into the next version's
+    * build instead of recomputing them (see TextOps.appendToSigIndex). */
+  def latest(table: String, d: String, params: String = ""): Option[String] = {
+    val p = prefix(table, params, d)
+    // a prior from a superseded LayoutVersion encodes pre-bump build
+    // semantics (e.g. a v3 cube meta keyed post-QC) — adopting it as the
+    // incremental carry would launder stale-algorithm state into a
+    // fresh-layout artifact, so only same-layout dirs qualify; the
+    // appendTo* callers fall back to a full rebuild when none exists
+    val layout = sanitize(s"@v$LayoutVersion-")
     listRoot()
       .filter(f => f.getFileName.toString.startsWith(p) &&
+        f.getFileName.toString.contains(layout) &&
         !f.getFileName.toString.contains(".tmp-") &&
         Files.exists(manifest(f)))
       // order by the RECORDED source state (the version marker's mtime

@@ -239,6 +239,122 @@ class IncrementalSpec extends SparkSpecBase {
     Warehouse.invalidateDataset(ds)
   }
 
+  test("appendToIvf: frozen centroids, batch-only assignment == full rebuild with the same model") {
+    import graft.ops.SimOps
+    val ds = tmpDs("graft-inc-ivf")
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base.write.mode("overwrite").parquet(s"$ds/embeddings.parquet")
+    SimOps.clearIvfCaches()
+    SimOps.buildIvf(spark, ds)
+    val priorIvf = Warehouse.latest("ivf", ds).get
+    val priorModel = SimOps.kmeansModelQ(spark, ds).collect()
+    // remember one prior inverted-file data file (inside a cell dir)
+    val carried = {
+      val cells = java.nio.file.Paths.get(priorIvf, "cells")
+      val st = java.nio.file.Files.walk(cells)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .map(cells.relativize(_).toString).toSeq.head
+      } finally st.close()
+    }
+    // a small batch (copies + reversed vectors) stays well inside the
+    // MaxIvfGrowth contract, so the append must NOT retrain
+    val batch = base.filter(col("vec_id").isin(7L, 11L, 401L))
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding"), col("label"))
+    base.unionByName(batch).write.mode("overwrite")
+      .parquet(s"$ds/embeddings.parquet")
+    SimOps.clearIvfCaches()
+    SimOps.appendToIvf(spark, ds, batch)
+    val incIvf = Warehouse.latest("ivf", ds).get
+    assert(incIvf != priorIvf, "append produced no new ivf version")
+    assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(incIvf, "cells", carried)),
+      "incremental ivf did not carry the prior cells by file")
+    // the model is FROZEN: v08 at the new corpus version serves the
+    // prior centroids bit-for-bit (no Lloyd re-run)
+    assert(SimOps.kmeansModelQ(spark, ds).collect().sameElements(priorModel),
+      "appendToIvf retrained inside the growth contract")
+    def snaps() = (
+      SimOps.ivfIndexQ(spark, ds).collect(),
+      SimOps.simIvf(spark, ds).collect(),
+      SimOps.simIvfProbe2(spark, ds).collect(),
+      SimOps.ivfRecall(spark, ds).collect())
+    val (i1, v1, p1, r1) = snaps()
+    assert(i1.length == base.count() + 3,
+      s"inverted file has ${i1.length} vectors")
+    // full rebuild of the inverted file at the SAME frozen model (the
+    // kmeans copy persists at this corpus version): row-identical
+    SimOps.clearIvfCaches()
+    Warehouse.invalidate("ivf", ds)
+    val (i2, v2, p2, r2) = snaps()
+    assert(i1.sameElements(i2), "appended inverted file drifted from full assignment")
+    assert(v1.sameElements(v2), "v05 over the appended index drifted")
+    assert(p1.sameElements(p2), "v07 over the appended index drifted")
+    assert(r1.sameElements(r2), "v10 over the appended index drifted")
+    // growth beyond the contract RETRAINS: a batch tripling the corpus
+    // routes to the full build, whose meta records a fresh training set
+    val big = base.select((col("vec_id") + 5000L).as("vec_id"),
+      reverse(col("embedding")).as("embedding"), col("label"))
+    spark.read.parquet(s"$ds/embeddings.parquet").unionByName(big)
+      .write.mode("overwrite").parquet(s"$ds/embeddings2.parquet")
+    spark.read.parquet(s"$ds/embeddings2.parquet")
+      .write.mode("overwrite").parquet(s"$ds/embeddings.parquet")
+    SimOps.clearIvfCaches()
+    SimOps.appendToIvf(spark, ds, big)
+    val meta = spark.read.parquet(s"${Warehouse.latest("ivf", ds).get}/meta")
+      .select("n_vectors", "trained_n").head()
+    assert(meta.getLong(0) == meta.getLong(1),
+      s"growth past MaxIvfGrowth did not retrain: $meta")
+    Warehouse.invalidateDataset(ds)
+  }
+
+  test("appendToGeoTiffFrames carries prior frames by file; x08 == full rebuild") {
+    val ds = tmpDs("graft-inc-gtiff")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val cutoff = "1998-06-01"
+    li.filter(col("l_shipdate") <= lit(cutoff))
+      .write.mode("overwrite").parquet(s"$ds/lineitem.parquet")
+    Pipeline.clearCubeCache()
+    graft.ops.Export.clearGtiffCache()
+    graft.ops.Export.buildGeoTiffFrames(spark, ds)
+    val prior = Warehouse.latest("gtiff", ds).get
+    val carried = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(prior))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".tif")).toSeq.min
+      } finally st.close()
+    }
+    val carriedBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(prior, carried))
+    li.write.mode("overwrite").parquet(s"$ds/lineitem.parquet")
+    Pipeline.clearCubeCache()
+    graft.ops.Export.clearGtiffCache()
+    val batchRaw = graft.ops.Pixels.pixels(spark, ds)
+      .filter(col("date") > lit(cutoff))
+    Pipeline.appendToCube(spark, ds, batchRaw)
+    graft.ops.Export.appendToGeoTiffFrames(spark, ds)
+    val incDir = Warehouse.latest("gtiff", ds).get
+    assert(incDir != prior, "append produced no new gtiff version")
+    // the prior frame carried byte-identically (a file copy, no re-encode)
+    assert(java.util.Arrays.equals(carriedBytes,
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(incDir, carried))),
+      s"prior frame $carried was re-encoded or dropped")
+    def x08() = graft.ops.Export.sinkManifestQ(spark, ds).collect()
+    val inc = x08()
+    assert(inc.exists(_.getString(0) > cutoff), "no appended frames in x08")
+    graft.ops.Export.clearGtiffCache()
+    Warehouse.invalidate("gtiff", ds)
+    assert(x08().sameElements(inc),
+      "incremental frame dir drifted from the full rebuild")
+    Warehouse.invalidateDataset(ds)
+  }
+
   test("appendToCube == full rebuild; prior date partitions carry by file") {
     val ds = tmpDs("graft-inc-cube")
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

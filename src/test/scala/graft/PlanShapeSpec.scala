@@ -197,7 +197,7 @@ class PlanShapeSpec extends SparkSpecBase {
     // t06/t08/t12 read exactly their artifact table; t11/t13 aggregate
     // the label table — none re-derives banding, verification, or the
     // iterative CC at query time
-    for (q <- Seq("t06_dedup_minhash", "t08_ngram_jaccard",
+    for (q <- Seq("t06_dedup_minhash", "t07_dedup_simhash", "t08_ngram_jaccard",
         "t11_dedup_components", "t12_bucket_audit", "t13_component_audit")) {
       val df = SparkEntry.queries(q)(spark, d)
       assert(df.inputFiles.nonEmpty &&

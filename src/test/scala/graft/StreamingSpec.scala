@@ -439,6 +439,74 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("streamed date-batches maintain the cube + granule cache; p05/p08 == full rebuild") {
+    // the pixel-family analog of the text chain above — and the
+    // reference's ACTUAL resumable surface (processor.py:342-356 only
+    // ever adds new acquisitions): each micro-batch of strictly-newer
+    // dates appends to the raw table AND drives appendToCube +
+    // appendToGranuleCache, so the artifacts p05/p06/p08 serve from are
+    // stream-maintained
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Pipeline
+    val ds = java.nio.file.Files.createTempDirectory("graft-stream-px").toString
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val cutoff = "1998-06-01"
+    li.filter(col("l_shipdate") <= lit(cutoff))
+      .write.mode("overwrite").parquet(s"$ds/lineitem.parquet")
+    Pipeline.clearCubeCache()
+    Pipeline.clearGranuleCacheCache()
+    Pipeline.buildCube(spark, ds)
+    Pipeline.buildGranuleCache(spark, ds)
+    val input = MemoryStream[(String, String)] // (lo, hi] date windows
+    val q = input.toDF().toDF("lo", "hi")
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.collect().foreach { r =>
+          val (lo, hi) = (r.getString(0), r.getString(1))
+          li.filter(col("l_shipdate") > lit(lo) && col("l_shipdate") <= lit(hi))
+            .write.mode("append").parquet(s"$ds/lineitem.parquet")
+          Pipeline.clearCubeCache()
+          Pipeline.clearGranuleCacheCache()
+          val raw = graft.ops.Pixels.pixels(spark, ds)
+            .filter(col("date") > lit(lo) && col("date") <= lit(hi))
+          Pipeline.appendToCube(spark, ds, raw)
+          Pipeline.appendToGranuleCache(spark, ds, raw)
+        }
+        ()
+      }
+      .start()
+    try {
+      input.addData(("1998-06-01", "1998-09-01"))
+      q.processAllAvailable()
+      input.addData(("1998-09-01", "1998-12-31"))
+      q.processAllAvailable()
+      def snap() = (
+        Pipeline.cubeIndex(spark, ds)
+          .select(col("date"), col("y"), col("x"),
+            graft.ops.Num.r6(col("ndvi")).as("ndvi"),
+            graft.ops.Num.r6(col("evi")).as("evi"),
+            col("num_granules_merged"))
+          .orderBy("date", "y", "x").collect(),
+        SparkEntry.queries("p05_pipeline_summary")(spark, ds).collect(),
+        SparkEntry.queries("p08_pipeline_cached")(spark, ds).collect())
+      val (c1, s1, g1) = snap()
+      assert(c1.exists(_.getDate(0).toString > "1998-09-01"),
+        "second streamed window never reached the cube")
+      // the stream-maintained artifacts equal a from-scratch build
+      Pipeline.clearCubeCache()
+      Pipeline.clearGranuleCacheCache()
+      graft.ops.Warehouse.invalidate("cube", ds)
+      graft.ops.Warehouse.invalidate("gcache", ds)
+      val (c2, s2, g2) = snap()
+      assert(c1.sameElements(c2), "stream-maintained cube drifted")
+      assert(s1.sameElements(s2), "p05 over the streamed cube drifted")
+      assert(g1.sameElements(g2), "p08 over the streamed granule cache drifted")
+    } finally {
+      q.stop()
+      graft.ops.Warehouse.invalidateDataset(ds)
+    }
+  }
+
   test("ingest dedup drops replayed observations across triggers, state watermark-bounded") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]

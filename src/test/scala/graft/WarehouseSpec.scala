@@ -169,6 +169,31 @@ class WarehouseSpec extends SparkSpecBase {
     }
   }
 
+  test("latest never adopts a prior from a superseded LayoutVersion") {
+    withTempRoot { root =>
+      val ds = java.nio.file.Files.createTempDirectory("graft-wh-layout").toString
+      writeDocs(ds, "one")
+      val d1 = Warehouse.getOrBuild("lay", ds, "documents.parquet") { tmp =>
+        java.nio.file.Files.createDirectories(tmp)
+        java.nio.file.Files.write(tmp.resolve("data.bin"), Array[Byte](1))
+        ()
+      }
+      assert(Warehouse.latest("lay", ds).contains(d1))
+      // rewrite the artifact under the PREVIOUS layout's name: its build
+      // semantics predate the current code, so the incremental updaters
+      // must not adopt it as a carry prior — a v(N-1) cube meta, for
+      // example, encodes the exact keying flaw the vN bump fixed
+      val name1 = java.nio.file.Paths.get(d1).getFileName.toString
+      val oldName = name1.replace(s"@v${Warehouse.LayoutVersion}-",
+        s"@v${Warehouse.LayoutVersion - 1}-")
+      assert(oldName != name1, s"layout marker missing from $name1")
+      java.nio.file.Files.move(java.nio.file.Paths.get(d1),
+        java.nio.file.Paths.get(root, oldName))
+      assert(Warehouse.latest("lay", ds).isEmpty,
+        "latest adopted a superseded-layout artifact as the carry prior")
+    }
+  }
+
   test("writeParquet keeps an empty relation readable with its schema") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-wh-empty").toString

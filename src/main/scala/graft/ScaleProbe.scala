@@ -67,16 +67,25 @@ object ScaleProbe {
     }
     val tmpDs = java.nio.file.Files.createTempDirectory("graft-probe-ds").toString
     for (t <- Seq("documents.parquet", "embeddings.parquet")) {
+      // the copy is always a DIRECTORY of part files (appends land as
+      // additional files), whether the source is a single parquet file
+      // (the generated testdata shape) or already a directory
       val to = java.nio.file.Paths.get(tmpDs, t)
       java.nio.file.Files.createDirectories(to)
-      val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir, t))
-      try st.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
-        .foreach { f =>
-          val dst = to.resolve(f.getFileName.toString)
-          try java.nio.file.Files.createLink(dst, f)
-          catch { case _: Exception => java.nio.file.Files.copy(f, dst); () }
-        }
-      finally st.close()
+      def link(f: java.nio.file.Path, name: String): Unit = {
+        val dst = to.resolve(name)
+        try java.nio.file.Files.createLink(dst, f)
+        catch { case _: Exception => java.nio.file.Files.copy(f, dst); () }
+        ()
+      }
+      val src = java.nio.file.Paths.get(dir, t)
+      if (java.nio.file.Files.isRegularFile(src)) link(src, "part-00000.parquet")
+      else {
+        val st = java.nio.file.Files.list(src)
+        try st.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .foreach(f => link(f, f.getFileName.toString))
+        finally st.close()
+      }
     }
     // cold artifact builds on the copy (untimed here — the build costs
     // are measured above on the primary dir)

@@ -1306,13 +1306,20 @@ object SimOps {
       val batchBuckets = nearDupBuckets(appended, bits)
       val bc = batchBuckets.groupBy("band", "key").agg(count(lit(1)).as("b_n"))
       writeNearDupMeta(s, tmp.toString, n, bits)
-      Warehouse.writeParquet(
-        s.read.parquet(s"$prior/sizes")
-          .join(bc, Seq("band", "key"), "full_outer")
-          .select(col("band"), col("key"),
-            (coalesce(col("n_members"), lit(0L)) + coalesce(col("b_n"), lit(0L)))
-              .as("n_members")),
-        s"$tmp/sizes")
+      // census merge without a bucket-keyed exchange (the TextOps
+      // pattern): broadcast-left-join the batch counts over the
+      // persisted census, union the brand-new buckets (batch keys
+      // minus the batch-key-sized matched set)
+      val priorSizes = s.read.parquet(s"$prior/sizes")
+      val grown = priorSizes.join(broadcast(bc), Seq("band", "key"), "left")
+        .select(col("band"), col("key"),
+          (col("n_members") + coalesce(col("b_n"), lit(0L))).as("n_members"))
+      val matched = priorSizes
+        .join(broadcast(bc.select("band", "key")), Seq("band", "key"), "left_semi")
+        .select("band", "key")
+      val freshBuckets = bc.join(matched, Seq("band", "key"), "left_anti")
+        .select(col("band"), col("key"), col("b_n").as("n_members"))
+      Warehouse.writeParquet(grown.unionByName(freshBuckets), s"$tmp/sizes")
       val sizes = s.read.parquet(s"$tmp/sizes")
       Warehouse.writeParquet(
         sizes.filter(col("n_members") > MaxNearDupBucket)

@@ -546,13 +546,22 @@ object TextOps {
       // the one remaining O(corpus) term in the incremental chain.
       val batchBands = bandsOf(signatures(appended))
       val bc = batchBands.groupBy("band", "key").agg(count(lit(1)).as("b_n"))
-      Warehouse.writeParquet(
-        s.read.parquet(s"$prior/sizes")
-          .join(bc, Seq("band", "key"), "full_outer")
-          .select(col("band"), col("key"),
-            (coalesce(col("n_members"), lit(0L)) + coalesce(col("b_n"), lit(0L)))
-              .as("n_members")),
-        s"$tmp/sizes")
+      // census merge WITHOUT a bucket-keyed exchange: the grown side is
+      // a map-side broadcast-left-join scan of the persisted census
+      // (batch keys broadcast), and the brand-new buckets are the
+      // batch keys minus the (batch-key-sized) matched set — a
+      // full_outer here would shuffle the whole O(buckets) table per
+      // append
+      val priorSizes = s.read.parquet(s"$prior/sizes")
+      val grown = priorSizes.join(broadcast(bc), Seq("band", "key"), "left")
+        .select(col("band"), col("key"),
+          (col("n_members") + coalesce(col("b_n"), lit(0L))).as("n_members"))
+      val matched = priorSizes
+        .join(broadcast(bc.select("band", "key")), Seq("band", "key"), "left_semi")
+        .select("band", "key")
+      val freshBuckets = bc.join(matched, Seq("band", "key"), "left_anti")
+        .select(col("band"), col("key"), col("b_n").as("n_members"))
+      Warehouse.writeParquet(grown.unionByName(freshBuckets), s"$tmp/sizes")
       val sizes = s.read.parquet(s"$tmp/sizes")
       Warehouse.writeParquet(
         sizes.filter(col("n_members") > MaxBucketMembers), s"$tmp/audit")
@@ -585,9 +594,12 @@ object TextOps {
               .as("sga"),
             when(col("doc_id") < col("db"), col("sgb0")).otherwise(col("sg"))
               .as("sgb"))
-        val newPairs = exp
+        // pinned: newPairs feeds the pair write, the fresh-doc set and
+        // the verify candidates — one batch-sized block, released below
+        val (newPairs, npPin) = Checkpoints.pin(exp
           .dropDuplicates("doc_a", "doc_b")
-          .select(col("doc_a"), col("doc_b"), estJaccard.as("est_jaccard"))
+          .select(col("doc_a"), col("doc_b"), estJaccard.as("est_jaccard")))
+        try {
         // Prior pairs survive iff SOME recorded shared bucket is still
         // under cap (appends only grow buckets, so `pairbk/` — written
         // at mine time — covers every bucket that can ever be under cap
@@ -609,10 +621,19 @@ object TextOps {
               .dropDuplicates("band", "key", "doc_a", "doc_b")),
           s"$tmp/pairbk")
         // verified Jaccards carry for surviving pairs (shingle sets are
-        // per-doc); only the fresh pairs verify
-        val newVerify = jaccardVerifyTable(Tables.documents(s, d),
-          pairs.join(s.read.parquet(s"$prior/verify").select("doc_a", "doc_b"),
-            Seq("doc_a", "doc_b"), "left_anti").select("doc_a", "doc_b"))
+        // per-doc); only the fresh pairs verify. The fresh set IS
+        // newPairs — every prior pair was verified at its own mine time
+        // and text pairs never resurrect — so the verify stage is
+        // batch-bounded: its documents scan broadcast-prunes to the
+        // fresh pairs' members before shingling (an anti-join against
+        // the O(pairs) prior verify table would shuffle two
+        // result-sized relations per append instead)
+        val freshDocs = newPairs.select(col("doc_a").as("doc_id"))
+          .unionByName(newPairs.select(col("doc_b").as("doc_id"))).distinct()
+        val newVerify = jaccardVerifyTable(
+          Tables.documents(s, d)
+            .join(broadcast(freshDocs), Seq("doc_id"), "left_semi"),
+          newPairs.select("doc_a", "doc_b"))
         val survVerify = s.read.parquet(s"$prior/verify")
           .join(pairs.select("doc_a", "doc_b").hint("shuffle_hash"),
             Seq("doc_a", "doc_b"), "left_semi")
@@ -620,6 +641,7 @@ object TextOps {
         val edges = pairs.filter(col("est_jaccard") >= 0.5)
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
         Warehouse.writeParquet(connectedComponents(edges), s"$tmp/comp")
+        } finally Checkpoints.release(npPin)
       } finally Checkpoints.release(mPin)
       // the per-doc simhash table extends exactly like the signature
       // artifact: carry the prior files, hash only the batch
@@ -1782,13 +1804,16 @@ object TextOps {
       .select(col("w"), length(bin(col("c"))).cast("int").as("klass"))
     // the scores lineage (token explode + corpus-keyed frequency join)
     // feeds BOTH the cutoff aggregate and the window-population pass —
-    // materialize it once so the second pass reads (doc_id, score)
-    // rows back instead of re-executing the whole explode+join chain
-    // (longs/doubles round-trip parquet exactly, hash unaffected)
-    val scores = Checkpoints.materialize(
-      toks.join(klass.hint("shuffle_hash"), "w")
-        .groupBy("doc_id").agg(avg("klass").as("score")),
-      "graft-t21-scores")
+    // cache it so the second pass reads the 2-column DOC-COUNT-sized
+    // relation from memory instead of re-executing the whole
+    // explode+join chain. A catalog-managed cache (not a checkpoint
+    // pin) deliberately: it is released by `spark.catalog.clearCache()`
+    // — the per-query discipline Bench already applies — where a
+    // localCheckpoint pin would leak its block past the query. (The r4
+    // "never cache the signature table" note does not apply: that
+    // relation was corpus-shingle-sized; this one is ~16 bytes/doc.)
+    val scores = toks.join(klass.hint("shuffle_hash"), "w")
+      .groupBy("doc_id").agg(avg("klass").as("score")).cache()
     val cuts = scores.agg(
       count(lit(1)).as("n_docs"),
       r6(expr("percentile(score, 0.6666666666666666)")).as("c_head_exact"),

@@ -95,7 +95,7 @@ object BenchGate {
     * them. */
   def parseBuilds(raw: String): Map[String, Double] = {
     val json = raw.replace("\\\"", "\"")
-    "\"((?:ivf|sig|textdup|funnel|neardup|cube|gcache|gtiff)_build)\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)".r
+    "\"((?:ivf|sig|textdup|freq|funnel|neardup|cube|gcache|gtiff)_build)\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)".r
       .findAllMatchIn(json)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }

@@ -24,6 +24,7 @@ object ScaleProbe {
     val builds = Seq(
       "sig_build" -> timed(ops.TextOps.buildSigIndex(spark, dir)),
       "textdup_build" -> timed(ops.TextOps.buildTextDup(spark, dir)),
+      "freq_build" -> timed(ops.TextOps.buildFreq(spark, dir)),
       "neardup_build" -> timed(ops.SimOps.buildNearDup(spark, dir)),
       "funnel_build" -> timed(ops.TextOps.buildFunnel(spark, dir)),
       "ivf_build" -> timed(ops.SimOps.buildIvf(spark, dir)))
@@ -92,6 +93,7 @@ object ScaleProbe {
     ops.TextOps.buildSigIndex(spark, tmpDs)
     ops.TextOps.buildTextDup(spark, tmpDs)
     ops.TextOps.buildFunnel(spark, tmpDs)
+    ops.TextOps.buildFreq(spark, tmpDs)
     ops.SimOps.buildNearDup(spark, tmpDs)
     ops.SimOps.buildIvf(spark, tmpDs)
     // fixed-size batches: 200 docs (half exact copies, half perturbed),
@@ -122,6 +124,7 @@ object ScaleProbe {
       "sig_append" -> timed(ops.TextOps.appendToSigIndex(spark, tmpDs, batchDocs)),
       "textdup_append" -> timed(ops.TextOps.appendToTextDup(spark, tmpDs, batchDocs)),
       "funnel_append" -> timed(ops.TextOps.appendToFunnel(spark, tmpDs, batchDocs)),
+      "freq_append" -> timed(ops.TextOps.appendToFreq(spark, tmpDs, batchDocs)),
       "neardup_append" -> timed(ops.SimOps.appendToNearDup(spark, tmpDs, batchVec)),
       "ivf_append" -> timed(ops.SimOps.appendToIvf(spark, tmpDs, batchVec)))
     ops.Warehouse.invalidateDataset(tmpDs)

@@ -1745,13 +1745,129 @@ object TextOps {
     * token-keyed SHUFFLED join back (corpus-derived on both sides —
     * pinned shuffle_hash, never broadcast, the t08 discipline), one
     * doc-keyed mean, and a two-value cutoff broadcast. */
-  val freqBucket: Q = (s, d) => {
-    val doc = Tables.documents(s, d)
-    val toks = doc.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val klass = toks.groupBy("w").agg(count(lit(1)).as("c"))
-      .select(col("w"), length(bin(col("c"))).cast("int").as("klass"))
-    val scores = toks.join(klass.hint("shuffle_hash"), "w")
+  // ------------------------------------------------- freq artifact
+  private val freqCache = new BuildCache[String]
+
+  /** Token frequency-class (bit-length of the corpus count) per token
+    * of a counts relation — the t20/t21 surprisal proxy. */
+  private def tokenKlass(counts: DataFrame): DataFrame =
+    counts.select(col("w"), length(bin(col("c"))).cast("int").as("klass"))
+
+  /** The live per-doc score lineage over an arbitrary (doc_id, w)
+    * token relation against a (w, c) count relation: corpus-derived on
+    * both sides, so the class join is pinned shuffled (never
+    * broadcast — vocabulary scales with the corpus). */
+  private def scoresOf(toks: DataFrame, counts: DataFrame): DataFrame =
+    toks.join(tokenKlass(counts).hint("shuffle_hash"), "w")
       .groupBy("doc_id").agg(avg("klass").as("score"))
+
+  /** Materialized frequency-score artifact `freq@…` — the corpus pass
+    * t20 AND t21 each re-derived per run (token explode + corpus-keyed
+    * frequency join, the only per-query corpus JOIN left in the text
+    * family). Tables:
+    *  - `counts/` (w, c) — the token census (what the incremental
+    *    append merges batch counts into, the sizes/ pattern);
+    *  - `scores/` (doc_id, score) — each doc's mean token class,
+    *    stored RAW (parquet round-trips the double exactly, so serving
+    *    is bit-identical to the live lineage).
+    * At 100 TB both are result-sized: vocabulary and one 16-byte row
+    * per document. */
+  private[graft] def freqIndex(s: SparkSession, d: String): String =
+    freqCache.get(s"$d@${BuildCache.version(d, "documents.parquet")}") {
+      Warehouse.getOrBuild("freq", d, "documents.parquet") { tmp =>
+        val (tk, pin) = Checkpoints.pin(Tables.documents(s, d)
+          .select(col("doc_id"), explode(toks).as("w")))
+        try {
+          Warehouse.writeParquet(
+            tk.groupBy("w").agg(count(lit(1)).as("c")), s"$tmp/counts")
+          Warehouse.writeParquet(
+            scoresOf(tk, s.read.parquet(s"$tmp/counts")), s"$tmp/scores")
+        } finally Checkpoints.release(pin)
+      }
+    }
+
+  /** Explicit build step; queries build lazily on first use,
+    * [[graft.Bench]]'s warm-up runs it up front so t20/t21 timings
+    * measure serving. */
+  def buildFreq(s: SparkSession, d: String): Unit = {
+    freqIndex(s, d)
+    ()
+  }
+
+  /** Test hook: drop the per-dataset freq-artifact cache. */
+  private[graft] def clearFreqCache(): Unit = freqCache.clear()
+
+  /** Plan-shape hook: the live scores lineage `freq_build` executes
+    * (TextAggSpec locks the token-class join shuffled — its build side
+    * scales with the vocabulary, never broadcast). */
+  private[graft] def freqScoresPlan(s: SparkSession, d: String): DataFrame = {
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("w"))
+    scoresOf(tk, tk.groupBy("w").agg(count(lit(1)).as("c")))
+  }
+
+  /** INCREMENTAL freq maintenance. A document's score depends on the
+    * GLOBAL class of each token it contains, so corpus growth could in
+    * principle reprice every prior document — but the class is a
+    * COUNT BIT-LENGTH: it moves only when a token's count crosses a
+    * power of two, and appends only grow counts. The updater merges
+    * the batch's token counts into the persisted census (map-side, the
+    * sizes/ pattern) and then GUARDS: if no batch-hit token's class
+    * changed, every prior score is still exact — prior `scores/` files
+    * carry over untouched and only the batch docs score (against the
+    * batch-vocabulary slice of the merged census). A class crossing
+    * (or any failure) routes to the idempotent full rebuild.
+    * Row-identical to a full rebuild either way (spec-asserted,
+    * including a crossing case). */
+  def appendToFreq(s: SparkSession, d: String, appended: DataFrame): Unit = {
+    Warehouse.latest("freq", d) match {
+      case None => buildFreq(s, d)
+      case Some(prior) =>
+        try appendToFreqIncremental(s, d, appended, prior)
+        catch { case scala.util.control.NonFatal(_) => buildFreq(s, d) }
+    }
+  }
+
+  private def appendToFreqIncremental(s: SparkSession, d: String,
+      appended: DataFrame, prior: String): Unit = {
+    Warehouse.getOrBuild("freq", d, "documents.parquet") { tmp =>
+      val (btk, pin) = Checkpoints.pin(
+        appended.select(col("doc_id"), explode(toks).as("w")))
+      try {
+        val bc = btk.groupBy("w").agg(count(lit(1)).as("b_c"))
+        val priorCounts = s.read.parquet(s"$prior/counts")
+        // class-stability guard BEFORE any write: a batch-hit token
+        // whose bit-length grew reprices prior documents — full rebuild
+        val crossings = priorCounts.join(broadcast(bc), "w")
+          .filter(length(bin(col("c") + col("b_c"))) =!= length(bin(col("c"))))
+          .limit(1).count()
+        require(crossings == 0L,
+          "a token's frequency class crossed a power of two — full rebuild")
+        val grown = priorCounts.join(broadcast(bc), Seq("w"), "left")
+          .select(col("w"), (col("c") + coalesce(col("b_c"), lit(0L))).as("c"))
+        val matched = priorCounts
+          .join(broadcast(bc.select("w")), Seq("w"), "left_semi").select("w")
+        val freshW = bc.join(matched, Seq("w"), "left_anti")
+          .select(col("w"), col("b_c").as("c"))
+        Warehouse.writeParquet(grown.unionByName(freshW), s"$tmp/counts")
+        // prior scores carry by file; only the batch scores, against
+        // the batch-vocabulary slice of the merged census
+        Warehouse.copyData(s"$prior/scores", tmp.resolve("scores"))
+        val batchKlass = tokenKlass(s.read.parquet(s"$tmp/counts")
+          .join(broadcast(bc.select("w")), Seq("w"), "left_semi"))
+        btk.join(batchKlass, "w")
+          .groupBy("doc_id").agg(avg("klass").as("score"))
+          .write.mode("append").parquet(s"$tmp/scores")
+      } finally Checkpoints.release(pin)
+    }
+    ()
+  }
+
+  val freqBucket: Q = (s, d) => {
+    // serves from the freq artifact: the corpus token pass ran at
+    // build time; the cutoff aggregate and the bucket projection run
+    // over the doc-count-sized scores table
+    val scores = s.read.parquet(s"${freqIndex(s, d)}/scores")
     val cuts = scores.agg(
       expr("percentile(score, 0.6666666666666666)").as("c_head"),
       expr("percentile(score, 0.3333333333333333)").as("c_mid"))
@@ -1798,22 +1914,11 @@ object TextOps {
     * are the exact cutoffs plus the bound verdicts — the gate checks
     * the contract; the sketch plan is the scale path. */
   val freqBucketApprox: Q = (s, d) => {
-    val doc = Tables.documents(s, d)
-    val toks = doc.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val klass = toks.groupBy("w").agg(count(lit(1)).as("c"))
-      .select(col("w"), length(bin(col("c"))).cast("int").as("klass"))
-    // the scores lineage (token explode + corpus-keyed frequency join)
-    // feeds BOTH the cutoff aggregate and the window-population pass —
-    // cache it so the second pass reads the 2-column DOC-COUNT-sized
-    // relation from memory instead of re-executing the whole
-    // explode+join chain. A catalog-managed cache (not a checkpoint
-    // pin) deliberately: it is released by `spark.catalog.clearCache()`
-    // — the per-query discipline Bench already applies — where a
-    // localCheckpoint pin would leak its block past the query. (The r4
-    // "never cache the signature table" note does not apply: that
-    // relation was corpus-shingle-sized; this one is ~16 bytes/doc.)
-    val scores = toks.join(klass.hint("shuffle_hash"), "w")
-      .groupBy("doc_id").agg(avg("klass").as("score")).cache()
+    // serves from the freq artifact: BOTH passes (the cutoff/sketch
+    // aggregate and the window-population count) are scans of the
+    // doc-count-sized scores table — before r10 each run re-executed
+    // the token explode + frequency join TWICE
+    val scores = s.read.parquet(s"${freqIndex(s, d)}/scores")
     val cuts = scores.agg(
       count(lit(1)).as("n_docs"),
       r6(expr("percentile(score, 0.6666666666666666)")).as("c_head_exact"),

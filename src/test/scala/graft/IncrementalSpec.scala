@@ -311,6 +311,82 @@ class IncrementalSpec extends SparkSpecBase {
     Warehouse.invalidateDataset(ds)
   }
 
+  test("appendToFreq: class-stable batch carries prior scores by file == full rebuild") {
+    val ds = tmpDs("graft-inc-freq")
+    val base = seedDocs(ds)
+    TextOps.clearFreqCache()
+    TextOps.buildFreq(spark, ds)
+    val prior = Warehouse.latest("freq", ds).get
+    val carried = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(prior, "scores"))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("part-")).toSeq.head
+      } finally st.close()
+    }
+    // a TINY batch: every token count grows by far less than a power
+    // of two on the sf0.001 vocabulary, so the class guard holds and
+    // prior scores must carry by file
+    val batch = base.filter(col("doc_id").isin(5L, 9L))
+      .select((col("doc_id") + 1000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    base.unionByName(batch).write.mode("overwrite")
+      .parquet(s"$ds/documents.parquet")
+    TextOps.clearFreqCache()
+    TextOps.appendToFreq(spark, ds, batch)
+    val incDir = Warehouse.latest("freq", ds).get
+    assert(incDir != prior, "append produced no new freq version")
+    assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(incDir, "scores", carried)),
+      "class-stable append did not carry the prior scores by file")
+    def snap() = (
+      TextOps.freqBucket(spark, ds).collect(),
+      TextOps.freqBucketApprox(spark, ds).collect())
+    val (b1, a1) = snap()
+    assert(b1.exists(_.getLong(0) == 1005L), "appended doc missing from t20")
+    TextOps.clearFreqCache()
+    Warehouse.invalidate("freq", ds)
+    val (b2, a2) = snap()
+    assert(b1.sameElements(b2), "incremental freq scores drifted from full rebuild")
+    assert(a1.sameElements(a2), "t21 over the incremental freq artifact drifted")
+    Warehouse.invalidateDataset(ds)
+  }
+
+  test("appendToFreq falls back to a full rebuild when a token class crosses a power of two") {
+    import spark.implicits._
+    val ds = tmpDs("graft-inc-freqx")
+    // corpus where token 'zq' appears exactly 3 times (class 2); the
+    // batch adds one more 'zq' -> count 4 -> class 3: prior docs
+    // containing 'zq' reprice, so the guard must decline the carry and
+    // the result must still equal a from-scratch build
+    val base = Seq(
+      (0L, "alpha bravo zq charlie", "en", "srcF", 22L),
+      (1L, "delta zq echo foxtrot", "en", "srcF", 21L),
+      (2L, "golf hotel india zq", "en", "srcF", 19L),
+      (3L, "juliet kilo lima mike", "en", "srcF", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    base.write.mode("overwrite").parquet(s"$ds/documents.parquet")
+    TextOps.clearFreqCache()
+    TextOps.buildFreq(spark, ds)
+    val prior = Warehouse.latest("freq", ds).get
+    val batch = Seq((10L, "november zq oscar papa", "en", "srcF", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    base.unionByName(batch).write.mode("overwrite")
+      .parquet(s"$ds/documents.parquet")
+    TextOps.clearFreqCache()
+    TextOps.appendToFreq(spark, ds, batch)
+    assert(Warehouse.latest("freq", ds).get != prior,
+      "crossing append produced no new freq version")
+    val inc = TextOps.freqBucket(spark, ds).collect()
+    TextOps.clearFreqCache()
+    Warehouse.invalidate("freq", ds)
+    val full = TextOps.freqBucket(spark, ds).collect()
+    assert(inc.sameElements(full),
+      "class-crossing append diverged from the full rebuild")
+    Warehouse.invalidateDataset(ds)
+  }
+
   test("appendToGeoTiffFrames carries prior frames by file; x08 == full rebuild") {
     val ds = tmpDs("graft-inc-gtiff")
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

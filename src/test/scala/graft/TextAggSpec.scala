@@ -286,17 +286,29 @@ class TextAggSpec extends SparkSpecBase {
     assert(top._3 == "head")
   }
 
-  test("t20 never broadcasts the corpus-derived token-class relation") {
-    val df = TextOps.freqBucket(spark, sf)
+  test("freq BUILD never broadcasts the corpus-derived token-class relation") {
+    // t20/t21 serve from the freq artifact since r10, so the scale
+    // contract moves to the BUILD plan (what freq_build executes): the
+    // token->class equi-join must stay shuffled — its build side
+    // scales with the vocabulary
+    val df = TextOps.freqScoresPlan(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    // the only broadcast is the two-value cutoff row (a nested-loop
-    // cross join); the token->class equi-join must stay shuffled — its
-    // build side scales with the vocabulary
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
       s"token-class join not shuffled:\n$p")
     assert(!p.contains("BroadcastHashJoin"),
       s"token-class relation broadcasts:\n$p")
+  }
+
+  test("t20/t21 serve from the freq artifact: no token explode at query time") {
+    for (q <- Seq("t20_freq_bucket", "t21_freq_bucket_approx")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      assert(df.inputFiles.nonEmpty && df.inputFiles.forall(_.contains("freq@")),
+        s"$q does not serve from the freq artifact: ${df.inputFiles.toSeq.take(3)}")
+      val p = df.queryExecution.sparkPlan.toString
+      assert(!p.contains("Generate"),
+        s"$q re-derives the token lineage at query time:\n$p")
+    }
   }
 
   test("sequence packing: two-level prefix sum equals the naive global window; totals preserved") {

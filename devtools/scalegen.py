@@ -73,10 +73,13 @@ def main() -> None:
            (SELECT unnest(generate_series(0, {n - 1})) AS k) r
     ) TO '{dst}/orders.parquet' (FORMAT PARQUET)
     """)
-    # events.ts is INT64 TIMESTAMP(NANOS) and the engine's read contract
-    # depends on that physical type (Tables.events + nanosAsLong) — a
-    # DuckDB rewrite would silently retype it to micros, so the replica
-    # goes through pyarrow, which round-trips timestamp[ns] exactly
+    # events.ts has shipped in two physical vintages (INT64
+    # TIMESTAMP(NANOS) through round 9; plain timestamp[us] since the
+    # round-10 regeneration) and Tables.events adapts to whichever it
+    # reads — so the replica must PRESERVE the driver's current physical
+    # type rather than retype it. A DuckDB rewrite would silently coerce
+    # to micros; pyarrow round-trips the source schema exactly, so the
+    # scale envelope always tests the same vintage the driver tests
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq

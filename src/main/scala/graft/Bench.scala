@@ -65,13 +65,24 @@ object Bench {
       }
     }
 
-    def timed(f: => Unit): Double = {
+    // A query/build that THROWS must be visibly broken in the artifact,
+    // not a fast-looking ~0.07 s "pass" (that is exactly how 10
+    // analysis-broken queries hid in BENCH_r10.json): record −1 as its
+    // time and the exception in the `errors` map. A −1 never trips the
+    // gate (BenchGate.check requires t > factor·prev > 0) and never
+    // poisons a future baseline (prev ≥ floor excludes it).
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def timed(name: String)(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try f catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try { f; (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        errors(name) = (e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("")).replaceAll("\\s+", " ").take(200)
+        -1.0
+      }
     }
-    def runQuery(fn: (SparkSession, String) => DataFrame): Double = {
-      val t = timed { fn(spark, sfDir).count(); () }
+    def runQuery(name: String, fn: (SparkSession, String) => DataFrame): Double = {
+      val t = timed(name) { fn(spark, sfDir).count(); () }
       // queries may cache intermediates for intra-query reuse; release
       // them so later queries are measured without inherited memory
       // pressure
@@ -91,30 +102,30 @@ object Bench {
     // which is what repeats at query time. The one-time build cost is
     // not hidden: it is reported as its own `ivf_build` field, and
     // gated below like any query (with build-sized bounds).
-    var ivfBuildSec = timed(ops.SimOps.buildIvf(spark, sfDir))
+    var ivfBuildSec = timed("ivf_build")(ops.SimOps.buildIvf(spark, sfDir))
     // Same for the dedup family's signature table (see TextOps.sigIndex),
     // the curation funnel's stage-membership table (funnelIndex), and
     // the embedding near-dup pair manifest (v06/v12/v14's serve source).
-    var sigBuildSec = timed(ops.TextOps.buildSigIndex(spark, sfDir))
+    var sigBuildSec = timed("sig_build")(ops.TextOps.buildSigIndex(spark, sfDir))
     // the text near-dup manifest consumes the signature table and the
     // funnel consumes its pair table, so the build order is sig →
     // textdup → funnel and each field measures only its own stage
-    var textDupBuildSec = timed(ops.TextOps.buildTextDup(spark, sfDir))
-    var funnelBuildSec = timed(ops.TextOps.buildFunnel(spark, sfDir))
+    var textDupBuildSec = timed("textdup_build")(ops.TextOps.buildTextDup(spark, sfDir))
+    var funnelBuildSec = timed("funnel_build")(ops.TextOps.buildFunnel(spark, sfDir))
     // the frequency-score table t20/t21 serve from (r10)
-    var freqBuildSec = timed(ops.TextOps.buildFreq(spark, sfDir))
-    var nearDupBuildSec = timed(ops.SimOps.buildNearDup(spark, sfDir))
+    var freqBuildSec = timed("freq_build")(ops.TextOps.buildFreq(spark, sfDir))
+    var nearDupBuildSec = timed("neardup_build")(ops.SimOps.buildNearDup(spark, sfDir))
     // and the merged-cube write (the production lifecycle's primary
     // output) that p05/p06 serve from, plus the stage-1 granule cache
     // whose read-back p08 serves.
-    var cubeBuildSec = timed(ops.Pipeline.buildCube(spark, sfDir))
-    var gcacheBuildSec = timed(ops.Pipeline.buildGranuleCache(spark, sfDir))
+    var cubeBuildSec = timed("cube_build")(ops.Pipeline.buildCube(spark, sfDir))
+    var gcacheBuildSec = timed("gcache_build")(ops.Pipeline.buildGranuleCache(spark, sfDir))
     // the GeoTIFF frame sink x08 reads back (consumes the cube build)
-    var gtiffBuildSec = timed(ops.Export.buildGeoTiffFrames(spark, sfDir))
+    var gtiffBuildSec = timed("gtiff_build")(ops.Export.buildGeoTiffFrames(spark, sfDir))
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.LinkedHashMap(
-      ordered.map { case (name, fn) => name -> runQuery(fn) }: _*)
+      ordered.map { case (name, fn) => name -> runQuery(name, fn) }: _*)
 
     // regression gate vs the previous round's artifact (BenchGate):
     // catches a per-query wall-time blowup the correctness/plan gates
@@ -145,7 +156,7 @@ object Bench {
     val byName = ordered.toMap
     for ((name, _) <- ordered) {
       val (best, n) = BenchGate.settle(times(name), qFlagged(name, _),
-        () => runQuery(byName(name)), MaxReruns)
+        () => runQuery(name, byName(name)), MaxReruns)
       times(name) = best
       if (n > 0) reruns(name) = n
     }
@@ -154,7 +165,7 @@ object Bench {
         () => { ops.SimOps.clearIvfCaches()
           ops.Warehouse.invalidate("ivf", sfDir)
           ops.Warehouse.invalidate("kmeans", sfDir)
-          timed(ops.SimOps.buildIvf(spark, sfDir)) }, MaxReruns)
+          timed("ivf_build")(ops.SimOps.buildIvf(spark, sfDir)) }, MaxReruns)
       ivfBuildSec = best
       if (n > 0) reruns("ivf_build") = n
     }
@@ -162,7 +173,7 @@ object Bench {
       val (best, n) = BenchGate.settle(sigBuildSec, bFlagged("sig_build", _),
         () => { ops.TextOps.clearSigCache()
           ops.Warehouse.invalidate("sig", sfDir)
-          timed(ops.TextOps.buildSigIndex(spark, sfDir)) }, MaxReruns)
+          timed("sig_build")(ops.TextOps.buildSigIndex(spark, sfDir)) }, MaxReruns)
       sigBuildSec = best
       if (n > 0) reruns("sig_build") = n
     }
@@ -171,7 +182,7 @@ object Bench {
         bFlagged("textdup_build", _),
         () => { ops.TextOps.clearTextDupCache()
           ops.Warehouse.invalidate("textdup", sfDir)
-          timed(ops.TextOps.buildTextDup(spark, sfDir)) }, MaxReruns)
+          timed("textdup_build")(ops.TextOps.buildTextDup(spark, sfDir)) }, MaxReruns)
       textDupBuildSec = best
       if (n > 0) reruns("textdup_build") = n
     }
@@ -180,7 +191,7 @@ object Bench {
         bFlagged("funnel_build", _),
         () => { ops.TextOps.clearFunnelCache()
           ops.Warehouse.invalidate("funnel", sfDir)
-          timed(ops.TextOps.buildFunnel(spark, sfDir)) }, MaxReruns)
+          timed("funnel_build")(ops.TextOps.buildFunnel(spark, sfDir)) }, MaxReruns)
       funnelBuildSec = best
       if (n > 0) reruns("funnel_build") = n
     }
@@ -189,7 +200,7 @@ object Bench {
         bFlagged("freq_build", _),
         () => { ops.TextOps.clearFreqCache()
           ops.Warehouse.invalidate("freq", sfDir)
-          timed(ops.TextOps.buildFreq(spark, sfDir)) }, MaxReruns)
+          timed("freq_build")(ops.TextOps.buildFreq(spark, sfDir)) }, MaxReruns)
       freqBuildSec = best
       if (n > 0) reruns("freq_build") = n
     }
@@ -198,7 +209,7 @@ object Bench {
         bFlagged("neardup_build", _),
         () => { ops.SimOps.clearNearDupCache()
           ops.Warehouse.invalidate("neardup", sfDir)
-          timed(ops.SimOps.buildNearDup(spark, sfDir)) }, MaxReruns)
+          timed("neardup_build")(ops.SimOps.buildNearDup(spark, sfDir)) }, MaxReruns)
       nearDupBuildSec = best
       if (n > 0) reruns("neardup_build") = n
     }
@@ -207,7 +218,7 @@ object Bench {
         bFlagged("cube_build", _),
         () => { ops.Pipeline.clearCubeCache()
           ops.Warehouse.invalidate("cube", sfDir)
-          timed(ops.Pipeline.buildCube(spark, sfDir)) }, MaxReruns)
+          timed("cube_build")(ops.Pipeline.buildCube(spark, sfDir)) }, MaxReruns)
       cubeBuildSec = best
       if (n > 0) reruns("cube_build") = n
     }
@@ -216,7 +227,7 @@ object Bench {
         bFlagged("gcache_build", _),
         () => { ops.Pipeline.clearGranuleCacheCache()
           ops.Warehouse.invalidate("gcache", sfDir)
-          timed(ops.Pipeline.buildGranuleCache(spark, sfDir)) }, MaxReruns)
+          timed("gcache_build")(ops.Pipeline.buildGranuleCache(spark, sfDir)) }, MaxReruns)
       gcacheBuildSec = best
       if (n > 0) reruns("gcache_build") = n
     }
@@ -225,7 +236,7 @@ object Bench {
         bFlagged("gtiff_build", _),
         () => { ops.Export.clearGtiffCache()
           ops.Warehouse.invalidate("gtiff", sfDir)
-          timed(ops.Export.buildGeoTiffFrames(spark, sfDir)) }, MaxReruns)
+          timed("gtiff_build")(ops.Export.buildGeoTiffFrames(spark, sfDir)) }, MaxReruns)
       gtiffBuildSec = best
       if (n > 0) reruns("gtiff_build") = n
     }
@@ -242,8 +253,13 @@ object Bench {
 
     val qs = times.toSeq.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = times.values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ivf_build":$ivfBuildSec,"sig_build":$sigBuildSec,"textdup_build":$textDupBuildSec,"freq_build":$freqBuildSec,"funnel_build":$funnelBuildSec,"neardup_build":$nearDupBuildSec,"cube_build":$cubeBuildSec,"gcache_build":$gcacheBuildSec,"gtiff_build":$gtiffBuildSec,"sf":"$sfDir","gate":$gate}"""
+    // errored queries carry time −1 in `queries`; keep them out of the
+    // headline total (a sum with −1s would under-report, hiding breakage)
+    val total = times.values.filter(_ >= 0).sum
+    val errs = errors.toSeq.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ivf_build":$ivfBuildSec,"sig_build":$sigBuildSec,"textdup_build":$textDupBuildSec,"freq_build":$freqBuildSec,"funnel_build":$funnelBuildSec,"neardup_build":$nearDupBuildSec,"cube_build":$cubeBuildSec,"gcache_build":$gcacheBuildSec,"gtiff_build":$gtiffBuildSec,"errors":$errs,"sf":"$sfDir","gate":$gate}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
@@ -251,6 +267,12 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"bench artifact write failed ($out): $e") }
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"bench errors: ${errors.size} quer" +
+        s"${if (errors.size == 1) "y" else "ies"}/builds threw instead " +
+        "of completing: " + errors.keys.mkString(", "))
+      if (gateMode == "strict") sys.exit(4)
+    }
     val regs = qRegs ++ bRegs
     if (regs.nonEmpty) {
       System.err.println(s"bench gate: ${regs.size} quer" +

@@ -95,8 +95,15 @@ object BenchGate {
     * them. */
   def parseBuilds(raw: String): Map[String, Double] = {
     val json = raw.replace("\\\"", "\"")
+    // Scan only the prefix before the artifact's own gate report: the
+    // gate section re-mentions build names inside `"builds":{...}` pairs
+    // and `"reruns":{"cube_build":2}` COUNTS — and `.toMap` keeps the
+    // last match, so an unbounded scan would adopt a rerun count as the
+    // baseline time (the r10 poisoned-baseline bug).
+    val at = json.indexOf("\"gate\":")
+    val body = if (at < 0) json else json.substring(0, at)
     "\"((?:ivf|sig|textdup|freq|funnel|neardup|cube|gcache|gtiff)_build)\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)".r
-      .findAllMatchIn(json)
+      .findAllMatchIn(body)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 

@@ -111,6 +111,28 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!BenchGate.parseQueries(line).contains("ivf_build"))
   }
 
+  test("parseBuilds ignores the artifact's own gate section (reruns are counts, not times)") {
+    // a prior artifact whose bench run itself gated: the gate report
+    // re-mentions build names as regression pairs and RERUN COUNTS —
+    // neither may become a baseline time for the next run
+    val line = """{"metric":"total","value":66.8,""" +
+      """"queries":{"q02_granule_gate":0.76},""" +
+      """"ivf_build":6.45,"cube_build":18.36,"neardup_build":1.84,""" +
+      """"sf":"/root/testdata/sf0.1",""" +
+      """"gate":{"prev":"BENCH_r09.json","factor":2.0,"regressions":{},""" +
+      """"builds":{"cube_build":[5.08,18.36]},""" +
+      """"reruns":{"cube_build":2,"ivf_build":1,"neardup_build":1},""" +
+      """"pass":false}}"""
+    val b = BenchGate.parseBuilds(line)
+    assert(b == Map("ivf_build" -> 6.45, "cube_build" -> 18.36,
+      "neardup_build" -> 1.84), s"parsed: $b")
+    // same when the whole line arrives quote-escaped inside a tail field
+    val tail = "{\"tail\":\"" + line.replace("\"", "\\\"") + "\"}"
+    assert(BenchGate.parseBuilds(tail)("cube_build") == 18.36)
+    // and a gated artifact still yields a clean query baseline
+    assert(BenchGate.parseQueries(line) == Map("q02_granule_gate" -> 0.76))
+  }
+
   test("report carries builds and reruns; a build regression fails the gate") {
     val r = BenchGate.report(Some("BENCH_local.json"), Map.empty,
       builds = Map("ivf_build" -> (8.0, 40.0)),

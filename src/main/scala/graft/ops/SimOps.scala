@@ -1187,7 +1187,13 @@ object SimOps {
         // time, not per query
         val n = emb.count()
         val bits = bandBits(n)
-        val bucketed = nearDupBuckets(emb, bits)
+        // pin the banded projection once: the 4-band hyperplane hashing
+        // over the packed embedding arrays is the expensive per-vector
+        // work, and THREE consumers read it (the size census plus both
+        // sides of the candidate self-join) — unpinned, each re-runs
+        // the banding over the corpus
+        val (bucketed, bPin) = Checkpoints.pin(nearDupBuckets(emb, bits))
+        try {
         writeNearDupMeta(s, tmp.toString, n, bits)
         // the FULL size census persists (`sizes/`): the NEXT append
         // merges batch-key counts into it instead of re-bucketing the
@@ -1212,6 +1218,7 @@ object SimOps {
                 Seq("keep_id", "dup_id"), "left_semi"),
             s"$tmp/pairbk")
         } finally Checkpoints.release(ePin)
+        } finally Checkpoints.release(bPin)
       }
     }
 

@@ -430,6 +430,12 @@ object TextOps {
   private[graft] def textDupIndex(s: SparkSession, d: String): String =
     textDupCache.get(s"$d@${BuildCache.version(d, "documents.parquet")}") {
       Warehouse.getOrBuild("textdup", d, "documents.parquet") { tmp =>
+        def tt[A](name: String)(f: => A): A = {
+          val t0 = System.nanoTime(); val r = f
+          if (sys.props.contains("graft.buildProfile"))
+            println(f"  [textdup] $name%-16s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+          r
+        }
         val sig = sigIndex(s, d)
         // ONE banding scan feeds the audit, the FULL size census
         // (`sizes/` — what makes the NEXT append O(batch): it merges
@@ -437,40 +443,49 @@ object TextOps {
         // grown signature table) and the mining: the bucket aggregation
         // already carries every bucket's size (the member array), so
         // all three split from a single pinned relation
-        val (buckets, bPin) = Checkpoints.pin(sigBuckets(sig))
+        val (buckets, bPin) = tt("pin-buckets")(Checkpoints.pin(sigBuckets(sig)))
         try {
-          Warehouse.writeParquet(
+          tt("sizes")(Warehouse.writeParquet(
             buckets.select(col("band"), col("key"),
               size(col("ms")).cast("long").as("n_members")),
-            s"$tmp/sizes")
-          Warehouse.writeParquet(
+            s"$tmp/sizes"))
+          tt("audit")(Warehouse.writeParquet(
             s.read.parquet(s"$tmp/sizes")
               .filter(col("n_members") > MaxBucketMembers),
-            s"$tmp/audit")
+            s"$tmp/audit"))
           // pair expansion keeps its bucket key: `pairbk/` records every
           // under-cap bucket each mined pair shares, so an append can
           // settle pair death (every recorded bucket crossed the cap)
           // without re-deriving corpus membership
-          val (exp, ePin) = Checkpoints.pin(pairExpansion(buckets))
+          val (exp, ePin) = tt("pin-exp")(Checkpoints.pin(pairExpansion(buckets)))
           try {
-            Warehouse.writeParquet(pairsOfExpansion(exp), s"$tmp/pairs")
-            Warehouse.writeParquet(
-              exp.select("band", "key", "doc_a", "doc_b"), s"$tmp/pairbk")
+            tt("pairs")(Warehouse.writeParquet(pairsOfExpansion(exp), s"$tmp/pairs"))
+            tt("pairbk")(Warehouse.writeParquet(
+              exp.select("band", "key", "doc_a", "doc_b"), s"$tmp/pairbk"))
           } finally Checkpoints.release(ePin)
         } finally Checkpoints.release(bPin)
         // per-doc 16-bit SimHash (t07 serves from this table): a pure
         // per-document function, so appends extend it by file like the
         // signature table — the build pays the one token-explode pass
-        Warehouse.writeParquet(simhashDoc(Tables.documents(s, d)),
-          s"$tmp/simhash")
+        tt("simhash")(Warehouse.writeParquet(simhashDoc(Tables.documents(s, d)),
+          s"$tmp/simhash"))
         val pairs = s.read.parquet(s"$tmp/pairs")
-        Warehouse.writeParquet(
-          jaccardVerifyTable(Tables.documents(s, d),
-            pairs.select("doc_a", "doc_b")),
-          s"$tmp/verify")
+        // pin the candidate shingles once: the Jaccard computation reads
+        // them three ways (sizes + both intersection sides), and the
+        // relation is candidate-sized — near-dup-rate × corpus, spilled
+        // to disk by the checkpoint if it outgrows memory — not
+        // corpus-sized
+        tt("verify") {
+          val (csh, sPin) = Checkpoints.pin(candShingles(
+            Tables.documents(s, d), pairs.select("doc_a", "doc_b")))
+          try Warehouse.writeParquet(
+            jaccardOfShingles(pairs.select("doc_a", "doc_b"), csh),
+            s"$tmp/verify")
+          finally Checkpoints.release(sPin)
+        }
         val edges = pairs.filter(col("est_jaccard") >= 0.5)
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        Warehouse.writeParquet(connectedComponents(edges), s"$tmp/comp")
+        tt("comp")(Warehouse.writeParquet(connectedComponents(edges), s"$tmp/comp"))
       }
     }
 
@@ -791,16 +806,23 @@ object TextOps {
     * this shuffle at sf0.1), while the (doc, token) exchange is modest
     * and the codegen'd aggregate combines map-side. */
   private[graft] def simhashDoc(doc: DataFrame): DataFrame = {
-    val tw = doc.select(col("doc_id"), explode(toks).as("tok"))
-      .groupBy("doc_id", "tok")
-      .agg(count(lit(1)).as("w"))
-      .withColumn("h", md5(col("tok").cast("binary")))
+    // ONE exchange (doc_id), not two: the classic per-(doc, token)
+    // weight table is algebraically redundant here — summing ±1 per
+    // token OCCURRENCE equals summing w·(±1) per distinct token with
+    // w = occurrence count — so the bit sums aggregate straight off the
+    // exploded relation with map-side partial aggregation. The md5 runs
+    // per occurrence instead of per distinct token; a hash of a short
+    // string is far cheaper than the extra corpus-wide exchange it
+    // replaces. Oracle (dedupSimhashSql) computes the same sums from the
+    // weighted form — identical totals, hash-identical results.
     val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     val bits = (0 until 16).map { j =>
-      when(sum(col("w") * when(substring(col("h"), j + 1, 1).isin(highHex: _*), 1)
+      when(sum(when(substring(col("h"), j + 1, 1).isin(highHex: _*), 1)
         .otherwise(-1)) > 0, 1 << j).otherwise(0)
     }.reduce(_ + _)
-    tw.groupBy("doc_id").agg(bits.as("simhash"))
+    doc.select(col("doc_id"), explode(toks).as("tok"))
+      .withColumn("h", md5(col("tok").cast("binary")))
+      .groupBy("doc_id").agg(bits.as("simhash"))
   }
 
   /** Equal-simhash buckets with >1 doc are near-dup candidates. Serves
@@ -846,7 +868,13 @@ object TextOps {
     * Each join carries an equi key already; shuffle_hash pins the
     * strategy so AQE cannot swap a small runtime side back to broadcast
     * (PlanShapeSpec locks the executed BUILD plan broadcast-free). */
-  private def jaccardVerifyTable(doc: DataFrame, cand: DataFrame): DataFrame = {
+  /** The candidate members' distinct shingle relation (doc_id, s) — the
+    * expensive half of the verify stage, split out so the full build can
+    * [[Checkpoints.pin]] it: [[jaccardOfShingles]] consumes it THREE
+    * times (per-doc sizes + both sides of the intersection join), and
+    * without a pin each consumer re-runs the semi-join + shingle explode
+    * + distinct exchange. */
+  private def candShingles(doc: DataFrame, cand: DataFrame): DataFrame = {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
     // prune the DOCUMENTS to candidate members BEFORE shingling: the
@@ -855,9 +883,15 @@ object TextOps {
     // difference between O(candidates) and O(corpus) work per verify —
     // exactly what the incremental append (batch-sized candidate sets)
     // must not pay
-    val sh = shingles(
+    shingles(
         doc.join(candDocs.hint("shuffle_hash"), Seq("doc_id"), "left_semi"))
       .distinct()
+  }
+
+  private def jaccardVerifyTable(doc: DataFrame, cand: DataFrame): DataFrame =
+    jaccardOfShingles(cand, candShingles(doc, cand))
+
+  private def jaccardOfShingles(cand: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand.hint("shuffle_hash")
       .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")

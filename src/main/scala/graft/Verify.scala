@@ -19,6 +19,19 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must not leave a PREVIOUS run's parquet behind
+        // to masquerade as this run's result (a stale-but-matching dump
+        // once hid a Spark-side parse error through two compare passes):
+        // delete the output dir so the oracle check reports the query
+        // as missing instead of silently green
+        val dest = Paths.get(outDir, name)
+        if (Files.exists(dest)) {
+          import scala.jdk.CollectionConverters._
+          val walk = Files.walk(dest)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.delete)
+          finally walk.close()
+        }
       }
       finally spark.catalog.clearCache()
     }

@@ -28,13 +28,22 @@ object Num {
     * products and norms, where 6 decimals would swallow the signal). */
   def xsumHi(c: Column): Column = sum(c.cast("decimal(38,18)")).cast("double")
 
-  /** SQL spelling of [[xsum]] for oracle queries. */
+  /** SQL spelling of [[xsum]] for oracle queries.
+    *
+    * The final decimal→double conversion is VARCHAR-mediated: DuckDB's
+    * direct `CAST(DECIMAL AS DOUBLE)` converts the int128 unscaled value
+    * to double FIRST and divides by 10^scale second — two roundings, up
+    * to 1 ulp off nearest once the sum carries more significant digits
+    * than a double (measured at sf1: 2 of 6 pricing-summary groups).
+    * Decimal→VARCHAR is exact and strtod is correctly rounded, which is
+    * also exactly what Spark's `Decimal.toDouble` (BigDecimal) produces —
+    * so both engines land on the identical bit pattern at any scale. */
   def xsumSql(expr: String): String =
-    s"CAST(SUM(CAST(($expr) AS DECIMAL(38,6))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST(($expr) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)"
 
   /** SQL spelling of [[xsumHi]] for oracle queries. */
   def xsumHiSql(expr: String): String =
-    s"CAST(SUM(CAST(($expr) AS DECIMAL(38,18))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST(($expr) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)"
 
   /** Round for oracle comparison (absorbs cross-engine accumulation order).
     *

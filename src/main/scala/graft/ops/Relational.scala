@@ -654,7 +654,7 @@ object Relational {
     """SELECT coalesce(l_returnflag, 'ALL') AS rf,
       |  coalesce(l_linestatus, 'ALL') AS ls,
       |  count(*) AS n,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       |ORDER BY rf, ls""".stripMargin

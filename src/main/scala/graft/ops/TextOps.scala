@@ -716,15 +716,29 @@ object TextOps {
         s"append extends the eval head ($batchMin < $EvalDocs) — full rebuild")
       val batchHashes = appended.select(col("doc_id"),
         md5(col("text").cast("binary")).as("h"))
-      Warehouse.writeParquet(
-        priorHashes.unionByName(batchHashes), s"$tmp/hashes")
+      // the hash table is a pure per-doc function of an append-only
+      // corpus: carry the prior version's files untouched (hard-linked,
+      // O(files)) and land only the batch rows as extra files — a
+      // union-rewrite would stream the whole corpus-sized table through
+      // Spark per append
+      Warehouse.copyData(s"$prior/hashes", tmp.resolve("hashes"))
+      batchHashes.write.mode("append").parquet(s"$tmp/hashes")
       def stage(n: String): DataFrame =
         priorStages.filter(col("stage") === n).select("doc_id")
       val s0 = stage("00_total").unionByName(appended.select("doc_id"))
       // batch doc joins stage 1 iff its hash is unseen in the prior
-      // corpus and it is the lowest batch id carrying it
+      // corpus and it is the lowest batch id carrying it. Two
+      // batch-broadcast passes instead of one corpus-keyed exchange:
+      // an anti-join against the corpus side would shuffle every prior
+      // hash per append; semi-joining the CORPUS against the broadcast
+      // batch keys is a map-side-pruned scan whose result is
+      // batch-bounded, and the anti-join against that result broadcasts
+      // too.
+      val seenH = priorHashes.select("h")
+        .join(broadcast(batchHashes.select("h")), Seq("h"), "left_semi")
+        .distinct()
       val k1new = batchHashes
-        .join(priorHashes.select("h").hint("shuffle_hash"), Seq("h"), "left_anti")
+        .join(broadcast(seenH), Seq("h"), "left_anti")
         .withColumn("m", min("doc_id").over(Window.partitionBy("h")))
         .filter(col("doc_id") === col("m")).select("doc_id")
       val k1 = stage("01_exact_dedup").unionByName(k1new)

@@ -213,9 +213,34 @@ object Warehouse {
     } catch { case scala.util.control.NonFatal(_) => (0L, 0L, 0L) }
   }
 
-  /** Copy a completed artifact's DATA files (not its manifest) into a
-    * build-in-progress dir — the O(carried-data) half of an incremental
-    * update; the new version's manifest still lands last. */
+  /** Hard-link `f` as `dst`, falling back to a byte copy when the
+    * filesystem refuses (cross-device target, no hard-link support).
+    * Artifact data files are IMMUTABLE once written — a new version's
+    * Spark writes only ADD part files, never modify carried ones, and
+    * pruning deletes a version's NAMES, leaving inodes shared with a
+    * newer version intact — so the carry of a prior version into an
+    * append is O(files), not O(bytes). Measured at 10× sf0.1 this is
+    * the difference between a flat append and one that re-copies a
+    * corpus-sized inverted file per batch. If a concurrent prune wins
+    * the race and the source vanishes mid-carry, the link throws like
+    * the copy did and the append path falls back to a full rebuild
+    * (the racecheck-locked contract). */
+  private def linkOrCopy(f: Path, dst: Path): Unit = {
+    Files.deleteIfExists(dst)
+    try Files.createLink(dst, f)
+    catch {
+      case _: UnsupportedOperationException =>
+        Files.copy(f, dst, StandardCopyOption.REPLACE_EXISTING)
+      case e: java.nio.file.FileSystemException
+          if !(e.isInstanceOf[java.nio.file.NoSuchFileException]) =>
+        Files.copy(f, dst, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Carry a completed artifact's DATA files (not its manifest) into a
+    * build-in-progress dir — the O(carried-files) half of an incremental
+    * update ([[linkOrCopy]]); the new version's manifest still lands
+    * last. */
   def copyData(from: String, into: Path): Unit = {
     Files.createDirectories(into)
     val s = Files.list(Paths.get(from))
@@ -224,14 +249,14 @@ object Warehouse {
       s.iterator().asScala
         .filter(f => Files.isRegularFile(f) &&
           f.getFileName.toString != "_MANIFEST.json")
-        .foreach(f => Files.copy(f, into.resolve(f.getFileName.toString),
-          StandardCopyOption.REPLACE_EXISTING))
+        .foreach(f => linkOrCopy(f, into.resolve(f.getFileName.toString)))
     } finally s.close()
   }
 
   /** Recursive [[copyData]] for artifacts whose data is a PARTITIONED
-    * parquet tree (the granule cache's `tile_id=X` dirs): copies the
-    * whole tree below `from` into `into`, manifest excluded. */
+    * parquet tree (the granule cache's `tile_id=X` dirs, the IVF
+    * `cell=X` inverted file): carries the whole tree below `from` into
+    * `into` via [[linkOrCopy]], manifest excluded. */
   def copyTree(from: String, into: Path): Unit = {
     val src = Paths.get(from)
     def walk(s: Path, t: Path): Unit = {
@@ -243,7 +268,7 @@ object Warehouse {
           val dst = t.resolve(f.getFileName.toString)
           if (Files.isDirectory(f)) walk(f, dst)
           else if (f.getFileName.toString != "_MANIFEST.json")
-            Files.copy(f, dst, StandardCopyOption.REPLACE_EXISTING)
+            linkOrCopy(f, dst)
         }
       } finally st.close()
     }

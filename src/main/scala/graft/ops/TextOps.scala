@@ -553,6 +553,14 @@ object TextOps {
   private def appendToTextDupIncremental(s: SparkSession, d: String,
       appended: DataFrame, prior: String): Unit = {
     Warehouse.getOrBuild("textdup", d, "documents.parquet") { tmp =>
+      // stage wall times print under -Dgraft.buildProfile (same hook as
+      // the full build)
+      def tt[A](name: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        if (sys.props.contains("graft.buildProfile"))
+          println(f"  [textdup+] $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        r
+      }
       // Batch-side banding is a pure per-document function — O(batch),
       // no corpus scan. The census then MERGES the batch's bucket
       // counts into the persisted `sizes/` table (one result-sized
@@ -576,10 +584,10 @@ object TextOps {
         .select("band", "key")
       val freshBuckets = bc.join(matched, Seq("band", "key"), "left_anti")
         .select(col("band"), col("key"), col("b_n").as("n_members"))
-      Warehouse.writeParquet(grown.unionByName(freshBuckets), s"$tmp/sizes")
+      tt("sizes")(Warehouse.writeParquet(grown.unionByName(freshBuckets), s"$tmp/sizes"))
       val sizes = s.read.parquet(s"$tmp/sizes")
-      Warehouse.writeParquet(
-        sizes.filter(col("n_members") > MaxBucketMembers), s"$tmp/audit")
+      tt("audit")(Warehouse.writeParquet(
+        sizes.filter(col("n_members") > MaxBucketMembers), s"$tmp/audit"))
       val audit = s.read.parquet(s"$tmp/audit").select("band", "key")
       // Mining: a new pair always involves an appended doc, and every
       // bucket containing an appended doc is batch-hit — so the corpus
@@ -592,8 +600,8 @@ object TextOps {
           Seq("band", "key"))
         .filter(col("n_members") <= MaxBucketMembers)
         .select("band", "key")
-      val (members, mPin) = Checkpoints.pin(
-        bandsOf(sigIndex(s, d)).join(broadcast(hitKeys), Seq("band", "key")))
+      val (members, mPin) = tt("pin-members")(Checkpoints.pin(
+        bandsOf(sigIndex(s, d)).join(broadcast(hitKeys), Seq("band", "key"))))
       try {
         val newIds = appended.select(col("doc_id")).distinct()
         val exp = members.join(newIds, Seq("doc_id"), "left_semi")
@@ -611,9 +619,9 @@ object TextOps {
               .as("sgb"))
         // pinned: newPairs feeds the pair write, the fresh-doc set and
         // the verify candidates — one batch-sized block, released below
-        val (newPairs, npPin) = Checkpoints.pin(exp
+        val (newPairs, npPin) = tt("pin-newpairs")(Checkpoints.pin(exp
           .dropDuplicates("doc_a", "doc_b")
-          .select(col("doc_a"), col("doc_b"), estJaccard.as("est_jaccard")))
+          .select(col("doc_a"), col("doc_b"), estJaccard.as("est_jaccard"))))
         try {
         // Prior pairs survive iff SOME recorded shared bucket is still
         // under cap (appends only grow buckets, so `pairbk/` — written
@@ -627,14 +635,14 @@ object TextOps {
         val surviving = priorPairs.join(
           aliveBk.select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b"),
           Seq("doc_a", "doc_b"), "left_semi")
-        Warehouse.writeParquet(surviving.unionByName(newPairs), s"$tmp/pairs")
+        tt("pairs")(Warehouse.writeParquet(surviving.unionByName(newPairs), s"$tmp/pairs"))
         val pairs = s.read.parquet(s"$tmp/pairs")
-        Warehouse.writeParquet(
+        tt("pairbk")(Warehouse.writeParquet(
           priorPairbk.join(pairs.select("doc_a", "doc_b"),
               Seq("doc_a", "doc_b"), "left_semi")
             .unionByName(exp.select("band", "key", "doc_a", "doc_b")
               .dropDuplicates("band", "key", "doc_a", "doc_b")),
-          s"$tmp/pairbk")
+          s"$tmp/pairbk"))
         // verified Jaccards carry for surviving pairs (shingle sets are
         // per-doc); only the fresh pairs verify. The fresh set IS
         // newPairs — every prior pair was verified at its own mine time
@@ -652,16 +660,16 @@ object TextOps {
         val survVerify = s.read.parquet(s"$prior/verify")
           .join(pairs.select("doc_a", "doc_b").hint("shuffle_hash"),
             Seq("doc_a", "doc_b"), "left_semi")
-        Warehouse.writeParquet(survVerify.unionByName(newVerify), s"$tmp/verify")
+        tt("verify")(Warehouse.writeParquet(survVerify.unionByName(newVerify), s"$tmp/verify"))
         val edges = pairs.filter(col("est_jaccard") >= 0.5)
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        Warehouse.writeParquet(connectedComponents(edges), s"$tmp/comp")
+        tt("comp")(Warehouse.writeParquet(connectedComponents(edges), s"$tmp/comp"))
         } finally Checkpoints.release(npPin)
       } finally Checkpoints.release(mPin)
       // the per-doc simhash table extends exactly like the signature
       // artifact: carry the prior files, hash only the batch
-      Warehouse.copyData(s"$prior/simhash", tmp.resolve("simhash"))
-      simhashDoc(appended).write.mode("append").parquet(s"$tmp/simhash")
+      tt("simhash")(Warehouse.copyData(s"$prior/simhash", tmp.resolve("simhash")))
+      tt("simhash-batch")(simhashDoc(appended).write.mode("append").parquet(s"$tmp/simhash"))
     }
     ()
   }

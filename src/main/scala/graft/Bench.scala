@@ -241,13 +241,20 @@ object Bench {
       if (n > 0) reruns("gtiff_build") = n
     }
 
+    // A transient rerun crash must not mark a measurement broken when a
+    // valid sample exists: settle keeps the valid minimum (negative rerun
+    // samples are ignored there), so any name whose final time is ≥ 0 had
+    // a real measurement — drop its error entry rather than exiting 4.
+    val finalBuilds = Map("ivf_build" -> ivfBuildSec, "sig_build" -> sigBuildSec,
+      "textdup_build" -> textDupBuildSec, "freq_build" -> freqBuildSec,
+      "funnel_build" -> funnelBuildSec, "neardup_build" -> nearDupBuildSec,
+      "cube_build" -> cubeBuildSec, "gcache_build" -> gcacheBuildSec,
+      "gtiff_build" -> gtiffBuildSec)
+    for ((name, t) <- times if t >= 0) errors -= name
+    for ((name, t) <- finalBuilds if t >= 0) errors -= name
+
     val qRegs = BenchGate.check(prevQ, times.toMap, allow)
-    val bRegs = BenchGate.check(prevB,
-      Map("ivf_build" -> ivfBuildSec, "sig_build" -> sigBuildSec,
-        "textdup_build" -> textDupBuildSec, "freq_build" -> freqBuildSec,
-        "funnel_build" -> funnelBuildSec, "neardup_build" -> nearDupBuildSec,
-        "cube_build" -> cubeBuildSec, "gcache_build" -> gcacheBuildSec,
-        "gtiff_build" -> gtiffBuildSec), allow,
+    val bRegs = BenchGate.check(prevB, finalBuilds, allow,
       BenchGate.BuildFactor, BenchGate.BuildFloorSec, BenchGate.BuildDeltaSec)
     val gate = BenchGate.report(artifact.map(_._1), qRegs, bRegs, reruns.toMap)
 
@@ -256,8 +263,18 @@ object Bench {
     // errored queries carry time −1 in `queries`; keep them out of the
     // headline total (a sum with −1s would under-report, hiding breakage)
     val total = times.values.filter(_ >= 0).sum
+    // Full JSON string escaping (like Verify.q): the \s+ collapse above
+    // removes common whitespace, but a binary-tainted exception message
+    // can carry raw control chars (< 0x20) that would make the contract
+    // line invalid JSON for the driver's json.load.
+    def jstr(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val errs = errors.toSeq.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      "\"" + k + "\":\"" + jstr(v) + "\""
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ivf_build":$ivfBuildSec,"sig_build":$sigBuildSec,"textdup_build":$textDupBuildSec,"freq_build":$freqBuildSec,"funnel_build":$funnelBuildSec,"neardup_build":$nearDupBuildSec,"cube_build":$cubeBuildSec,"gcache_build":$gcacheBuildSec,"gtiff_build":$gtiffBuildSec,"errors":$errs,"sf":"$sfDir","gate":$gate}"""
     println(line)

@@ -46,7 +46,11 @@ object BenchGate {
     var best = first
     var n = 0
     while (n < maxReruns && flagged(best)) {
-      best = math.min(best, rerun())
+      val r = rerun()
+      // a rerun that THROWS reports −1 (Bench.timed); it must not clobber
+      // a valid earlier sample — one transient rerun crash would
+      // otherwise mark the artifact broken despite a real timing existing
+      best = if (r < 0) best else if (best < 0) r else math.min(best, r)
       n += 1
     }
     (best, n)
@@ -95,13 +99,29 @@ object BenchGate {
     * them. */
   def parseBuilds(raw: String): Map[String, Double] = {
     val json = raw.replace("\\\"", "\"")
-    // Scan only the prefix before the artifact's own gate report: the
-    // gate section re-mentions build names inside `"builds":{...}` pairs
-    // and `"reruns":{"cube_build":2}` COUNTS — and `.toMap` keeps the
-    // last match, so an unbounded scan would adopt a rerun count as the
-    // baseline time (the r10 poisoned-baseline bug).
-    val at = json.indexOf("\"gate\":")
-    val body = if (at < 0) json else json.substring(0, at)
+    // Scan only the segment between the close of the "queries" object and
+    // the "errors" map (falling back to "gate" for pre-errors artifacts):
+    // build fields sit exactly there in the contract line. The gate
+    // section re-mentions build names inside `"builds":{...}` pairs and
+    // `"reruns":{"cube_build":2}` COUNTS — and `.toMap` keeps the last
+    // match, so an unbounded scan would adopt a rerun count as the
+    // baseline time (the r10 poisoned-baseline bug). The errors map is
+    // excluded too: its free-text messages pass through the same
+    // unescaping, so a message containing `"gate":` or a quoted
+    // `<name>_build":<number>` shape must not shift the boundary or
+    // fabricate a baseline entry.
+    val qAt = json.indexOf("\"queries\"")
+    val start =
+      if (qAt < 0) 0 // driver tail truncated from the front — scan from 0
+      else {
+        val open = json.indexOf('{', qAt)
+        val close = if (open < 0) -1 else json.indexOf('}', open)
+        if (close < 0) qAt else close + 1
+      }
+    val end = Seq(json.indexOf("\"errors\":", start),
+      json.indexOf("\"gate\":", start)).filter(_ >= 0)
+      .minOption.getOrElse(json.length)
+    val body = json.substring(start, end)
     "\"((?:ivf|sig|textdup|freq|funnel|neardup|cube|gcache|gtiff)_build)\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)".r
       .findAllMatchIn(body)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap

@@ -24,13 +24,22 @@ object Verify {
         // once hid a Spark-side parse error through two compare passes):
         // delete the output dir so the oracle check reports the query
         // as missing instead of silently green
-        val dest = Paths.get(outDir, name)
-        if (Files.exists(dest)) {
-          import scala.jdk.CollectionConverters._
-          val walk = Files.walk(dest)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(Files.delete)
-          finally walk.close()
+        // ...and the cleanup itself must not abort the rest of the run: a
+        // held-open file or concurrent _temporary sweep can make a delete
+        // throw, which would otherwise propagate out of this catch and
+        // lose every remaining query's dump. Log and continue.
+        try {
+          val dest = Paths.get(outDir, name)
+          if (Files.exists(dest)) {
+            import scala.jdk.CollectionConverters._
+            val walk = Files.walk(dest)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(Files.delete)
+            finally walk.close()
+          }
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name stale-output cleanup failed " +
+            s"(output may be stale): ${e2.getMessage}")
         }
       }
       finally spark.catalog.clearCache()

@@ -92,6 +92,17 @@ class BenchGateSpec extends AnyFunSuite {
     // the min is kept even when a later sample is WORSE than the first
     val s5 = Iterator(12.0, 2.5)
     assert(BenchGate.settle(3.0, flagged, () => s5.next()) == (2.5, 2))
+    // a rerun that THROWS (reported as −1 by Bench.timed) must not
+    // clobber a valid earlier sample: one transient crash would
+    // otherwise mark the artifact broken despite a real timing
+    val s6 = Iterator(-1.0, 2.4)
+    assert(BenchGate.settle(3.0, flagged, () => s6.next()) == (2.4, 2))
+    val s7 = Iterator(-1.0, -1.0)
+    assert(BenchGate.settle(3.0, flagged, () => s7.next()) == (3.0, 2))
+    // ...and a valid rerun RECOVERS a broken first sample (−1 is never
+    // flagged by the gate, but settle must still prefer real over −1)
+    val s8 = Iterator(1.5)
+    assert(BenchGate.settle(-1.0, _ < 0, () => s8.next()) == (1.5, 1))
   }
 
   test("parseBuilds reads the one-time build fields, not the queries") {
@@ -131,6 +142,27 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.parseBuilds(tail)("cube_build") == 18.36)
     // and a gated artifact still yields a clean query baseline
     assert(BenchGate.parseQueries(line) == Map("q02_granule_gate" -> 0.76))
+  }
+
+  test("parseBuilds is immune to key-shaped text in the errors map") {
+    // free-text error messages are unescaped by the same pass that
+    // unescapes the tail; one containing the literal "gate": or a quoted
+    // build-pair shape must neither shift the scan boundary nor
+    // fabricate a baseline entry
+    val line = """{"metric":"total","value":12.3,""" +
+      """"queries":{"q02_granule_gate":0.76},""" +
+      """"ivf_build":6.45,"cube_build":18.36,""" +
+      """"errors":{"v05_sim_ivf":"IllegalStateException: parse near """ +
+      """\"gate\": token; expected \"cube_build\":99.0 here"},""" +
+      """"sf":"/root/testdata/sf0.1",""" +
+      """"gate":{"prev":"x","factor":2.0,"regressions":{},""" +
+      """"builds":{},"reruns":{"cube_build":2},"pass":true}}"""
+    val b = BenchGate.parseBuilds(line)
+    assert(b == Map("ivf_build" -> 6.45, "cube_build" -> 18.36), s"parsed: $b")
+    // same when quote-escaped inside a driver tail field
+    val tail = "{\"tail\":\"" + line.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\"}"
+    assert(BenchGate.parseBuilds(tail)("cube_build") == 18.36)
   }
 
   test("report carries builds and reruns; a build regression fails the gate") {

@@ -623,26 +623,53 @@ object TextOps {
           .dropDuplicates("doc_a", "doc_b")
           .select(col("doc_a"), col("doc_b"), estJaccard.as("est_jaccard"))))
         try {
-        // Prior pairs survive iff SOME recorded shared bucket is still
-        // under cap (appends only grow buckets, so `pairbk/` — written
-        // at mine time — covers every bucket that can ever be under cap
-        // again); a pair none of whose recorded buckets survives the
-        // audit died on a cap crossing. Pair-table-sized, no corpus
-        // membership re-derivation.
+        // A prior pair dies ONLY when this batch pushes one of its
+        // recorded buckets over the cap (appends only grow buckets, and
+        // `pairbk/` — written at mine time — covers every bucket a pair
+        // ever shared). The set of buckets the batch pushes over is a
+        // subset of the batch-hit buckets, so one map-side probe decides
+        // between the file-carried fast path (the overwhelmingly common
+        // case: pairs/pairbk/verify carry O(files) by hard link and only
+        // batch rows are written — a result-sized union-rewrite here was
+        // the dominant term of the 10× append probe) and the
+        // row-filtering slow path.
         val priorPairs = s.read.parquet(s"$prior/pairs")
         val priorPairbk = s.read.parquet(s"$prior/pairbk")
-        val aliveBk = priorPairbk.join(audit, Seq("band", "key"), "left_anti")
-        val surviving = priorPairs.join(
-          aliveBk.select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b"),
-          Seq("doc_a", "doc_b"), "left_semi")
-        tt("pairs")(Warehouse.writeParquet(surviving.unionByName(newPairs), s"$tmp/pairs"))
+        val newlyCrossed = priorSizes.join(broadcast(bc), Seq("band", "key"))
+          .filter(col("n_members") <= MaxBucketMembers &&
+            col("n_members") + col("b_n") > MaxBucketMembers)
+        val anyCross = tt("cross-probe")(newlyCrossed.limit(1).count() > 0)
+        // Prior pairs survive iff SOME recorded shared bucket is still
+        // under cap; a pair none of whose recorded buckets survives the
+        // audit died on a cap crossing. Pair-table-sized, no corpus
+        // membership re-derivation — and only evaluated when the probe
+        // saw an actual crossing.
+        lazy val alivePairKeys = priorPairbk
+          .join(audit, Seq("band", "key"), "left_anti")
+          .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+        if (!anyCross) {
+          tt("pairs") {
+            Warehouse.copyData(s"$prior/pairs", tmp.resolve("pairs"))
+            newPairs.write.mode("append").parquet(s"$tmp/pairs")
+          }
+          tt("pairbk") {
+            Warehouse.copyData(s"$prior/pairbk", tmp.resolve("pairbk"))
+            exp.select("band", "key", "doc_a", "doc_b")
+              .dropDuplicates("band", "key", "doc_a", "doc_b")
+              .write.mode("append").parquet(s"$tmp/pairbk")
+          }
+        } else {
+          val surviving = priorPairs.join(alivePairKeys,
+            Seq("doc_a", "doc_b"), "left_semi")
+          tt("pairs")(Warehouse.writeParquet(surviving.unionByName(newPairs), s"$tmp/pairs"))
+          tt("pairbk")(Warehouse.writeParquet(
+            priorPairbk.join(s.read.parquet(s"$tmp/pairs").select("doc_a", "doc_b"),
+                Seq("doc_a", "doc_b"), "left_semi")
+              .unionByName(exp.select("band", "key", "doc_a", "doc_b")
+                .dropDuplicates("band", "key", "doc_a", "doc_b")),
+            s"$tmp/pairbk"))
+        }
         val pairs = s.read.parquet(s"$tmp/pairs")
-        tt("pairbk")(Warehouse.writeParquet(
-          priorPairbk.join(pairs.select("doc_a", "doc_b"),
-              Seq("doc_a", "doc_b"), "left_semi")
-            .unionByName(exp.select("band", "key", "doc_a", "doc_b")
-              .dropDuplicates("band", "key", "doc_a", "doc_b")),
-          s"$tmp/pairbk"))
         // verified Jaccards carry for surviving pairs (shingle sets are
         // per-doc); only the fresh pairs verify. The fresh set IS
         // newPairs — every prior pair was verified at its own mine time
@@ -657,13 +684,38 @@ object TextOps {
           Tables.documents(s, d)
             .join(broadcast(freshDocs), Seq("doc_id"), "left_semi"),
           newPairs.select("doc_a", "doc_b"))
-        val survVerify = s.read.parquet(s"$prior/verify")
-          .join(pairs.select("doc_a", "doc_b").hint("shuffle_hash"),
-            Seq("doc_a", "doc_b"), "left_semi")
-        tt("verify")(Warehouse.writeParquet(survVerify.unionByName(newVerify), s"$tmp/verify"))
+        if (!anyCross) {
+          tt("verify") {
+            Warehouse.copyData(s"$prior/verify", tmp.resolve("verify"))
+            newVerify.write.mode("append").parquet(s"$tmp/verify")
+          }
+        } else {
+          val survVerify = s.read.parquet(s"$prior/verify")
+            .join(pairs.select("doc_a", "doc_b").hint("shuffle_hash"),
+              Seq("doc_a", "doc_b"), "left_semi")
+          tt("verify")(Warehouse.writeParquet(survVerify.unionByName(newVerify), s"$tmp/verify"))
+        }
+        // Cluster labels maintain INCREMENTALLY: the change set is the
+        // freshly mined edges plus the prior edges the bucket-cap
+        // recheck killed; every untouched component's labels carry from
+        // the prior artifact and propagation re-runs only over the
+        // affected subgraph (see incrementalComponents — this was the
+        // last corpus-growing term in the append).
+        val newEdges = newPairs.filter(col("est_jaccard") >= 0.5)
+        val deadEdges =
+          if (!anyCross) priorPairs.filter(lit(false))
+          else priorPairs.filter(col("est_jaccard") >= 0.5)
+            .join(alivePairKeys, Seq("doc_a", "doc_b"), "left_anti")
+        val changedNodes = newEdges.select(col("doc_a").as("id"))
+          .unionByName(newEdges.select(col("doc_b").as("id")))
+          .unionByName(deadEdges.select(col("doc_a").as("id")))
+          .unionByName(deadEdges.select(col("doc_b").as("id")))
+          .distinct()
         val edges = pairs.filter(col("est_jaccard") >= 0.5)
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        tt("comp")(Warehouse.writeParquet(connectedComponents(edges), s"$tmp/comp"))
+        tt("comp")(Warehouse.writeParquet(
+          incrementalComponents(s.read.parquet(s"$prior/comp"), edges,
+            changedNodes), s"$tmp/comp"))
         } finally Checkpoints.release(npPin)
       } finally Checkpoints.release(mPin)
       // the per-doc simhash table extends exactly like the signature
@@ -1141,6 +1193,62 @@ object TextOps {
       try Checkpoints.materialize(comp, "graft-cc-labels")
       finally Checkpoints.release(pin)
     } finally Checkpoints.release(edgesPin)
+  }
+
+  /** INCREMENTAL companion to [[connectedComponents]]: maintain the
+    * (id, comp) label table under an edge DELTA instead of re-running
+    * label propagation over the whole pair graph per append — the one
+    * append-maintenance term that still grew with corpus size at the
+    * 10× probe (pairs are result-sized but scale ~linearly with the
+    * corpus, so a full per-append recompute is O(corpus), not O(batch)).
+    *
+    * `changedNodes` must contain every endpoint of every ADDED or
+    * DELETED edge (one `id` column); `edges` is the FULL updated edge
+    * list (doc_a < doc_b as src/dst, one row per undirected edge).
+    *
+    * Membership can only change in a component holding a changed
+    * endpoint: an added edge merges the components at its two ends
+    * (both endpoints changed ⇒ both components affected), a deleted
+    * edge can split only the component that held it (endpoints
+    * changed ⇒ affected), and no surviving prior edge crosses from an
+    * affected into an untouched component. So untouched components'
+    * prior labels CARRY verbatim and propagation re-runs only over the
+    * affected subgraph — batch-frontier-bounded. An edge belongs to
+    * that subgraph iff its src is an affected/changed node (its dst
+    * then is too, by the same argument), so one semi-join extracts it.
+    *
+    * When a merge cascade drags in more than a quarter of the labeled
+    * corpus (or an absolute bound that keeps the node-set broadcast
+    * honest), the bookkeeping approaches the full recompute's cost and
+    * the maintenance declines to [[connectedComponents]] over the whole
+    * edge list. Labels stay exact either way: a component's label is
+    * its min member id, which carried components keep (membership
+    * unchanged) and recomputed ones re-derive. */
+  private[graft] def incrementalComponents(priorComp: DataFrame,
+      edges: DataFrame, changedNodes: DataFrame): DataFrame = {
+    // labels of prior components holding a changed endpoint — the
+    // change set is batch-bounded, so the label lookups broadcast and
+    // the prior-label scans stay map-side
+    val affected = priorComp
+      .join(broadcast(changedNodes), Seq("id"), "left_semi")
+      .select("comp").distinct()
+    val affNodes = priorComp
+      .join(broadcast(affected), Seq("comp"), "left_semi").select("id")
+    val nAffected = affNodes.count()
+    val nPrior = priorComp.count()
+    if (nAffected * 4L > nPrior || nAffected > 20000000L)
+      connectedComponents(edges)
+    else {
+      val seed = affNodes.unionByName(changedNodes).distinct()
+      val sub = edges.join(broadcast(seed.withColumnRenamed("id", "src")),
+        Seq("src"), "left_semi")
+      // the iterative loop runs over the affected subgraph only; its
+      // result is parquet-materialized (outlives this call), and the
+      // carried rows are a map-side-pruned scan of the prior artifact
+      val fresh = connectedComponents(sub)
+      val carried = priorComp.join(broadcast(affected), Seq("comp"), "left_anti")
+      fresh.unionByName(carried.select("id", "comp"))
+    }
   }
 
   /** Audit companion to [[connectedComponents]] (mirror of

@@ -63,6 +63,27 @@ class IncrementalSpec extends SparkSpecBase {
     import spark.implicits._
     Seq((100L, 101L, 0.875)).toDF("doc_a", "doc_b", "est_jaccard")
       .write.mode("append").parquet(s"$priorDup/pairs")
+    // The recheck only runs when the batch actually pushes a bucket
+    // over the cap (otherwise the fast path carries the prior pair
+    // files wholesale — see the fast-path test below). Stage a REAL
+    // crossing without 4096 members: pick a SINGLETON band bucket of a
+    // copied doc (its batch copy re-hits every one of its buckets; a
+    // singleton has no other member whose mining could diverge) and
+    // poison its census count to sit exactly at the cap.
+    val sig = spark.read.parquet(Warehouse.latest("sig", ds).get)
+    val sizesRows = spark.read.parquet(s"$priorDup/sizes")
+      .as[(Int, String, Long)].collect()
+    val sizesMap = sizesRows.map { case (b, k, n) => ((b, k), n) }.toMap
+    val poison = Seq(3L, 17L, 42L).flatMap { id =>
+      val r = sig.filter(col("doc_id") === id).head()
+      (0 until 4).map(b =>
+        (b, r.getAs[String](s"s${2 * b}") + r.getAs[String](s"s${2 * b + 1}")))
+    }.find(k => sizesMap.getOrElse(k, 0L) == 1L)
+      .getOrElse(fail("no singleton bucket among the copied docs"))
+    sizesRows.toSeq.map { case (b, k, n) =>
+      (b, k, if ((b, k) == poison) TextOps.MaxBucketMembers.toLong else n) }
+      .toDF("band", "key", "n_members")
+      .write.mode("overwrite").parquet(s"$priorDup/sizes")
     val batch = makeBatch(base)
     base.unionByName(batch).write.mode("overwrite")
       .parquet(s"$ds/documents.parquet")
@@ -95,6 +116,48 @@ class IncrementalSpec extends SparkSpecBase {
     assert(c1.sameElements(c2), s"components drifted: ${c1.length} vs ${c2.length}")
     assert(a1.sameElements(a2), "component audit drifted")
     assert(f1.sameElements(f2), s"funnel stages drifted: ${f1.length} vs ${f2.length}")
+    Warehouse.invalidateDataset(ds)
+  }
+
+  test("appendToTextDup fast path: no cap crossing carries pairs/pairbk/verify by file") {
+    val ds = tmpDs("graft-inc-textfast")
+    val base = seedDocs(ds)
+    resetTextCaches()
+    TextOps.buildSigIndex(spark, ds)
+    TextOps.buildTextDup(spark, ds)
+    val prior = Warehouse.latest("textdup", ds).get
+    def firstPart(sub: String): String = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(prior, sub))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("part-")).toSeq.head
+      } finally st.close()
+    }
+    val (pp, pb, pv) = (firstPart("pairs"), firstPart("pairbk"), firstPart("verify"))
+    val batch = makeBatch(base)
+    base.unionByName(batch).write.mode("overwrite")
+      .parquet(s"$ds/documents.parquet")
+    TextOps.appendToSigIndex(spark, ds, batch)
+    TextOps.appendToTextDup(spark, ds, batch)
+    val incDir = Warehouse.latest("textdup", ds).get
+    assert(incDir != prior, "append produced no new textdup version")
+    for ((sub, f) <- Seq("pairs" -> pp, "pairbk" -> pb, "verify" -> pv))
+      assert(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(incDir, sub, f)),
+        s"no-crossing append did not carry $sub by file")
+    def snap() = (
+      TextOps.dedupMinhash(spark, ds).collect(),
+      TextOps.ngramJaccard(spark, ds).collect(),
+      TextOps.dedupComponents(spark, ds).collect())
+    val (p1, v1, c1) = snap()
+    resetTextCaches()
+    Warehouse.invalidate("sig", ds)
+    Warehouse.invalidate("textdup", ds)
+    val (p2, v2, c2) = snap()
+    assert(p1.sameElements(p2), s"fast-path pairs drifted: ${p1.length} vs ${p2.length}")
+    assert(v1.sameElements(v2), s"fast-path verify drifted: ${v1.length} vs ${v2.length}")
+    assert(c1.sameElements(c2), s"fast-path components drifted: ${c1.length} vs ${c2.length}")
     Warehouse.invalidateDataset(ds)
   }
 

@@ -82,6 +82,52 @@ class TextAggSpec extends SparkSpecBase {
     assert(leaked.isEmpty, s"CC loop leaked persistent RDD blocks: $leaked")
   }
 
+  test("incremental components match a full recompute under adds, merges and deletes") {
+    // untouched ballast (a 21-edge path) keeps the affected fraction
+    // under the decline threshold so the incremental path actually runs
+    val ballast = (100L to 120L).map(i => (i, i + 1))
+    val priorEdges = (ballast ++ Seq((1L, 2L), (10L, 11L), (20L, 21L)))
+      .toDF("src", "dst")
+    val priorComp = TextOps.connectedComponents(priorEdges)
+    // delta: 2-3 extends {1,2} with the new node 3; 11-20 merges
+    // {10,11} and {20,21}; the 1-2 edge DIES and orphans node 1
+    val edges = (ballast ++ Seq((2L, 3L), (10L, 11L), (20L, 21L), (11L, 20L)))
+      .toDF("src", "dst")
+    val changed = Seq(1L, 2L, 3L, 11L, 20L).toDF("id")
+    val inc = TextOps.incrementalComponents(priorComp, edges, changed)
+      .as[(Long, Long)].collect().toMap
+    val full = TextOps.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(inc == full, s"inc=$inc full=$full")
+    // node 1 lost its only edge -> absent from the label table; 2-3 is
+    // its own component; the merge converges on min label 10; the
+    // ballast labels carried verbatim
+    assert(!inc.contains(1L))
+    assert(inc(3L) == 2L && inc(21L) == 10L && inc(120L) == 100L, s"inc=$inc")
+  }
+
+  test("incremental components decline to a full recompute on a large merge cascade") {
+    val priorComp = TextOps.connectedComponents(
+      Seq((1L, 2L), (10L, 11L), (20L, 21L)).toDF("src", "dst"))
+    // every component is dragged into one merge — the affected fraction
+    // is 100%, the maintenance declines, and the labels are still exact
+    val edges = Seq((1L, 2L), (10L, 11L), (20L, 21L), (2L, 10L), (11L, 20L))
+      .toDF("src", "dst")
+    val changed = Seq(2L, 10L, 11L, 20L).toDF("id")
+    val inc = TextOps.incrementalComponents(priorComp, edges, changed)
+      .as[(Long, Long)].collect().toMap
+    assert(inc == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 1L, 21L -> 1L), s"inc=$inc")
+  }
+
+  test("incremental components with an empty change set carry every prior label") {
+    val priorEdges = Seq((1L, 2L), (10L, 11L)).toDF("src", "dst")
+    val priorComp = TextOps.connectedComponents(priorEdges)
+    val inc = TextOps.incrementalComponents(priorComp, priorEdges,
+      spark.emptyDataset[Long].toDF("id"))
+      .as[(Long, Long)].collect().toMap
+    assert(inc == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L), s"inc=$inc")
+  }
+
   test("component audit flags components past the membership cap") {
     // one 4-member component, one pair: cap=3 flags only the big one
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst")

@@ -4,8 +4,22 @@ graft.ScaleProbe experiment and the above-sf0.1 oracle envelope.
 
 Each replica k gets: doc_id/vec_id offset by k*stride; a unique 'rep<k>tok'
 text prefix (so shingles/signatures differ per replica and dedup stays
-non-degenerate); the embedding array rotated by k positions (so LSH
-buckets and cosines differ per replica). Replica 0 is the original.
+non-degenerate); a deterministic ZIPFIAN token tail (so the corpus
+vocabulary widens toward a real corpus's shape — see below); the
+embedding array rotated by k positions (so LSH buckets and cosines
+differ per replica). Replica 0 is the original.
+
+The tail (r12): the driver's synthetic documents hold a ~31-word
+vocabulary, which is nothing like the ~10^8-token Zipf vocabulary a
+real corpus has — and the shape matters, because the freq family's
+class-crossing behavior depends on how batch-hit token counts sit
+against powers of two. Each replica k>=1 doc gains TAIL_TOKENS extra
+tokens 'zw<rank>' with rank drawn log-uniformly from [1, ZIPF_VOCAB]
+(log-uniform rank sampling = P(rank r) proportional to 1/r, i.e. Zipf
+counts). The rank hashes from (text, k, position) — NOT doc_id — so
+two source docs with identical text keep identical replica texts and
+the within-replica exact/near-dup structure survives. n_chars is
+recomputed to keep the n_chars == length(text) invariant.
 
 The FACT tables replicate too (r9): lineitem/orders with the order key
 offset by k*1000003 (NOT a multiple of 32, so each replica lands on new
@@ -29,18 +43,29 @@ def main() -> None:
     import os
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    ZIPF_VOCAB = 10000
+    TAIL_TOKENS = 6
+    # one log-uniform Zipf token per (text, replica, position): identical
+    # source texts map to identical replica texts (dup structure survives)
+    tail = " || ".join(
+        f"' zw' || CAST(1 + floor(exp(ln({ZIPF_VOCAB}) * "
+        f"(hash(text || '|' || r.k || '|{j}') % 1048576) / 1048576.0)) "
+        f"AS BIGINT)"
+        for j in range(TAIL_TOKENS))
     con.execute(f"""
     COPY (
-      SELECT doc_id + {stride}*r.k AS doc_id,
-             CASE WHEN r.k = 0 THEN text
-                  ELSE 'rep' || r.k || 'tok ' || text END AS text,
-             lang, source,
+      SELECT doc_id, text, lang, source,
              -- keep the n_chars == length(text) invariant the quality
              -- and stats operators rely on
-             CASE WHEN r.k = 0 THEN n_chars
-                  ELSE n_chars + length('rep' || r.k || 'tok ') END AS n_chars
-      FROM '{src}/documents.parquet',
-           (SELECT unnest(generate_series(0, {n - 1})) AS k) r
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM (
+        SELECT doc_id + {stride}*r.k AS doc_id,
+               CASE WHEN r.k = 0 THEN text
+                    ELSE 'rep' || r.k || 'tok ' || text || {tail} END AS text,
+               lang, source
+        FROM '{src}/documents.parquet',
+             (SELECT unnest(generate_series(0, {n - 1})) AS k) r
+      )
     ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
     """)
     con.execute(f"""

@@ -299,7 +299,30 @@ object Export {
     * `foreachPartition` whole-file writer shape as [[writeGeoTiffs]]:
     * frames co-locate by date, each task encodes complete files, and
     * the pixel→color mapping runs on the executors. */
+  /** Frame-byte budget for the image sinks (override:
+    * `graft.maxFrameBytes`; default 256 MiB). Each rendered frame
+    * materializes one w×h buffer per date — a palette byte per pixel
+    * for GIF, an RGBA int per pixel for PNG — in a single task (and,
+    * for GIF, streamed through the one driver-side writer a GIF's
+    * ordered byte format requires). A 100× cube pushed through
+    * undownsampled would OOM that single buffer, so the sinks fail
+    * fast BEFORE running any job, naming the remedy: the frame AREA
+    * must shrink first ([[GridSpec.downsample]] / filter_downsample),
+    * which is also what an animation of a raster IS at scale. */
+  private def requireFrameBudget(sink: String, w: Int, h: Int,
+      bytesPerPx: Int): Unit = {
+    val budget = sys.props.get("graft.maxFrameBytes").flatMap(_.toLongOption)
+      .getOrElse(256L << 20)
+    val need = w.toLong * h.toLong * bytesPerPx
+    require(need <= budget,
+      s"$sink frame ${w}x$h needs $need bytes per frame, over " +
+        s"graft.maxFrameBytes=$budget — downsample the cube/grid first " +
+        "(GridSpec.downsample, the reference's frame-export path) or " +
+        "raise the budget")
+  }
+
   def writePngFrames(cube: DataFrame, outDir: String, grid: GridSpec): Unit = {
+    requireFrameBudget("png", grid.width, grid.height, bytesPerPx = 4)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val (w, h) = (grid.width, grid.height)
     dateFrames(cube)
@@ -351,6 +374,7 @@ object Export {
   def writeGif(cube: DataFrame, outPath: String, grid: GridSpec,
       variable: String = "ndvi", vmin: Double = -0.2, vmax: Double = 1.0,
       delayCs: Int = 50): Unit = {
+    requireFrameBudget("gif", grid.width, grid.height, bytesPerPx = 1)
     val (w, h) = (grid.width, grid.height)
     val spark = cube.sparkSession
     import spark.implicits._

@@ -1931,24 +1931,68 @@ object TextOps {
     * family). Tables:
     *  - `counts/` (w, c) — the token census (what the incremental
     *    append merges batch counts into, the sizes/ pattern);
-    *  - `scores/` (doc_id, score) — each doc's mean token class,
-    *    stored RAW (parquet round-trips the double exactly, so serving
-    *    is bit-identical to the live lineage).
-    * At 100 TB both are result-sized: vocabulary and one 16-byte row
-    * per document. */
+    *  - `scores/` (doc_id, isum, len) — each doc's INTEGER class sum
+    *    and token count. Stored as integers (not the divided double)
+    *    so a class-crossing correction can add exactly: serving
+    *    divides isum/len the same way `avg` does (double sums of
+    *    integers below 2^53 are exact), so the served score is
+    *    bit-identical to the live avg(klass) lineage;
+    *  - `post/` (w, doc_id, mult) — the inverted postings, written
+    *    range-partitioned and SORTED by token so a crossed-token probe
+    *    prunes to its row groups (the tile/day discipline). This is
+    *    what makes crossings repricable in O(affected) instead of
+    *    forcing a corpus rebuild — at a real Zipf vocabulary a batch
+    *    crosses SOME rare token's power of two almost every append,
+    *    so a rebuild fallback would dominate at scale;
+    *  - `corr/` (doc_id, dsum) — pending integer corrections from
+    *    class crossings, folded into isum at serve time and compacted
+    *    away by the next full rebuild.
+    * At 100 TB counts/scores/corr are result-sized (vocabulary + one
+    * row per document); post/ is the corpus's distinct (token, doc)
+    * pairs — the standard inverted-index artifact, built once,
+    * appended O(batch), probed via row-group pruning. */
   private[graft] def freqIndex(s: SparkSession, d: String): String =
     freqCache.get(s"$d@${BuildCache.version(d, "documents.parquet")}") {
       Warehouse.getOrBuild("freq", d, "documents.parquet") { tmp =>
-        val (tk, pin) = Checkpoints.pin(Tables.documents(s, d)
-          .select(col("doc_id"), explode(toks).as("w")))
+        val (tkg, pin) = Checkpoints.pin(Tables.documents(s, d)
+          .select(col("doc_id"), explode(toks).as("w"))
+          .groupBy("w", "doc_id").agg(count(lit(1)).as("mult")))
         try {
+          Warehouse.writeParquet(tkg.repartitionByRange(col("w"))
+            .sortWithinPartitions("w"), s"$tmp/post")
           Warehouse.writeParquet(
-            tk.groupBy("w").agg(count(lit(1)).as("c")), s"$tmp/counts")
+            tkg.groupBy("w").agg(sum("mult").as("c")), s"$tmp/counts")
+          val klass = tokenKlass(s.read.parquet(s"$tmp/counts"))
           Warehouse.writeParquet(
-            scoresOf(tk, s.read.parquet(s"$tmp/counts")), s"$tmp/scores")
+            tkg.join(klass.hint("shuffle_hash"), "w")
+              .groupBy("doc_id")
+              .agg(sum(col("mult") * col("klass")).as("isum"),
+                sum("mult").as("len")), s"$tmp/scores")
         } finally Checkpoints.release(pin)
       }
     }
+
+  /** Served per-doc scores: the integer base plus any pending crossing
+    * corrections, divided exactly as `avg` would — bit-identical to
+    * the live lineage at any correction depth. */
+  private def freqScores(s: SparkSession, d: String): DataFrame = {
+    val idx = freqIndex(s, d)
+    val base = s.read.parquet(s"$idx/scores")
+    val corrDir = java.nio.file.Paths.get(idx, "corr")
+    val summed =
+      if (java.nio.file.Files.isDirectory(corrDir)) {
+        // corrections are bounded (appendToFreqIncremental compacts by
+        // full rebuild past CorrCap), so this join broadcasts under AQE
+        val corr = s.read.parquet(corrDir.toString)
+          .groupBy("doc_id").agg(sum("dsum").as("dsum"))
+        base.join(corr, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (col("isum") + coalesce(col("dsum"), lit(0L))).as("isum"),
+            col("len"))
+      } else base
+    summed.select(col("doc_id"),
+      (col("isum").cast("double") / col("len").cast("double")).as("score"))
+  }
 
   /** Explicit build step; queries build lazily on first use,
     * [[graft.Bench]]'s warm-up runs it up front so t20/t21 timings
@@ -1976,13 +2020,23 @@ object TextOps {
     * COUNT BIT-LENGTH: it moves only when a token's count crosses a
     * power of two, and appends only grow counts. The updater merges
     * the batch's token counts into the persisted census (map-side, the
-    * sizes/ pattern) and then GUARDS: if no batch-hit token's class
-    * changed, every prior score is still exact — prior `scores/` files
-    * carry over untouched and only the batch docs score (against the
-    * batch-vocabulary slice of the merged census). A class crossing
-    * (or any failure) routes to the idempotent full rebuild.
-    * Row-identical to a full rebuild either way (spec-asserted,
-    * including a crossing case). */
+    * sizes/ pattern); prior `scores/` and `post/` files always carry by
+    * hard link and only the batch docs score fresh (against the
+    * batch-vocabulary slice of the merged census).
+    *
+    * When a batch-hit token DOES cross a power of two, the prior docs
+    * containing it reprice EXACTLY and in O(affected): the crossed
+    * tokens (few — each is one census row) probe the token-sorted
+    * `post/` postings via row-group pruning, and each affected doc
+    * gains one integer `corr/` row (mult × class-delta), folded into
+    * its isum at serve time. Integer arithmetic means the corrected
+    * score is bit-identical to a from-scratch rebuild — spec-asserted,
+    * including a crossing case. Only a DEGENERATE batch routes to the
+    * idempotent full rebuild (a compaction): more crossed tokens than
+    * `graft.freq.maxCrossed` (default 4096 — a batch re-classing that
+    * much of the vocabulary is a corpus-scale event, not an append) or
+    * a pending-correction set past CorrCap (serve-side broadcast
+    * bound), plus any unexpected failure. */
   def appendToFreq(s: SparkSession, d: String, appended: DataFrame): Unit = {
     Warehouse.latest("freq", d) match {
       case None => buildFreq(s, d)
@@ -1992,21 +2046,34 @@ object TextOps {
     }
   }
 
+  /** Crossed-token cap for one append (override: `graft.freq.maxCrossed`). */
+  private def maxCrossed: Int =
+    sys.props.get("graft.freq.maxCrossed").flatMap(_.toIntOption).getOrElse(4096)
+
+  /** Pending corrections past this many rows (or 5% of the corpus)
+    * compact via full rebuild, keeping the serve-side fold broadcastable. */
+  private val CorrCapRows = 65536L
+
   private def appendToFreqIncremental(s: SparkSession, d: String,
       appended: DataFrame, prior: String): Unit = {
     Warehouse.getOrBuild("freq", d, "documents.parquet") { tmp =>
-      val (btk, pin) = Checkpoints.pin(
-        appended.select(col("doc_id"), explode(toks).as("w")))
+      import s.implicits._
+      val (btg, pin) = Checkpoints.pin(
+        appended.select(col("doc_id"), explode(toks).as("w"))
+          .groupBy("w", "doc_id").agg(count(lit(1)).as("mult")))
       try {
-        val bc = btk.groupBy("w").agg(count(lit(1)).as("b_c"))
+        val bc = btg.groupBy("w").agg(sum("mult").as("b_c"))
         val priorCounts = s.read.parquet(s"$prior/counts")
-        // class-stability guard BEFORE any write: a batch-hit token
-        // whose bit-length grew reprices prior documents — full rebuild
-        val crossings = priorCounts.join(broadcast(bc), "w")
-          .filter(length(bin(col("c") + col("b_c"))) =!= length(bin(col("c"))))
-          .limit(1).count()
-        require(crossings == 0L,
-          "a token's frequency class crossed a power of two — full rebuild")
+        // batch-hit tokens whose class (count bit-length) grew, with
+        // the integer class delta — driver-collected (bounded by the
+        // batch vocabulary and capped) so the postings probe below can
+        // push the token list into parquet row-group pruning
+        val crossed = priorCounts.join(broadcast(bc), "w")
+          .select(col("w"), (length(bin(col("c") + col("b_c"))) -
+            length(bin(col("c")))).cast("int").as("dk"))
+          .filter(col("dk") > 0).collect()
+        require(crossed.length <= maxCrossed,
+          s"${crossed.length} token classes crossed — compact via rebuild")
         val grown = priorCounts.join(broadcast(bc), Seq("w"), "left")
           .select(col("w"), (col("c") + coalesce(col("b_c"), lit(0L))).as("c"))
         val matched = priorCounts
@@ -2014,14 +2081,48 @@ object TextOps {
         val freshW = bc.join(matched, Seq("w"), "left_anti")
           .select(col("w"), col("b_c").as("c"))
         Warehouse.writeParquet(grown.unionByName(freshW), s"$tmp/counts")
-        // prior scores carry by file; only the batch scores, against
-        // the batch-vocabulary slice of the merged census
+        // prior scores, postings, and pending corrections carry by file
         Warehouse.copyData(s"$prior/scores", tmp.resolve("scores"))
+        Warehouse.copyData(s"$prior/post", tmp.resolve("post"))
+        val priorCorr = java.nio.file.Paths.get(prior, "corr")
+        val priorCorrRows =
+          if (java.nio.file.Files.isDirectory(priorCorr)) {
+            Warehouse.copyData(priorCorr.toString, tmp.resolve("corr"))
+            s.read.parquet(priorCorr.toString).count()
+          } else 0L
+        if (crossed.nonEmpty) {
+          // reprice ONLY the prior docs containing a crossed token:
+          // the isin pushdown prunes the token-sorted postings to the
+          // crossed tokens' row groups — O(affected), never O(corpus)
+          val words = crossed.map(_.getString(0)).toSeq
+          val dkDf = crossed.map(r => (r.getString(0), r.getInt(1).toLong))
+            .toSeq.toDF("w", "dk")
+          val corr = s.read.parquet(s"$prior/post")
+            .filter(col("w").isin(words: _*))
+            .join(broadcast(dkDf), "w")
+            .groupBy("doc_id").agg(sum(col("mult") * col("dk")).as("dsum"))
+            .persist()
+          try {
+            val affected = corr.count()
+            val priorDocs = s.read.parquet(s"$prior/scores").count()
+            require(priorCorrRows + affected <=
+              math.max(CorrCapRows, priorDocs / 20),
+              "pending corrections past the serve bound — compact via rebuild")
+            corr.write.mode("append").parquet(s"$tmp/corr")
+          } finally { corr.unpersist(); () }
+        }
+        // only the batch docs score fresh, against the batch-vocabulary
+        // slice of the merged census (post-crossing classes, so no
+        // correction rows apply to them)
         val batchKlass = tokenKlass(s.read.parquet(s"$tmp/counts")
           .join(broadcast(bc.select("w")), Seq("w"), "left_semi"))
-        btk.join(batchKlass, "w")
-          .groupBy("doc_id").agg(avg("klass").as("score"))
+        btg.join(batchKlass, "w")
+          .groupBy("doc_id")
+          .agg(sum(col("mult") * col("klass")).as("isum"),
+            sum("mult").as("len"))
           .write.mode("append").parquet(s"$tmp/scores")
+        btg.select("w", "doc_id", "mult")
+          .write.mode("append").parquet(s"$tmp/post")
       } finally Checkpoints.release(pin)
     }
     ()
@@ -2031,7 +2132,7 @@ object TextOps {
     // serves from the freq artifact: the corpus token pass ran at
     // build time; the cutoff aggregate and the bucket projection run
     // over the doc-count-sized scores table
-    val scores = s.read.parquet(s"${freqIndex(s, d)}/scores")
+    val scores = freqScores(s, d)
     val cuts = scores.agg(
       expr("percentile(score, 0.6666666666666666)").as("c_head"),
       expr("percentile(score, 0.3333333333333333)").as("c_mid"))
@@ -2082,7 +2183,7 @@ object TextOps {
     // aggregate and the window-population count) are scans of the
     // doc-count-sized scores table — before r10 each run re-executed
     // the token explode + frequency join TWICE
-    val scores = s.read.parquet(s"${freqIndex(s, d)}/scores")
+    val scores = freqScores(s, d)
     val cuts = scores.agg(
       count(lit(1)).as("n_docs"),
       r6(expr("percentile(score, 0.6666666666666666)")).as("c_head_exact"),

@@ -50,8 +50,11 @@ object Warehouse {
     * cannot share a root with a meta table).
     * v6: textdup gained `sizes/`+`pairbk/`+`simhash/` and neardup
     * gained `sizes/`+`pairbk/` (the O(batch) incremental-append side
-    * tables); ivf split into `cells/`+`meta/` (frozen-model appends). */
-  val LayoutVersion = 6
+    * tables); ivf split into `cells/`+`meta/` (frozen-model appends).
+    * v7: freq scores re-keyed to integer (isum, len) and the artifact
+    * gained `post/`+`corr/` (exact O(affected) class-crossing
+    * repricing instead of the rebuild fallback). */
+  val LayoutVersion = 7
 
   /** Root directory: `graft.warehouse` system property (spec isolation),
     * else `GRAFT_WAREHOUSE` env, else `spark-warehouse/graft` under the

@@ -54,6 +54,44 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
   }
 
+  test("skewed right side: hot key exact, hash-distributed, partition-local sorts only") {
+    import spark.implicits._
+    // one hot key carrying 100x the cold keys' rows — the shape a
+    // 100 TB as-of join degrades under if the exec demanded a global
+    // sort or re-shuffled candidates. The required distribution is
+    // hash-by-key (a key cannot split, so the hot key lands in one
+    // partition and streams through the single merge pass); the sorts
+    // EnsureRequirements plans must all be partition-local.
+    val hot = 7L
+    val right = spark.range(50000)
+      .select(lit(hot).as("rk"), (col("id") * 2).as("rt"), col("id").as("rid"))
+      .unionByName(spark.range(500).select((col("id") % 50 + 100).as("rk"),
+        (col("id") * 10).as("rt"), (col("id") + 1000000).as("rid")))
+    val left = spark.range(400).select(
+      when(col("id") % 4 === 0, lit(hot))
+        .otherwise(col("id") % 50 + 100).as("k"),
+      (col("id") * 251 % 120000).as("lt"), col("id").as("lid"))
+    val got = AsOf.join(left, right, "k", "rk", "lt", "rt")
+    got.count() // force planning + execution through AQE
+    val ps = got.queryExecution.executedPlan.toString
+    assert(ps.contains("AsOfJoin"), "custom exec did not fire")
+    assert(ps.contains("hashpartitioning"),
+      "as-of children are not hash-distributed on the key")
+    // SortExec prints `Sort [...], <global>, 0` — a `true` here would
+    // mean a cluster-wide range sort (the scale killer), not the
+    // per-partition (key, time) ordering the exec declares
+    assert(!ps.contains("], true, 0"),
+      s"global sort appeared in the as-of plan:\n$ps")
+    val exp = left.join(right,
+        col("k") === col("rk") && col("rt") <= col("lt"), "left")
+      .groupBy("k", "lt", "lid").agg(expr("max_by(rid, rt)").as("rid"))
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    val gotM = got.select("lid", "rid")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(gotM.size == 400 && gotM == exp,
+      "skewed as-of join diverged from the compositional form")
+  }
+
   test("as-of tie at equal timestamps is inclusive (time <= left time)") {
     val l = Seq((1L, 100L, 10L)).toDF("k", "lt", "lid")
       .select(col("k"), col("lt"), col("lid"))

@@ -416,13 +416,14 @@ class IncrementalSpec extends SparkSpecBase {
     Warehouse.invalidateDataset(ds)
   }
 
-  test("appendToFreq falls back to a full rebuild when a token class crosses a power of two") {
+  test("appendToFreq reprices a class crossing in O(affected) via corr/, still == full rebuild") {
     import spark.implicits._
     val ds = tmpDs("graft-inc-freqx")
     // corpus where token 'zq' appears exactly 3 times (class 2); the
-    // batch adds one more 'zq' -> count 4 -> class 3: prior docs
-    // containing 'zq' reprice, so the guard must decline the carry and
-    // the result must still equal a from-scratch build
+    // batch adds one more 'zq' -> count 4 -> class 3: the prior docs
+    // containing 'zq' reprice through the corrections path (prior
+    // scores STILL carry by file — no rebuild), and the served result
+    // must equal a from-scratch build bit-for-bit
     val base = Seq(
       (0L, "alpha bravo zq charlie", "en", "srcF", 22L),
       (1L, "delta zq echo foxtrot", "en", "srcF", 21L),
@@ -433,20 +434,70 @@ class IncrementalSpec extends SparkSpecBase {
     TextOps.clearFreqCache()
     TextOps.buildFreq(spark, ds)
     val prior = Warehouse.latest("freq", ds).get
+    val carried = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(prior, "scores"))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("part-")).toSeq.head
+      } finally st.close()
+    }
     val batch = Seq((10L, "november zq oscar papa", "en", "srcF", 22L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     base.unionByName(batch).write.mode("overwrite")
       .parquet(s"$ds/documents.parquet")
     TextOps.clearFreqCache()
     TextOps.appendToFreq(spark, ds, batch)
-    assert(Warehouse.latest("freq", ds).get != prior,
-      "crossing append produced no new freq version")
+    val incDir = Warehouse.latest("freq", ds).get
+    assert(incDir != prior, "crossing append produced no new freq version")
+    assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(incDir, "scores", carried)),
+      "crossing append rebuilt instead of repricing incrementally")
+    val corr = spark.read.parquet(s"$incDir/corr")
+      .as[(Long, Long)].collect().toMap
+    // exactly the three 'zq' docs gain a +1-class correction
+    assert(corr == Map(0L -> 1L, 1L -> 1L, 2L -> 1L),
+      s"unexpected correction set: $corr")
     val inc = TextOps.freqBucket(spark, ds).collect()
     TextOps.clearFreqCache()
     Warehouse.invalidate("freq", ds)
     val full = TextOps.freqBucket(spark, ds).collect()
     assert(inc.sameElements(full),
       "class-crossing append diverged from the full rebuild")
+    Warehouse.invalidateDataset(ds)
+  }
+
+  test("appendToFreq compacts via full rebuild past the crossed-token cap") {
+    import spark.implicits._
+    val ds = tmpDs("graft-inc-freqcap")
+    val base = Seq(
+      (0L, "alpha bravo zq charlie", "en", "srcF", 22L),
+      (1L, "delta zq echo foxtrot", "en", "srcF", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    base.write.mode("overwrite").parquet(s"$ds/documents.parquet")
+    TextOps.clearFreqCache()
+    TextOps.buildFreq(spark, ds)
+    val prior = Warehouse.latest("freq", ds).get
+    val batch = Seq((10L, "november zq oscar papa", "en", "srcF", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    base.unionByName(batch).write.mode("overwrite")
+      .parquet(s"$ds/documents.parquet")
+    TextOps.clearFreqCache()
+    // cap forced to zero: ANY crossing routes to the compaction rebuild
+    sys.props("graft.freq.maxCrossed") = "0"
+    try TextOps.appendToFreq(spark, ds, batch)
+    finally sys.props -= "graft.freq.maxCrossed"
+    val incDir = Warehouse.latest("freq", ds).get
+    assert(incDir != prior, "capped append produced no new freq version")
+    assert(!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(incDir, "corr")),
+      "compaction rebuild should fold corrections away")
+    val inc = TextOps.freqBucket(spark, ds).collect()
+    TextOps.clearFreqCache()
+    Warehouse.invalidate("freq", ds)
+    val full = TextOps.freqBucket(spark, ds).collect()
+    assert(inc.sameElements(full),
+      "capped (rebuild) append diverged from the full rebuild")
     Warehouse.invalidateDataset(ds)
   }
 

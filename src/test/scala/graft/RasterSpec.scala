@@ -158,6 +158,31 @@ class RasterSpec extends SparkSpecBase {
     }
   }
 
+  test("image sinks fail fast past the frame-byte budget (writer OOM guard)") {
+    // a grid whose frames exceed the default 256 MiB budget (2^29 B for
+    // GIF at 1 B/px, 4x that for PNG), against a cube whose EXECUTION
+    // would throw — proving the guard fires before any job is planned
+    val big = ops.Resample.SrcGrid.copy(width = 1 << 15, height = 1 << 14)
+    val poisoned = cube.withColumn("ndvi",
+      expr("assert_true(false)").cast("double"))
+    val out = Files.createTempDirectory("frame-guard")
+    val e1 = intercept[IllegalArgumentException] {
+      Export.writeGif(poisoned, out.resolve("a.gif").toString, big)
+    }
+    assert(e1.getMessage.contains("downsample"),
+      s"guard message does not name the remedy: ${e1.getMessage}")
+    val e2 = intercept[IllegalArgumentException] {
+      Export.writePngFrames(poisoned, out.toString, big)
+    }
+    assert(e2.getMessage.contains("maxFrameBytes"))
+    assert(!Files.exists(out.resolve("a.gif")), "guard left partial output")
+    // the budget is configurable: a 32x32 frame (1 KiB) rejected at 512 B
+    sys.props("graft.maxFrameBytes") = "512"
+    try intercept[IllegalArgumentException] {
+      Export.writeGif(cube, out.resolve("b.gif").toString, ops.Resample.SrcGrid)
+    } finally sys.props -= "graft.maxFrameBytes"
+  }
+
   test("GIF sink assembles the chronological looping animation") {
     val out = Paths.get(Files.createTempDirectory("gif").toString, "animation.gif")
     Export.writeGif(cube, out.toString, ops.Resample.SrcGrid)

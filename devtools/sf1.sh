@@ -1,0 +1,99 @@
+#!/usr/bin/env bash
+# sf1 scale envelope (VERDICT r11 #2-#4): regenerate the deterministic
+# 10x-of-sf0.1 corpus (~6M-row lineitem, 50k docs), then
+#   1. run graft.Verify + the DuckDB oracle on every LINEAR-oracle query
+#      (all families except the dedup/ANN banding queries whose ORACLE
+#      side is corpus-quadratic),
+#   2. run graft.ScaleInvariants for those t/v families — sampled
+#      est-vs-exact, component/census/partition invariants — so the sf1
+#      snapshot carries a correctness row per family either way,
+#   3. run graft.Bench at sf1 with its own rolling baseline
+#      (BENCH_SF1.json; BenchGate keys baselines by scale factor, so the
+#      sf0.1 artifacts never gate this run and vice versa).
+# Output: CORRECTNESS_SF1.txt (oracle rows + invariant rows) and
+# BENCH_SF1.json in the repo root.
+#
+# Usage: devtools/sf1.sh [src_sf_dir] [work_dir]
+#   src_sf_dir  default /root/testdata/sf0.1
+#   work_dir    default /tmp/graft-sf1 (corpus + verify output; the
+#               corpus path must stay stable across rounds so the
+#               BENCH_SF1 gate's sf-dir match holds)
+# Expect ~20-30 min. Exit 0 iff oracle rows, invariants AND the bench
+# error map are all clean.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SRC="${1:-/root/testdata/sf0.1}"
+WORK="${2:-/tmp/graft-sf1}"
+CORPUS="$WORK/sf1"
+OUT="$WORK/verify_out"
+mkdir -p "$WORK"
+rm -rf "$CORPUS" "$OUT"
+
+ADDOPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+
+echo "== scalegen: $SRC -> $CORPUS (10x, stride 5000)"
+python3 devtools/scalegen.py "$SRC" "$CORPUS" 10 5000
+
+# Every query whose DuckDB oracle is LINEAR in the corpus. Excluded
+# (quadratic-oracle; covered by ScaleInvariants below): t06-t08,
+# t11-t13 (banding self-joins), t17/t19 (funnel CTEs embed the same
+# banding), v01-v14 (all-pairs dots / k-means chains).
+LINEAR=$(python3 - <<'EOF'
+fams = {
+  'c': 8, 'e': 8, 'g': 4, 'm': 3, 'q': 6, 's': 7, 'x': 8,
+}
+names = []
+# p01-p08, r01-r25 enumerated fully; t linear subset listed explicitly
+for f, n in fams.items():
+    names += [f'{f}{i:02d}' for i in range(1, n + 1)]
+names += [f'p{i:02d}' for i in range(1, 9)]
+names += [f'r{i:02d}' for i in range(1, 26)]
+names += ['t01', 't02', 't03', 't04', 't05', 't09', 't10',
+          't14', 't15', 't16', 't18', 't20', 't21']
+print(' '.join(sorted(names)))
+EOF
+)
+# resolve prefixes to full declared query names
+QUERIES=$(python3 - "$LINEAR" <<'EOF'
+import json, subprocess, sys
+want = set(sys.argv[1].split())
+names = json.load(open('CORRECTNESS_r11.json')).keys()
+print(' '.join(n for n in sorted(names) if n[:3] in want))
+EOF
+)
+N_Q=$(wc -w <<<"$QUERIES")
+
+echo "== Verify at sf1 ($N_Q linear-oracle queries)"
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" java $ADDOPENS \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx48g -cp "$CP" graft.Verify "$CORPUS" "$OUT" $QUERIES \
+  2>"$WORK/verify.log"
+
+echo "== DuckDB oracle cross-check at sf1"
+python3 devtools/check.py "$CORPUS" "$OUT" $QUERIES | tee CORRECTNESS_SF1.txt
+
+echo "== ScaleInvariants (t/v dedup/ANN families) at sf1"
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" java $ADDOPENS \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx48g -cp "$CP" graft.ScaleInvariants "$CORPUS" \
+  2>"$WORK/invariants.log" | tee -a CORRECTNESS_SF1.txt
+
+echo "== Bench at sf1 (rolling baseline: BENCH_SF1.json)"
+PREV=""
+[ -f BENCH_SF1.json ] && PREV="BENCH_SF1.json"
+SPARK_GRAFT_SF_DIR="$CORPUS" SPARK_GRAFT_BENCH_OUT="BENCH_SF1.json" \
+  SPARK_GRAFT_BENCH_PREV="$PREV" \
+  java $ADDOPENS -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC -Xmx48g -cp "$CP" graft.Bench \
+  2>"$WORK/bench.log" | tail -1
+
+grep -q ", 0 fail" CORRECTNESS_SF1.txt
+grep -q "== invariants: all ok" CORRECTNESS_SF1.txt
+python3 - <<'EOF'
+import json
+b = json.load(open('BENCH_SF1.json'))
+assert not b.get('errors'), f"bench errors: {b['errors']}"
+print(f"sf1 bench: {b['value']:.1f} s query-sum, gate pass={b['gate']['pass']}")
+EOF

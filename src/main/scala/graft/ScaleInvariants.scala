@@ -1,0 +1,292 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Above-sf0.1 correctness envelope for the dedup/ANN families whose
+  * DuckDB oracle is corpus-quadratic ON THE ORACLE SIDE (banding
+  * self-joins, all-pairs dots): instead of re-deriving the full result
+  * in a second engine, assert the LINEAR-side invariants the served
+  * artifacts must satisfy at any scale — pair canonicality, sampled
+  * est-vs-exact Jaccard (the exact side recomputed here from raw
+  * documents through an INDEPENDENT spelling, not the build's own
+  * jaccardOfShingles), component labels = min member id, component/edge
+  * consistency, funnel census sums, tercile partition order, served
+  * cosine exactness against a fresh recompute, and IVF partition
+  * totality. A carried-file append that drifted from what a fresh
+  * rebuild would produce, a banding bug that emits non-canonical pairs,
+  * or a probe path that mis-ranks served cosines all fail here — at a
+  * corpus size where the quadratic oracle cannot run.
+  *
+  * Usage: `java ... graft.ScaleInvariants <datasetDir>` → one
+  * check.py-style line per invariant (`name OK/FAIL detail`), summary
+  * line, exit 1 on any FAIL. devtools/sf1.sh appends the output to
+  * CORRECTNESS_SF1.txt so the sf1 snapshot carries a row per t/v
+  * family alongside the oracle-checked families.
+  */
+object ScaleInvariants {
+
+  /** Sampled pairs for the est-vs-exact recompute: enough for a
+    * systematic-distortion signal, small enough that the exact side is
+    * sample-sized at any corpus. */
+  val SamplePairs = 256
+
+  /** Per-check sink: name + thunk returning (ok, detail). A thrown
+    * check is a FAIL with the exception as detail, never an abort of
+    * the remaining checks. */
+  private[graft] trait Check {
+    def apply(name: String)(f: => (Boolean, String)): Unit
+  }
+
+  /** Collecting [[Check]]: runs every check, records failures, prints
+    * check.py-style lines. */
+  private[graft] final class Collector(spark: SparkSession) extends Check {
+    var fails: List[String] = Nil
+    def apply(name: String)(f: => (Boolean, String)): Unit = {
+      val (ok, detail) =
+        try f
+        catch { case e: Throwable =>
+          (false, s"threw ${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(160))
+        }
+      if (!ok) fails ::= name
+      println(f"$name%-28s ${if (ok) "OK  " else "FAIL"} $detail")
+      spark.catalog.clearCache()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = Sessions.local()
+    val collector = new Collector(spark)
+
+    runChecks(spark, dir, collector)
+
+    val fails = collector.fails.size
+    println(s"== invariants: ${if (fails == 0) "all ok" else s"$fails FAIL"}")
+    spark.stop()
+    if (fails > 0) sys.exit(1)
+  }
+
+  /** The checks themselves, callback-driven so a spec can run them
+    * in-process against sf0.001 and assert zero failures. */
+  private[graft] def runChecks(spark: SparkSession, dir: String,
+      check: Check): Unit = {
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+
+    // ---- t06: mined near-dup pairs are canonical and unique ----------
+    val pairs = ops.TextOps.dedupMinhash(spark, dir)
+      .select("doc_a", "doc_b", "est_jaccard")
+    check("inv_t06_pairs_canonical") {
+      val n = pairs.count()
+      val bad = pairs.filter(col("doc_a") >= col("doc_b") ||
+        col("est_jaccard") < 0 || col("est_jaccard") > 1).count()
+      val dups = n - pairs.select("doc_a", "doc_b").distinct().count()
+      (bad == 0 && dups == 0, s"pairs=$n non_canonical=$bad dup_rows=$dups")
+    }
+
+    // ---- t06/t08: sampled est-vs-exact Jaccard ----------------------
+    // Exact side recomputed HERE from the raw documents — split/slide
+    // trigrams, set semantics via distinct — deliberately not the
+    // build's own shingles()/jaccardOfShingles lineage, so a carried
+    // verify/ file that drifted from the text would disagree.
+    check("inv_t08_est_vs_exact") {
+      val nPairsAll = pairs.count()
+      if (nPairsAll == 0) (true, "pairs=0 (vacuous)")
+      else {
+      val sample = pairs
+        .orderBy(abs(hash(col("doc_a"), col("doc_b"))), col("doc_a"), col("doc_b"))
+        .limit(SamplePairs)
+      val ids = sample.select(col("doc_a").as("doc_id"))
+        .unionByName(sample.select(col("doc_b").as("doc_id"))).distinct()
+      val tri = docs.join(broadcast(ids), "doc_id")
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(
+            |  sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+            |  g -> concat_ws(' ', try_element_at(split(text, ' '), g),
+            |                      try_element_at(split(text, ' '), g + 1),
+            |                      try_element_at(split(text, ' '), g + 2))))"""
+            .stripMargin)).as("s"))
+      val sizes = tri.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sample
+        .join(tri.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+        .join(tri.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+      val stored = ops.TextOps.ngramJaccard(spark, dir)
+      val scored = sample
+        .join(inter, Seq("doc_a", "doc_b"), "left").na.fill(0L, Seq("ni"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .withColumn("exact",
+          col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
+        .join(stored.select(col("doc_a"), col("doc_b"),
+          col("jaccard").as("stored")), Seq("doc_a", "doc_b"))
+        .select(
+          max(abs(col("exact") - col("stored"))).as("store_gap"),
+          avg(abs(col("exact") - col("est_jaccard"))).as("est_mae"),
+          max(abs(col("exact") - col("est_jaccard"))).as("est_max"),
+          count(lit(1)).as("n"))
+        .head()
+      val (storeGap, estMae, estMax, n) = (scored.getDouble(0),
+        scored.getDouble(1), scored.getDouble(2), scored.getLong(3))
+      // stored verify/ must match an independent recompute to rounding
+      // (r6 rounds to 6 decimals); MinHash est is an 8-permutation
+      // estimate whose per-pair deviation concentrates ~ sqrt(J(1-J)/8)
+      // — the bounds catch systematic distortion, not sampling noise
+      (n == math.min(SamplePairs, nPairsAll) && storeGap <= 1e-6 &&
+        estMae <= 0.2 && estMax <= 0.8,
+        f"n=$n stored_gap=$storeGap%.2e est_mae=$estMae%.3f est_max=$estMax%.3f")
+      }
+    }
+
+    // ---- t11: component labels are the min member id -----------------
+    val comp = spark.read.parquet(
+      s"${ops.TextOps.textDupIndex(spark, dir)}/comp")
+    check("inv_t11_label_is_min") {
+      val badLabel = comp.groupBy("comp").agg(min(col("id")).as("mn"))
+        .filter(col("comp") =!= col("mn")).count()
+      val dupIds = comp.count() - comp.select("id").distinct().count()
+      (badLabel == 0 && dupIds == 0,
+        s"components=${comp.select("comp").distinct().count()} " +
+          s"bad_labels=$badLabel dup_ids=$dupIds")
+    }
+
+    // ---- t11: every >=0.5 pair's endpoints share a component ---------
+    check("inv_t11_edges_connected") {
+      val edges = pairs.filter(col("est_jaccard") >= ops.TextOps.FunnelJaccard)
+      val crossing = edges
+        .join(comp.select(col("id").as("doc_a"), col("comp").as("ca")), "doc_a")
+        .join(comp.select(col("id").as("doc_b"), col("comp").as("cb")), "doc_b")
+        .filter(col("ca") =!= col("cb")).count()
+      (crossing == 0, s"edges=${edges.count()} crossing=$crossing")
+    }
+
+    // ---- t17/t19: funnel census sums ---------------------------------
+    check("inv_t17_funnel_census") {
+      val census = ops.TextOps.curationFunnel(spark, dir)
+        .orderBy("stage").collect().map(r => r.getString(0) -> r.getLong(1))
+      val monotone = census.sliding(2).forall {
+        case Array((_, a), (_, b)) => b <= a
+        case _ => true
+      }
+      val total = census.headOption.map(_._2).getOrElse(-1L)
+      val nDocs = docs.count()
+      val curated = ops.TextOps.curatedDocs(spark, dir).count()
+      val last = census.lastOption.map(_._2).getOrElse(-1L)
+      (monotone && total == nDocs && curated == last,
+        s"stages=${census.length} total=$total docs=$nDocs " +
+          s"monotone=$monotone curated=$curated stage5=$last")
+    }
+
+    // ---- t20: tercile buckets partition the corpus in score order ----
+    check("inv_t20_tercile_partition") {
+      val fb = ops.TextOps.freqBucket(spark, dir)
+      val byB = fb.groupBy("bucket").agg(count(lit(1)).as("n"),
+        min("score").as("mn"), max("score").as("mx"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1),
+          r.getDouble(2), r.getDouble(3))).toMap
+      val n = fb.count()
+      val nDocs = docs.count()
+      val covered = byB.values.map(_._1).sum
+      // cut-based bucketing: every head score >= every middle score >=
+      // every tail score (buckets may be empty only from the tail up)
+      val ordered =
+        byB.get("head").forall(h => byB.get("middle").forall(_._3 <= h._2)) &&
+        byB.get("middle").forall(m => byB.get("tail").forall(_._3 <= m._2))
+      (n == nDocs && covered == nDocs && ordered,
+        s"rows=$n docs=$nDocs buckets=${byB.view.mapValues(_._1).toMap} " +
+          s"ordered=$ordered")
+    }
+
+    // ---- t21: sketch cutoffs inside the declared exact window --------
+    check("inv_t21_sketch_in_bound") {
+      val r = ops.TextOps.freqBucketApprox(spark, dir)
+        .select("head_in_bound", "mid_in_bound").head()
+      (r.getBoolean(0) && r.getBoolean(1),
+        s"head_in_bound=${r.getBoolean(0)} mid_in_bound=${r.getBoolean(1)}")
+    }
+
+    // ---- v06: served pair cosines match a fresh exact recompute ------
+    check("inv_v06_cosine_exact") {
+      val served = ops.SimOps.embedNearDup(spark, dir)
+        .select("keep_id", "dup_id", "cosine")
+      val nPairs = served.count()
+      if (nPairs == 0) (true, "pairs=0 (vacuous)")
+      else {
+      val sample = served
+        .orderBy(abs(hash(col("keep_id"), col("dup_id"))),
+          col("keep_id"), col("dup_id"))
+        .limit(SamplePairs)
+      val withVecs = sample
+        .join(emb.select(col("vec_id").as("keep_id"),
+          col("embedding").as("ea")), "keep_id")
+        .join(emb.select(col("vec_id").as("dup_id"),
+          col("embedding").as("eb")), "dup_id")
+        .withColumn("z", explode(arrays_zip(col("ea"), col("eb"))))
+        .groupBy("keep_id", "dup_id", "cosine")
+        .agg(
+          sum(col("z.ea").cast("double") * col("z.eb").cast("double")).as("dot"),
+          sum(col("z.ea").cast("double") * col("z.ea").cast("double")).as("na"),
+          sum(col("z.eb").cast("double") * col("z.eb").cast("double")).as("nb"))
+        .withColumn("fresh", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+      val agg = withVecs.select(
+        max(abs(col("fresh") - col("cosine"))).as("gap"),
+        min("cosine").as("mn"), count(lit(1)).as("n")).head()
+      val (gap, mn, n) = (agg.getDouble(0), agg.getDouble(1), agg.getLong(2))
+      // r6 rounding + double-vs-DECIMAL accumulation: 1e-5 headroom;
+      // the pair table's own mining threshold is cosine > 0.4
+      (n == math.min(SamplePairs, nPairs) && gap <= 1e-5 && mn > 0.4,
+        f"pairs=$nPairs sampled=$n max_gap=$gap%.2e min_cosine=$mn%.4f")
+      }
+    }
+
+    // ---- v05: IVF-served cosines are exact on their candidates -------
+    check("inv_v05_served_exact") {
+      val served = ops.SimOps.simIvf(spark, dir).select("qid", "cid", "cosine")
+      val withVecs = served
+        .join(emb.select(col("vec_id").as("qid"), col("embedding").as("ea")), "qid")
+        .join(emb.select(col("vec_id").as("cid"), col("embedding").as("eb")), "cid")
+        .withColumn("z", explode(arrays_zip(col("ea"), col("eb"))))
+        .groupBy("qid", "cid", "cosine")
+        .agg(
+          sum(col("z.ea").cast("double") * col("z.eb").cast("double")).as("dot"),
+          sum(col("z.ea").cast("double") * col("z.ea").cast("double")).as("na"),
+          sum(col("z.eb").cast("double") * col("z.eb").cast("double")).as("nb"))
+        .withColumn("fresh", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+      val agg = withVecs.select(
+        max(abs(col("fresh") - col("cosine"))).as("gap"),
+        count(lit(1)).as("n")).head()
+      (agg.getLong(1) > 0 && agg.getDouble(0) <= 1e-5,
+        f"served=${agg.getLong(1)} max_gap=${agg.getDouble(0)}%.2e")
+    }
+
+    // ---- v09: the inverted file partitions the corpus ----------------
+    check("inv_v09_ivf_partition") {
+      val cells = ops.SimOps.ivfIndex(spark, dir)
+      val n = cells.count()
+      val nd = cells.select("vec_id").distinct().count()
+      val nEmb = emb.count()
+      (n == nEmb && nd == nEmb,
+        s"rows=$n distinct=$nd embeddings=$nEmb " +
+          s"cells=${cells.select("cell").distinct().count()}")
+    }
+
+    // ---- v10: recall@3 is well-formed, probe2 dominates probe1 -------
+    check("inv_v10_recall_sane") {
+      val r1 = ops.SimOps.ivfRecall(spark, dir).select("qid", "recall3")
+      val n = r1.count()
+      val bad = r1.filter(col("recall3") < 0 || col("recall3") > 1).count()
+      val mean = r1.agg(avg("recall3")).head().getDouble(0)
+      (n == 20 && bad == 0, f"queries=$n out_of_range=$bad mean=$mean%.3f")
+    }
+
+    // ---- t09/t05: exact-dedup keep set is consistent ----------------
+    check("inv_t09_exact_dedup") {
+      val kept = ops.TextOps.dedupKeepFirst(spark, dir)
+      val nKept = kept.count()
+      val nTexts = docs.select(md5(col("text"))).distinct().count()
+      (nKept == nTexts, s"kept=$nKept distinct_texts=$nTexts")
+    }
+  }
+}

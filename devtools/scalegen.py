@@ -68,11 +68,21 @@ def main() -> None:
       )
     ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
     """)
+    # rotation runs mod 64 (dim count): past k=63 a raw k-rotation slices
+    # empty and every later replica would EXACTLY duplicate replica 0's
+    # vectors. Replicas k>=64 additionally scale the first post-rotation
+    # element by (1 + k//64) so the k and k+64 replicas stay distinct
+    # vectors (same direction family, different value) — byte-identical
+    # to the old output for k < 64, so the sf1/8x corpora are unchanged.
     con.execute(f"""
     COPY (
       SELECT vec_id + {stride}*r.k AS vec_id,
-             list_concat(list_slice(embedding, r.k + 1, 64),
-                         list_slice(embedding, 1, r.k)) AS embedding,
+             list_transform(
+               list_concat(list_slice(embedding, (r.k % 64) + 1, 64),
+                           list_slice(embedding, 1, r.k % 64)),
+               (v, i) -> CASE WHEN i = 1
+                         THEN CAST(v * (1 + r.k // 64) AS FLOAT)
+                         ELSE v END) AS embedding,
              label
       FROM '{src}/embeddings.parquet',
            (SELECT unnest(generate_series(0, {n - 1})) AS k) r

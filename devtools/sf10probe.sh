@@ -1,0 +1,33 @@
+#!/usr/bin/env bash
+# Three-point scale evidence (r12): extend the append-cost experiment to
+# a TRUE 100x of sf0.1 (the scalegen'd sf10 corpus — 500k docs, 500k
+# embeddings, 60M-row lineitem). With the 1x and 10x ScaleProbe rows
+# this gives a 1x -> 10x -> 100x curve per build/serve/append step: the
+# O(batch) incremental-maintenance claim predicts the append rows stay
+# ~flat across TWO orders of magnitude while the builds grow ~linearly.
+#
+# Usage: devtools/sf10probe.sh [src_sf_dir] [work_dir]
+# Expect ~45-60 min (ivf_build's Lloyd training is linear-in-rows and
+# dominates). Output: one ScaleProbe JSON line (also appended to
+# $WORK/probe.jsonl with the corpus dir inside).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SRC="${1:-/root/testdata/sf0.1}"
+WORK="${2:-/tmp/graft-sf10}"
+CORPUS="$WORK/sf10"
+mkdir -p "$WORK"
+
+ADDOPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+
+if [ ! -f "$CORPUS/documents.parquet" ]; then
+  echo "== scalegen: $SRC -> $CORPUS (100x, stride 5000)"
+  python3 devtools/scalegen.py "$SRC" "$CORPUS" 100 5000
+fi
+
+echo "== ScaleProbe at 100x"
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" java $ADDOPENS \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx96g -cp "$CP" graft.ScaleProbe "$CORPUS" \
+  2>"$WORK/probe.log" | tee -a "$WORK/probe.jsonl"

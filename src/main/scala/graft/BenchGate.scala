@@ -159,7 +159,12 @@ object BenchGate {
     import java.nio.file.{Files, Path, Paths}
     val explicit = sys.env.get("SPARK_GRAFT_BENCH_PREV")
       .map(Paths.get(_)).filter(Files.exists(_)).toSeq
-    val local = Seq(Paths.get(dir, "BENCH_local.json")).filter(Files.exists(_))
+    // BENCH_SF1.json is the sf1 round's rolling baseline (devtools/
+    // sf1.sh); it sits in the same candidate chain because sfMatches
+    // already keeps every artifact scoped to its own scale factor — an
+    // sf0.1 run skips it and an sf1 run skips the sf0.1 artifacts.
+    val local = Seq(Paths.get(dir, "BENCH_local.json"),
+      Paths.get(dir, "BENCH_SF1.json")).filter(Files.exists(_))
     val rx = "BENCH_r(\\d+)\\.json".r
     val rounds: Seq[Path] = {
       val d = Paths.get(dir)

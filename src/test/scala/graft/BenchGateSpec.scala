@@ -177,4 +177,29 @@ class BenchGateSpec extends AnyFunSuite {
       Map("c02_extract_metadata" -> 1))
     assert(noise.contains("\"pass\":true"), noise)
   }
+
+  test("previousArtifact finds BENCH_SF1.json for an sf1 run, never cross-scale") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-gate-spec")
+    def write(name: String, sf: String): Unit =
+      Files.writeString(dir.resolve(name),
+        s"""{"metric":"total","value":1.0,"queries":{"t01_text_stats":0.5},"sf":"$sf","gate":{}}""")
+    try {
+      write("BENCH_local.json", "/root/testdata/sf0.001")
+      write("BENCH_SF1.json", "/tmp/graft-sf1/sf1")
+      // an sf1 run skips the sf0.001 local artifact and adopts BENCH_SF1
+      val sf1 = BenchGate.previousArtifact(dir.toString, "/tmp/graft-sf1/sf1")
+      assert(sf1.map(_._1).contains("BENCH_SF1.json"), sf1.map(_._1))
+      // an sf0.001 run adopts the local artifact, not the sf1 one
+      val local =
+        BenchGate.previousArtifact(dir.toString, "/root/testdata/sf0.001")
+      assert(local.map(_._1).contains("BENCH_local.json"), local.map(_._1))
+      // a third scale factor matches neither
+      assert(BenchGate.previousArtifact(dir.toString,
+        "/root/testdata/sf0.1").isEmpty)
+    } finally {
+      Files.list(dir).forEach(p => Files.delete(p))
+      Files.delete(dir)
+    }
+  }
 }

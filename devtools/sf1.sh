@@ -1,12 +1,12 @@
 #!/usr/bin/env bash
 # sf1 scale envelope (VERDICT r11 #2-#4): regenerate the deterministic
 # 10x-of-sf0.1 corpus (~6M-row lineitem, 50k docs), then
-#   1. run graft.Verify + the DuckDB oracle on every LINEAR-oracle query
-#      (all families except the dedup/ANN banding queries whose ORACLE
-#      side is corpus-quadratic),
-#   2. run graft.ScaleInvariants for those t/v families — sampled
-#      est-vs-exact, component/census/partition invariants — so the sf1
-#      snapshot carries a correctness row per family either way,
+#   1. run graft.Verify + the DuckDB oracle on ALL declared queries
+#      (bounded-sample quantizer training makes the k-means oracle
+#      chain sample-sized; the banding self-joins are bucket-capped),
+#   2. run graft.ScaleInvariants — sampled est-vs-exact,
+#      component/census/partition invariants — an INDEPENDENT second
+#      correctness angle on the dedup/ANN artifacts at scale,
 #   3. run graft.Bench at sf1 with its own rolling baseline
 #      (BENCH_SF1.json; BenchGate keys baselines by scale factor, so the
 #      sf0.1 artifacts never gate this run and vice versa).
@@ -36,45 +36,21 @@ CP="target/scala-2.13/classes:/opt/spark/jars/*"
 echo "== scalegen: $SRC -> $CORPUS (10x, stride 5000)"
 python3 devtools/scalegen.py "$SRC" "$CORPUS" 10 5000
 
-# Every query whose DuckDB oracle is LINEAR in the corpus. Excluded
-# (quadratic-oracle; covered by ScaleInvariants below): t06-t08,
-# t11-t13 (banding self-joins), t17/t19 (funnel CTEs embed the same
-# banding), v01-v14 (all-pairs dots / k-means chains).
-LINEAR=$(python3 - <<'EOF'
-fams = {
-  'c': 8, 'e': 8, 'g': 4, 'm': 3, 'q': 6, 's': 7, 'x': 8,
-}
-names = []
-# p01-p08, r01-r25 enumerated fully; t linear subset listed explicitly
-for f, n in fams.items():
-    names += [f'{f}{i:02d}' for i in range(1, n + 1)]
-names += [f'p{i:02d}' for i in range(1, 9)]
-names += [f'r{i:02d}' for i in range(1, 26)]
-names += ['t01', 't02', 't03', 't04', 't05', 't09', 't10',
-          't14', 't15', 't16', 't18', 't20', 't21']
-print(' '.join(sorted(names)))
-EOF
-)
-# resolve prefixes to full declared query names
-QUERIES=$(python3 - "$LINEAR" <<'EOF'
-import json, subprocess, sys
-want = set(sys.argv[1].split())
-names = json.load(open('CORRECTNESS_r11.json')).keys()
-print(' '.join(n for n in sorted(names) if n[:3] in want))
-EOF
-)
-N_Q=$(wc -w <<<"$QUERIES")
-
-echo "== Verify at sf1 ($N_Q linear-oracle queries)"
+# ALL 112 declared queries: since the bounded-sample quantizer training
+# (r12) the k-means oracle chain is sample-sized, and the banding
+# self-joins turn out bucket-cap-bounded in DuckDB too — the full
+# envelope is oracle-checkable at sf1 (the t11 recursive closure is the
+# slowest oracle at ~2 min).
+echo "== Verify at sf1 (all declared queries)"
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" java $ADDOPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -Xmx48g -cp "$CP" graft.Verify "$CORPUS" "$OUT" $QUERIES \
+  -Xmx48g -cp "$CP" graft.Verify "$CORPUS" "$OUT" \
   2>"$WORK/verify.log"
 
 echo "== DuckDB oracle cross-check at sf1"
-python3 devtools/check.py "$CORPUS" "$OUT" $QUERIES | tee CORRECTNESS_SF1.txt
+python3 devtools/check.py "$CORPUS" "$OUT" | tee CORRECTNESS_SF1.txt
 
-echo "== ScaleInvariants (t/v dedup/ANN families) at sf1"
+echo "== ScaleInvariants at sf1"
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" java $ADDOPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx48g -cp "$CP" graft.ScaleInvariants "$CORPUS" \

@@ -265,6 +265,24 @@ object SimOps {
   val KmeansK = 8
   val KmeansSeedLo = 100
 
+  /** Quantizer training-sample target: Lloyd's trains on roughly this
+    * many vectors REGARDLESS of corpus size (the faiss posture — a
+    * coarse quantizer needs a representative sample, not the corpus;
+    * tens-of-thousands of training points per centroid add nothing).
+    * The sample is the deterministic modular slice `vec_id % stride ==
+    * 0` (plus the k seed vectors), spelled identically in the DuckDB
+    * oracle ([[kmeansCtes]]), so both engines train on the exact same
+    * set and the trained model stays bit-identical cross-engine.
+    * Corpora at or below the target train on everything (stride 1) —
+    * all driver-gated SFs are below it, so their hashes are unchanged.
+    * This is what makes training O(1) in the corpus at 100 TB: only
+    * the one-pass cell ASSIGNMENT (and the serve path) remain linear. */
+  val TrainSampleTarget = 2048L
+
+  /** Modular sampling stride for a corpus of `nVec` vectors. */
+  private[graft] def trainStride(nVec: Long): Long =
+    math.max(1L, nVec / TrainSampleTarget)
+
   /** Flattened (vec_id, i, v) relation — the Spark mirror of [[flatSql]]
     * (i 1-based long, v the exact float→double element value). */
   private[graft] def flat(emb: DataFrame): DataFrame =
@@ -303,6 +321,20 @@ object SimOps {
   private[graft] def trainCentroids(emb: DataFrame, f: DataFrame, n: DataFrame,
       iters: Int = KmeansIters, k: Int = KmeansK,
       seedLo: Int = KmeansSeedLo): DataFrame = {
+    // Bounded training sample (see [[TrainSampleTarget]]): Lloyd's
+    // rounds iterate over the modular slice, not the corpus, so
+    // training cost is O(sample) at any scale. The filters run over
+    // the already-pinned flat/norms checkpoints — a map-side prune,
+    // no re-derivation. stride == 1 (small corpora) keeps the exact
+    // pre-sampling lineage.
+    val stride = trainStride(emb.count())
+    val (embT, fT, nT) =
+      if (stride == 1L) (emb, f, n)
+      else {
+        val keep = (col("vec_id") % stride === 0) ||
+          col("vec_id").between(seedLo, seedLo + k - 1)
+        (emb.filter(keep), f.filter(keep), n.filter(keep))
+      }
     var (cent, pin) = Checkpoints.pin(
       f.filter(col("vec_id").between(seedLo, seedLo + k - 1))
         .select(col("vec_id").as("cell"), col("i"), col("v").as("c")))
@@ -316,7 +348,7 @@ object SimOps {
       import emb.sparkSession.implicits._
       val centRows = cent.select("cell", "i", "c")
         .as[(Long, Long, Double)].collect()
-      val upd = fusedUpdate(emb, f, n, centRows)
+      val upd = fusedUpdate(embT, fT, nT, centRows)
       val (next, nextPin) = Checkpoints.pin(
         cent.join(upd, Seq("cell", "i"), "left")
           .select(col("cell"), col("i"),
@@ -691,29 +723,42 @@ object SimOps {
     * CTEs `f` and `n` are already defined. */
   private def kmeansCtes(iters: Int, k: Int = KmeansK,
       seedLo: Int = KmeansSeedLo): String = {
+    // tm/ft/nt: the bounded modular training sample ([[trainStride]]) —
+    // the Lloyd rounds below iterate over ft, not f, so the oracle's
+    // training chain is sample-sized exactly like the engine's. Corpora
+    // at or below TrainSampleTarget get stride 1 (ft == f).
     val sb = new StringBuilder(
-      s"""c0 AS (
+      s"""tm AS (
+         |  SELECT CAST(greatest(1, count(*) // $TrainSampleTarget) AS BIGINT) AS m
+         |  FROM embeddings
+         |), ft AS (
+         |  SELECT f.vec_id, f.i, f.v FROM f, tm
+         |  WHERE f.vec_id % tm.m = 0 OR f.vec_id BETWEEN $seedLo AND ${seedLo + k - 1}
+         |), nt AS (
+         |  SELECT n.vec_id, n.nrm FROM n, tm
+         |  WHERE n.vec_id % tm.m = 0 OR n.vec_id BETWEEN $seedLo AND ${seedLo + k - 1}
+         |), c0 AS (
          |  SELECT vec_id AS cell, i, v AS c FROM f WHERE vec_id BETWEEN $seedLo AND ${seedLo + k - 1}
          |)""".stripMargin)
     for (t <- 0 until iters) {
       sb.append(s""", cn$t AS (
          |  SELECT cell, sqrt(${xsumHiSql("c * c")}) AS cnrm FROM c$t GROUP BY cell
          |), d$t AS (
-         |  SELECT f.vec_id, c$t.cell, ${xsumHiSql(s"f.v * c$t.c")} AS dot
-         |  FROM f JOIN c$t ON f.i = c$t.i
-         |  GROUP BY f.vec_id, c$t.cell
+         |  SELECT ft.vec_id, c$t.cell, ${xsumHiSql(s"ft.v * c$t.c")} AS dot
+         |  FROM ft JOIN c$t ON ft.i = c$t.i
+         |  GROUP BY ft.vec_id, c$t.cell
          |), a$t AS (
          |  SELECT vec_id, cell FROM (
          |    SELECT d$t.vec_id, d$t.cell,
          |      row_number() OVER (PARTITION BY d$t.vec_id
-         |        ORDER BY d$t.dot / (n.nrm * cn$t.cnrm) DESC, d$t.cell ASC) AS arn
-         |    FROM d$t JOIN n ON d$t.vec_id = n.vec_id
+         |        ORDER BY d$t.dot / (nt.nrm * cn$t.cnrm) DESC, d$t.cell ASC) AS arn
+         |    FROM d$t JOIN nt ON d$t.vec_id = nt.vec_id
          |             JOIN cn$t ON d$t.cell = cn$t.cell) r$t
          |  WHERE arn = 1
          |), u$t AS (
-         |  SELECT a$t.cell, f.i, ${xsumHiSql("f.v")} / count(*) AS cnew
-         |  FROM f JOIN a$t ON f.vec_id = a$t.vec_id
-         |  GROUP BY a$t.cell, f.i
+         |  SELECT a$t.cell, ft.i, ${xsumHiSql("ft.v")} / count(*) AS cnew
+         |  FROM ft JOIN a$t ON ft.vec_id = a$t.vec_id
+         |  GROUP BY a$t.cell, ft.i
          |), c${t + 1} AS (
          |  SELECT p.cell, p.i, 0.0 + round(coalesce(u$t.cnew, p.c), 6) AS c
          |  FROM c$t p LEFT JOIN u$t ON p.cell = u$t.cell AND p.i = u$t.i

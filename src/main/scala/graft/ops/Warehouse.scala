@@ -54,7 +54,7 @@ object Warehouse {
     * v7: freq scores re-keyed to integer (isum, len) and the artifact
     * gained `post/`+`corr/` (exact O(affected) class-crossing
     * repricing instead of the rebuild fallback). */
-  val LayoutVersion = 7
+  val LayoutVersion = 8
 
   /** Root directory: `graft.warehouse` system property (spec isolation),
     * else `GRAFT_WAREHOUSE` env, else `spark-warehouse/graft` under the

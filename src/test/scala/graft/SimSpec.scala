@@ -207,6 +207,47 @@ class SimSpec extends SparkSpecBase {
     assert(snap.sameElements(again), "k=4 training is not deterministic")
   }
 
+  test("bounded-sample training == training on the modular sample as its own corpus") {
+    // trainStride math: everything at or below the target trains whole
+    assert(SimOps.trainStride(100) == 1L)
+    assert(SimOps.trainStride(SimOps.TrainSampleTarget) == 1L)
+    assert(SimOps.trainStride(2 * SimOps.TrainSampleTarget) == 2L)
+    assert(SimOps.trainStride(200000) == 97L)
+    // Equivalence lock for the sampled path (corpus > target => stride
+    // 2 here): Lloyd's over the full corpus with the modular sample
+    // must produce bit-identical centroids to Lloyd's run on the
+    // pre-filtered sample AS ITS OWN corpus (whose stride is 1, i.e.
+    // the un-sampled lineage). A drifting filter — wrong predicate,
+    // missed seeds, sample leaking into the mean denominators — breaks
+    // the equality.
+    val n = (2 * SimOps.TrainSampleTarget + 300).toInt
+    def mkEmb(ids: Seq[Int]) = ids.toDF("id").select(
+      col("id").cast("long").as("vec_id"),
+      expr("""transform(sequence(1, 64),
+             |  j -> CAST(sin(vec_id * 1.7 + j * 0.61) AS FLOAT))"""
+        .stripMargin).as("embedding"))
+    val full = mkEmb(0 until n)
+    val stride = SimOps.trainStride(n.toLong)
+    assert(stride == 2L, s"stride at n=$n: $stride")
+    val sampleIds = (0 until n).filter(i => i % stride == 0 ||
+      (i >= SimOps.KmeansSeedLo && i < SimOps.KmeansSeedLo + SimOps.KmeansK))
+    // stride = floor(n/target), so the sample lands in [target, 2*target)
+    assert(sampleIds.size < 2 * SimOps.TrainSampleTarget,
+      s"sample not bounded: ${sampleIds.size}")
+    val sample = mkEmb(sampleIds)
+    def train(emb: org.apache.spark.sql.DataFrame): Array[org.apache.spark.sql.Row] = {
+      val f = SimOps.flat(emb)
+      val cent = SimOps.trainCentroids(emb, f, SimOps.norms(f))
+      try cent.orderBy("cell", "i").collect()
+      finally ops.Checkpoints.release(ops.Checkpoints.rddOf(cent))
+    }
+    val viaSampling = train(full)
+    val viaSampleCorpus = train(sample)
+    assert(viaSampling.length == SimOps.KmeansK * 64)
+    assert(viaSampling.sameElements(viaSampleCorpus),
+      "sampled training diverged from training on the sample corpus")
+  }
+
   test("LSH candidates are a subset of the brute-force universe, same bucket only") {
     val lsh = SimOps.simLsh(spark, sf).select("qid", "cid").as[(Long, Long)].collect().toSet
     val topkAll = SimOps.simTopk(spark, sf).select("qid").distinct().count()

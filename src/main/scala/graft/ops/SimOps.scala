@@ -338,7 +338,7 @@ object SimOps {
     var (cent, pin) = Checkpoints.pin(
       f.filter(col("vec_id").between(seedLo, seedLo + k - 1))
         .select(col("vec_id").as("cell"), col("i"), col("v").as("c")))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) Prof.tt("ivf")(s"round-$it") {
       // fused assign+update: one chain computes the winning cell AND
       // the (cell, i) member mean without re-joining the corpus
       // against a separate assignment relation (r9, VERDICT #6). The
@@ -430,44 +430,64 @@ object SimOps {
   private val AssignMargin = 3
 
   /** Corpus→cell argmax, two-stage exact — the v01 pattern applied to
-    * quantization. Stage 1 (prune): the codegen'd graft_cosine ranks
-    * all k cells per vector over PACKED arrays (k evals/vector, no
-    * explode, broadcast of a k-row relation) and keeps the top
-    * [[AssignMargin]]. Stage 2 (exact): only those (vector, cell)
-    * pairs flow through the flattened DECIMAL dot/norm arithmetic the
-    * oracle computes — corpus × margin rows instead of corpus × k —
-    * and the row_number argmax with the cell tie-break reproduces
-    * [[cellRanks]]' rank-1 bit for bit. */
-  private def exactAssign(emb: DataFrame, f: DataFrame, n: DataFrame,
-      cent: DataFrame, centRows: Array[(Long, Long, Double)]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    * quantization, with BOTH stages in-row. Stage 1 (prune): the
+    * codegen'd graft_cosine ranks all k cells per vector over PACKED
+    * float arrays and keeps the top [[AssignMargin]]. Stage 2 (exact):
+    * the surviving candidates re-rank inside the same row through the
+    * element-wise DECIMAL(38,18) dot/norm arithmetic the oracle
+    * computes — `aggregate(zip_with(...))` over the packed doubles is
+    * the in-row spelling of `xsumHi(v * c)` (identical per-element
+    * double product, identical decimal cast and exact order-independent
+    * decimal accumulation, identical final Decimal→double), and the
+    * driver-side cell norms replicate `sqrt(xsumHi(c*c))` exactly (the
+    * [[fusedUpdate]] dec() replica, v08 hash-locked). The
+    * (-cos, cell)-ascending struct sort matches row_number(cos desc,
+    * cell asc) bit for bit, so the whole assignment is ONE shuffle-free
+    * projection over the corpus — the flattened form paid a corpus ×
+    * margin explode-join plus dot aggregation, norm joins and a ranking
+    * window (four exchanges; the dominant term of the sf1 IVF build).
+    * Returns (vec_id, embedding, cell) so the caller writes the
+    * inverted file without re-joining the corpus. */
+  private def exactAssign(emb: DataFrame,
+      centRows: Array[(Long, Long, Double)]): DataFrame = {
     import emb.sparkSession.implicits._
-    // stage-1 prune entirely IN-ROW (same form as [[fusedUpdate]]):
-    // one broadcast row carries all k packed centroids and each vector
-    // keeps its top margin inside the row — no n×k relation and no
-    // ranking shuffle; the (-ncos, cell) ascending sort matches
-    // row_number(ncos desc, cell asc) exactly, ties included
-    val cents = centRows.groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (cell, rs) => (cell, rs.sortBy(_._2).map(_._3.toFloat)) }
+    val byCell = centRows.groupBy(_._1).toSeq.sortBy(_._1)
+    // per cell: float-packed components (stage-1 native prune),
+    // full-precision doubles (stage-2 exact dot) and the exact cell
+    // norm — one broadcast row carries the whole model
+    def dec(x: Double): java.math.BigDecimal =
+      new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(18, java.math.RoundingMode.HALF_UP)
+    val cents = byCell.map { case (cell, rs) =>
+      val comps = rs.sortBy(_._2).map(_._3)
+      (cell, comps.map(_.toFloat), comps,
+        math.sqrt(comps.map(c => dec(c * c)).reduce(_.add(_)).doubleValue()))
+    }
     val centsRow = Seq(Tuple1(cents)).toDF("cents")
-    val cand = emb.select(col("vec_id"), col("embedding"))
+    // The per-row exact re-rank is CPU-bound (margin × dim BigDecimal
+    // ops through the Double.toString cast the decimal contract pins).
+    // A big corpus scan arrives in many partitions and spreads that
+    // cost; a SMALL parquet (one split) would serialize it into a
+    // single task — widen only then, so no corpus-scale bytes are ever
+    // shuffled just for parallelism.
+    val para = emb.sparkSession.sparkContext.defaultParallelism
+    val src =
+      if (emb.rdd.getNumPartitions >= math.max(2, para / 2)) emb
+      else emb.repartition(para)
+    src.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(centsRow))
-      .select(col("vec_id"), explode(expr(
-        s"""transform(slice(array_sort(transform(cents,
-           |  s -> struct(-graft_cosine(embedding, s._2) AS nneg,
-           |              s._1 AS cell))),
-           |  1, $AssignMargin), x -> x.cell)""".stripMargin)).as("cell"))
-    val cn = cent.groupBy("cell").agg(sqrt(xsumHi(col("c") * col("c"))).as("cnrm"))
-    val wA = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cell").asc)
-    f.join(cand, "vec_id")
-      .join(broadcast(cent), Seq("cell", "i"))
-      .groupBy("vec_id", "cell").agg(xsumHi(col("v") * col("c")).as("dot"))
-      .join(n, "vec_id").join(broadcast(cn), "cell")
-      .select(col("vec_id"), col("cell"),
-        (col("dot") / (col("nrm") * col("cnrm"))).as("cos"))
-      .withColumn("arn", row_number().over(wA))
-      .filter(col("arn") === 1)
-      .select("vec_id", "cell")
+      // the vector norm is cell-independent: project it once per row
+      // (sqrt of the exact decimal sum of squares, the norms(f) form)
+      .withColumn("nrm", expr("sqrt(graft_dot_exact(embedding, embedding))"))
+      .select(col("vec_id"), col("embedding"), expr(
+        s"""element_at(array_sort(transform(
+           |  slice(array_sort(transform(cents,
+           |    s -> struct(-graft_cosine(embedding, s._2) AS nneg,
+           |                s._1 AS cell, s._3 AS cd, s._4 AS cnrm))),
+           |    1, $AssignMargin),
+           |  t -> struct(
+           |    -(graft_dot_exact(embedding, t.cd) / (nrm * t.cnrm)) AS negcos,
+           |    t.cell AS cell))), 1).cell""".stripMargin).as("cell"))
   }
 
   /** Train-once / serve-many: the trained quantizer is MODEL-sized
@@ -502,39 +522,40 @@ object SimOps {
     * artifact is a (cell, i, c) parquet in the [[Warehouse]] — a fresh
     * process LOADS the trained quantizer instead of re-running Lloyd's —
     * and the in-JVM memo keeps the collected copy so per-query consumers
-    * don't re-read it. `pinned` lets a caller that ALREADY holds
-    * checkpointed (flat, norms) relations (the cold IVF build) share
-    * them with a cold training pass instead of paying a second
-    * flatten+norms derivation. */
+    * don't re-read it. The bounded training sample ([[trainStride]]) is
+    * taken BEFORE the flatten, so the pinned flat/norms checkpoints the
+    * Lloyd rounds re-read are sample-sized at any corpus scale — the
+    * corpus is never flattened (the in-row [[exactAssign]] removed the
+    * only other consumer). */
   private def trainedRows(s: SparkSession, d: String,
-      k: Int = KmeansK, seedLo: Int = KmeansSeedLo,
-      pinned: Option[(DataFrame, DataFrame)] = None): Array[(Long, Long, Double)] =
+      k: Int = KmeansK, seedLo: Int = KmeansSeedLo): Array[(Long, Long, Double)] =
     modelCache.get(embKey(d, s"|$k|$seedLo")) {
       val path = Warehouse.getOrBuild("kmeans", d, "embeddings.parquet",
         s"k$k-s$seedLo") { tmp =>
-        // checkpoint the flattened corpus + norms once: every Lloyd round
-        // (and nothing else) re-reads them, so they should not re-derive
-        // from parquet per round; pins taken HERE — and the final
-        // centroid snapshot — are released once the model rows land, so
-        // training leaves NOTHING in the BlockManager
+        // checkpoint the flattened SAMPLE + norms once: every Lloyd round
+        // (and nothing else) re-reads them; pins taken HERE — and the
+        // final centroid snapshot — are released once the model rows
+        // land, so training leaves NOTHING in the BlockManager.
+        // (trainCentroids re-derives the stride on the sample and gets 1
+        // — a sample never needs re-sampling — so the trained rows are
+        // identical to sampling inside the loop, the oracle's spelling.)
         val emb = Tables.embeddings(s, d)
-        def train(f: DataFrame, n: DataFrame): Unit = {
-          import s.implicits._
-          Warehouse.writeParquet(
-            trainAndCollect(s, emb, f, n, k, seedLo)
-              .toSeq.toDF("cell", "i", "c"),
-            tmp.toString)
-        }
-        pinned match {
-          case Some((f, n)) => train(f, n)
-          case None =>
-            val (f, fPin) = Checkpoints.pin(flat(emb))
-            try {
-              val (n, nPin) = Checkpoints.pin(norms(f))
-              try train(f, n)
-              finally Checkpoints.release(nPin)
-            } finally Checkpoints.release(fPin)
-        }
+        val stride = trainStride(emb.count())
+        val embT =
+          if (stride == 1L) emb
+          else emb.filter((col("vec_id") % stride === 0) ||
+            col("vec_id").between(seedLo, seedLo + k - 1))
+        val (f, fPin) = Checkpoints.pin(flat(embT))
+        try {
+          val (n, nPin) = Checkpoints.pin(norms(f))
+          try {
+            import s.implicits._
+            Warehouse.writeParquet(
+              trainAndCollect(s, embT, f, n, k, seedLo)
+                .toSeq.toDF("cell", "i", "c"),
+              tmp.toString)
+          } finally Checkpoints.release(nPin)
+        } finally Checkpoints.release(fPin)
       }
       import s.implicits._
       s.read.parquet(path).select("cell", "i", "c")
@@ -567,30 +588,22 @@ object SimOps {
   private[graft] def ivfIndex(s: SparkSession, d: String): DataFrame = {
     val path = indexCache.get(embKey(d)) {
       Warehouse.getOrBuild("ivf", d, "embeddings.parquet") { tmp =>
-        // one flat/norms pass feeds BOTH a cold training run (shared
-        // via `pinned`) and the corpus→cell assignment; a warehoused
-        // model skips Lloyd's entirely and the pins serve only the
-        // assignment
+        // training pins its own SAMPLE-sized flat/norms (trainedRows);
+        // the corpus→cell assignment is in-row over the packed arrays
+        // (exactAssign), so the build never flattens the corpus — a
+        // warehoused model makes the whole build one projection + write
+        def tt[A](name: String)(f: => A): A = Prof.tt("ivf")(name)(f)
         val emb = Tables.embeddings(s, d)
-        val (f, fPin) = Checkpoints.pin(flat(emb))
-        try {
-          val (n, nPin) = Checkpoints.pin(norms(f))
-          try {
-            val rows = trainedRows(s, d, pinned = Some((f, n)))
-            import s.implicits._
-            val cent = rows.toSeq.toDF("cell", "i", "c")
-            val assign = exactAssign(emb, f, n, cent, rows)
-            emb.join(assign, "vec_id")
-              .select("cell", "vec_id", "embedding")
-              .write.mode("overwrite").partitionBy("cell")
-              .parquet(tmp.resolve("cells").toString)
-            // a full build trains on the whole corpus: the meta records
-            // both the corpus size and the TRAINING size (equal here) —
-            // the frozen-centroid append contract reads them apart
-            val nVec = emb.count()
-            writeIvfMeta(s, tmp.toString, nVec, nVec)
-          } finally Checkpoints.release(nPin)
-        } finally Checkpoints.release(fPin)
+        val rows = tt("train")(trainedRows(s, d))
+        tt("assign-write")(exactAssign(emb, rows)
+          .select("cell", "vec_id", "embedding")
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(tmp.resolve("cells").toString))
+        // a full build trains on the whole corpus: the meta records
+        // both the corpus size and the TRAINING size (equal here) —
+        // the frozen-centroid append contract reads them apart
+        val nVec = emb.count()
+        writeIvfMeta(s, tmp.toString, nVec, nVec)
       }
     }
     // partition-column type inference narrows cell to int; restore long
@@ -679,12 +692,8 @@ object SimOps {
     Warehouse.getOrBuild("ivf", d, "embeddings.parquet") { tmp =>
       Warehouse.copyTree(s"$prior/cells", tmp.resolve("cells"))
       val rows = trainedRows(s, d) // loads the frozen copy at this version
-      import s.implicits._
-      val cent = rows.toSeq.toDF("cell", "i", "c")
-      // batch-sized flatten/norms/assignment — the corpus never re-scans
-      val bf = flat(appended)
-      val assign = exactAssign(appended, bf, norms(bf), cent, rows)
-      appended.join(assign, "vec_id")
+      // batch-sized in-row assignment — the corpus never re-scans
+      exactAssign(appended, rows)
         .select("cell", "vec_id", "embedding")
         .write.mode("append").partitionBy("cell")
         .parquet(tmp.resolve("cells").toString)

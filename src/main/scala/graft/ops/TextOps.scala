@@ -430,12 +430,7 @@ object TextOps {
   private[graft] def textDupIndex(s: SparkSession, d: String): String =
     textDupCache.get(s"$d@${BuildCache.version(d, "documents.parquet")}") {
       Warehouse.getOrBuild("textdup", d, "documents.parquet") { tmp =>
-        def tt[A](name: String)(f: => A): A = {
-          val t0 = System.nanoTime(); val r = f
-          if (sys.props.contains("graft.buildProfile"))
-            println(f"  [textdup] $name%-16s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
-          r
-        }
+        def tt[A](name: String)(f: => A): A = Prof.tt("textdup")(name)(f)
         val sig = sigIndex(s, d)
         // ONE banding scan feeds the audit, the FULL size census
         // (`sizes/` — what makes the NEXT append O(batch): it merges
@@ -555,12 +550,7 @@ object TextOps {
     Warehouse.getOrBuild("textdup", d, "documents.parquet") { tmp =>
       // stage wall times print under -Dgraft.buildProfile (same hook as
       // the full build)
-      def tt[A](name: String)(f: => A): A = {
-        val t0 = System.nanoTime(); val r = f
-        if (sys.props.contains("graft.buildProfile"))
-          println(f"  [textdup+] $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
-        r
-      }
+      def tt[A](name: String)(f: => A): A = Prof.tt("textdup+")(name)(f)
       // Batch-side banding is a pure per-document function — O(batch),
       // no corpus scan. The census then MERGES the batch's bucket
       // counts into the persisted `sizes/` table (one result-sized
@@ -1709,13 +1699,14 @@ object TextOps {
     val path = funnelCache.get(
       s"$d@${BuildCache.version(d, "documents.parquet")}") {
       Warehouse.getOrBuild("funnel", d, "documents.parquet") { tmp =>
+        def tt[A](name: String)(f: => A): A = Prof.tt("funnel")(name)(f)
         // each stage eagerly checkpoints so its successor — and the
         // six-branch union write — reads materialized rows instead of
         // re-deriving the chain per branch; every pin is released once
         // the table is written (the k-means/t11 loop discipline)
         val pins = scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
         try {
-          Warehouse.writeParquet(
+          tt("stages")(Warehouse.writeParquet(
             funnelStages(s, d, pin = { df =>
                 val (out, p) = Checkpoints.pin(df)
                 pins += p
@@ -1723,15 +1714,15 @@ object TextOps {
               })
               .map { case (st, df) => df.select(lit(st).as("stage"), col("doc_id")) }
               .reduce(_ unionByName _),
-            s"$tmp/stages")
+            s"$tmp/stages"))
         } finally pins.foreach(Checkpoints.release)
         // hashes/ side table: what the INCREMENTAL updater joins a
         // batch against to settle exact-dedup membership without
         // re-hashing the historic corpus
-        Warehouse.writeParquet(
+        tt("hashes")(Warehouse.writeParquet(
           Tables.documents(s, d).select(col("doc_id"),
             md5(col("text").cast("binary")).as("h")),
-          s"$tmp/hashes")
+          s"$tmp/hashes"))
       }
     }
     s.read.parquet(s"$path/stages")

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import graft.functions.{CosineSimilarity, InRing, InRings}
+import graft.functions.{CosineSimilarity, ExactDot, InRing, InRings}
 
 /** Engine extension point (SparkSessionExtensions): registers the native
   * function surface so SQL users get the codegen'd hot paths.
@@ -16,6 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       CosineSimilarity.info,
       CosineSimilarity.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot_exact"),
+      ExactDot.info,
+      ExactDot.builder))
     ext.injectFunction((
       FunctionIdentifier("graft_in_ring"),
       InRing.info,

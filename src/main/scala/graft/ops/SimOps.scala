@@ -87,7 +87,7 @@ object SimOps {
     * bit. The corpus is never exploded dim× — only survivors are. */
   val simTopk: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val emb = Tables.embeddings(s, d)
+    val emb = Par.widen(Tables.embeddings(s, d))
     val q = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("ea"))
     val wN = Window.partitionBy("qid").orderBy(col("ncos").desc, col("cid").asc)
@@ -122,7 +122,7 @@ object SimOps {
     // Same two-stage shape as v01/v05: prune to the query's sign bucket,
     // rank with the native cosine over packed arrays (margin past k),
     // DECIMAL-exact re-rank of survivors only.
-    val emb = Tables.embeddings(s, d)
+    val emb = Par.widen(Tables.embeddings(s, d))
     val bucketed = emb.select(col("vec_id"), col("embedding"),
       (when(element_at(col("embedding"), 1) > 0f, 4).otherwise(0)
         + when(element_at(col("embedding"), 8) > 0f, 2).otherwise(0)
@@ -187,7 +187,7 @@ object SimOps {
     * from the oracle's exact cosine, far inside round-to-6 and the 0.35
     * threshold gap observed in the data. */
   val labelSimStats: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
+    val emb = Par.widen(Tables.embeddings(s, d))
     val q = emb.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("label").as("label_a"),
         col("embedding").as("ea"))
@@ -228,7 +228,7 @@ object SimOps {
     * within ~1e-15 of a 6th-decimal rounding boundary. */
   val simTopkNative: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val emb = Tables.embeddings(s, d)
+    val emb = Par.widen(Tables.embeddings(s, d))
     val q = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid").asc)
@@ -465,16 +465,10 @@ object SimOps {
     }
     val centsRow = Seq(Tuple1(cents)).toDF("cents")
     // The per-row exact re-rank is CPU-bound (margin × dim BigDecimal
-    // ops through the Double.toString cast the decimal contract pins).
-    // A big corpus scan arrives in many partitions and spreads that
-    // cost; a SMALL parquet (one split) would serialize it into a
-    // single task — widen only then, so no corpus-scale bytes are ever
-    // shuffled just for parallelism.
-    val para = emb.sparkSession.sparkContext.defaultParallelism
-    val src =
-      if (emb.rdd.getNumPartitions >= math.max(2, para / 2)) emb
-      else emb.repartition(para)
-    src.select(col("vec_id"), col("embedding"))
+    // ops through the Double.toString cast the decimal contract pins) —
+    // spread a narrow scan before it (Par.widen; no-op on a real
+    // cluster's many-split corpus scan).
+    Par.widen(emb).select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(centsRow))
       // the vector norm is cell-independent: project it once per row
       // (sqrt of the exact decimal sum of squares, the norms(f) form)
@@ -541,10 +535,13 @@ object SimOps {
         // identical to sampling inside the loop, the oracle's spelling.)
         val emb = Tables.embeddings(s, d)
         val stride = trainStride(emb.count())
-        val embT =
+        // widen the sample scan so the flatten/pin — and every Lloyd
+        // round that re-reads the checkpoint's partitioning — runs at
+        // cluster parallelism instead of the narrow file's task count
+        val embT = Par.widen(
           if (stride == 1L) emb
           else emb.filter((col("vec_id") % stride === 0) ||
-            col("vec_id").between(seedLo, seedLo + k - 1))
+            col("vec_id").between(seedLo, seedLo + k - 1)))
         val (f, fPin) = Checkpoints.pin(flat(embT))
         try {
           val (n, nPin) = Checkpoints.pin(norms(f))
@@ -1025,7 +1022,7 @@ object SimOps {
     * (vec_id then label), all map-side combined; no joins beyond the
     * corpus-keyed m/label lookups. */
   val quantizeError: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
+    val emb = Par.widen(Tables.embeddings(s, d))
     val f = flat(emb)
     val m = f.groupBy("vec_id").agg(max(abs(col("v"))).as("m"))
     f.join(m, "vec_id").filter(col("m") > 0)
@@ -1236,7 +1233,7 @@ object SimOps {
   private[graft] def nearDupIndex(s: SparkSession, d: String): String =
     nearDupCache.get(embKey(d)) {
       Warehouse.getOrBuild("neardup", d, "embeddings.parquet") { tmp =>
-        val emb = Tables.embeddings(s, d)
+        val emb = Par.widen(Tables.embeddings(s, d))
         // the one corpus count (bandBits geometry sizing) runs at build
         // time, not per query
         val n = emb.count()

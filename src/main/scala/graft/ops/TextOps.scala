@@ -57,7 +57,7 @@ object TextOps {
   // ---------------------------------------------------------------- t01
   /** Per-document text statistics + quality score. */
   val textStats: Q = (s, d) => {
-    val doc = Tables.documents(s, d)
+    val doc = Par.widen(Tables.documents(s, d))
     doc.select(
         col("doc_id"), col("lang"), col("n_chars"),
         size(toks).as("n_tokens"),
@@ -92,7 +92,7 @@ object TextOps {
     * approach): score English function-word density, predict, compare to
     * the labeled lang. */
   val langId: Q = (s, d) => {
-    val doc = Tables.documents(s, d)
+    val doc = Par.widen(Tables.documents(s, d))
     doc.select(
         col("doc_id"), col("lang"),
         r6((size(expr(s"filter(split(text, ' '), x -> x = '$Stop1')"))
@@ -119,7 +119,7 @@ object TextOps {
   /** BPE-ish token counting: alpha runs, digit runs, and punctuation
     * singletons as separate tokens. */
   val tokenCount: Q = (s, d) => {
-    val doc = Tables.documents(s, d)
+    val doc = Par.widen(Tables.documents(s, d))
     doc.select(
         col("doc_id"),
         size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("n_bpeish"),
@@ -147,7 +147,7 @@ object TextOps {
     // 2.2 s vs sub-second for this per-row kernel at sf0.1, and at 100×
     // the explode form's shuffle grows with total text volume while this
     // form shuffles nothing but the final order.
-    val doc = Tables.documents(s, d)
+    val doc = Par.widen(Tables.documents(s, d))
     doc.select(col("doc_id"), expr(
         """transform(sequence(1, greatest(length(text) - 7, 1)),
           |  g -> substring(text, g, 8))""".stripMargin).as("grams"))
@@ -169,7 +169,7 @@ object TextOps {
   // ---------------------------------------------------------------- t05
   /** Exact dedup summary per source (hash-groupBy on md5(text)). */
   val dedupExact: Q = (s, d) => {
-    val doc = Tables.documents(s, d)
+    val doc = Par.widen(Tables.documents(s, d))
     doc.select(col("source"), col("doc_id"), md5(col("text").cast("binary")).as("h"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -264,7 +264,8 @@ object TextOps {
     val path = sigCache.get(
       s"$d@${BuildCache.version(d, "documents.parquet")}") {
       Warehouse.getOrBuild("sig", d, "documents.parquet") { tmp =>
-        Warehouse.writeParquet(signatures(Tables.documents(s, d)), tmp.toString)
+        Warehouse.writeParquet(signatures(Par.widen(Tables.documents(s, d))),
+          tmp.toString)
       }
     }
     s.read.parquet(path)
@@ -462,7 +463,8 @@ object TextOps {
         // per-doc 16-bit SimHash (t07 serves from this table): a pure
         // per-document function, so appends extend it by file like the
         // signature table — the build pays the one token-explode pass
-        tt("simhash")(Warehouse.writeParquet(simhashDoc(Tables.documents(s, d)),
+        tt("simhash")(Warehouse.writeParquet(
+          simhashDoc(Par.widen(Tables.documents(s, d))),
           s"$tmp/simhash"))
         val pairs = s.read.parquet(s"$tmp/pairs")
         // pin the candidate shingles once: the Jaccard computation reads
@@ -956,18 +958,27 @@ object TextOps {
     jaccardOfShingles(cand, candShingles(doc, cand))
 
   private def jaccardOfShingles(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand.hint("shuffle_hash")
-      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("s")).hint("shuffle_hash"),
-        Seq("doc_b", "s"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    cand.join(inter.hint("shuffle_hash"), Seq("doc_a", "doc_b"), "left")
-      .na.fill(0L, Seq("n_inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a"))
-        .hint("shuffle_hash"), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b"))
-        .hint("shuffle_hash"), "doc_b")
+    // Pack each candidate doc's distinct shingle set into ONE row, then
+    // intersect IN-ROW per pair: |∩| = size(array_intersect) over the
+    // distinct sets — integer-identical to the exploded
+    // join-on-(doc, shingle) + pair-keyed count it replaces, which
+    // materialized pairs × shingles rows (~135M at sf1, the dominant
+    // verify term) through two joins and a corpus-rate-sized hash
+    // aggregate. Two pair-keyed joins remain; rows are fatter (one
+    // packed set each side) but 500× fewer, and nothing broadcasts —
+    // candidate volume scales with the corpus near-dup rate.
+    // The size counts ALL shingle rows (a <3-token doc's NULL shingle
+    // counts toward its set size but can never match — join-on-NULL
+    // semantics), while collect_list skips exactly those NULLs.
+    val packed = sh.groupBy("doc_id").agg(
+      count(lit(1)).as("n"), collect_list(col("s")).as("ss"))
+    cand.hint("shuffle_hash")
+      .join(packed.select(col("doc_id").as("doc_a"), col("n").as("n_a"),
+        col("ss").as("ss_a")).hint("shuffle_hash"), "doc_a")
+      .join(packed.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
+        col("ss").as("ss_b")).hint("shuffle_hash"), "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("ss_a"), col("ss_b"))).cast("long"))
       .select(col("doc_a"), col("doc_b"),
         r6(col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
@@ -1025,7 +1036,7 @@ object TextOps {
     * the audit summary. */
   val dedupKeepFirst: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val doc = Tables.documents(s, d)
+    val doc = Par.widen(Tables.documents(s, d))
     val w = Window.partitionBy("h").orderBy("doc_id")
     doc.select(col("doc_id"), col("source"), col("n_chars"),
         md5(col("text").cast("binary")).as("h"))
@@ -1051,7 +1062,7 @@ object TextOps {
     * and bucketed. Pure per-row expressions — one codegen span, no
     * shuffle before the final sort. */
   val qualityScore: Q = (s, d) =>
-    qualityFlags(Tables.documents(s, d)).orderBy("doc_id")
+    qualityFlags(Par.widen(Tables.documents(s, d))).orderBy("doc_id")
 
   /** The t10 per-document flags over an arbitrary doc relation — a
     * pure per-row function, so the incremental funnel can evaluate
@@ -1433,7 +1444,7 @@ object TextOps {
     * op whose join is legitimately broadcast — the build side is bounded
     * by the eval suite, never by the corpus. */
   val decontaminate: Q = (s, d) => {
-    val g = ngrams(Tables.documents(s, d), DecontamN)
+    val g = ngrams(Par.widen(Tables.documents(s, d)), DecontamN)
     val ev = g.filter(col("doc_id") < EvalDocs)
       .select(col("doc_id").as("eval_id"), col("s")).distinct()
     g.filter(col("doc_id") >= EvalDocs)
@@ -1514,7 +1525,7 @@ object TextOps {
     * via the two-level prefix sum; also feeds the packed-shard sink
     * ([[graft.ops.Export.writePackedShards]]). */
   private[graft] def packAssignments(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = Par.widen(Tables.documents(s, d))
     packAssignmentsOf(docs, packRangeFor(maxDocId(docs)))
   }
 
@@ -1580,7 +1591,8 @@ object TextOps {
     * Scale posture: two explode → keyed-aggregate passes (doc_id and
     * (doc_id, gram) keys, map-side combined) — the t03/t07 shape; no
     * self-join, no window over more than one document's grams. */
-  val repetitionScore: Q = (s, d) => repetitionStats(Tables.documents(s, d))
+  val repetitionScore: Q = (s, d) =>
+    repetitionStats(Par.widen(Tables.documents(s, d)))
 
   private[graft] def repetitionStats(doc: DataFrame): DataFrame = {
     val tri = ngrams(doc, 3).groupBy("doc_id")
@@ -1659,7 +1671,7 @@ object TextOps {
   private[graft] def funnelStages(s: SparkSession, d: String,
       pin: DataFrame => DataFrame = identity): Seq[(String, DataFrame)] = {
     import org.apache.spark.sql.expressions.Window
-    val doc = Tables.documents(s, d)
+    val doc = Par.widen(Tables.documents(s, d))
     val k1 = pin(doc.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
       .withColumn("m", min("doc_id").over(Window.partitionBy("h")))
       .filter(col("doc_id") === col("m")).select("doc_id"))
@@ -1945,7 +1957,7 @@ object TextOps {
   private[graft] def freqIndex(s: SparkSession, d: String): String =
     freqCache.get(s"$d@${BuildCache.version(d, "documents.parquet")}") {
       Warehouse.getOrBuild("freq", d, "documents.parquet") { tmp =>
-        val (tkg, pin) = Checkpoints.pin(Tables.documents(s, d)
+        val (tkg, pin) = Checkpoints.pin(Par.widen(Tables.documents(s, d))
           .select(col("doc_id"), explode(toks).as("w"))
           .groupBy("w", "doc_id").agg(count(lit(1)).as("mult")))
         try {

@@ -97,31 +97,17 @@ object Bench {
     // the artifact incomparable across rounds.
     ops.Warehouse.invalidateDataset(sfDir)
 
-    // Build the IVF index up front (the CREATE INDEX step of a vector
-    // store): v05/v07 then measure SERVING — probe + candidate join —
-    // which is what repeats at query time. The one-time build cost is
-    // not hidden: it is reported as its own `ivf_build` field, and
-    // gated below like any query (with build-sized bounds).
-    var ivfBuildSec = timed("ivf_build")(ops.SimOps.buildIvf(spark, sfDir))
-    // Same for the dedup family's signature table (see TextOps.sigIndex),
-    // the curation funnel's stage-membership table (funnelIndex), and
-    // the embedding near-dup pair manifest (v06/v12/v14's serve source).
-    var sigBuildSec = timed("sig_build")(ops.TextOps.buildSigIndex(spark, sfDir))
-    // the text near-dup manifest consumes the signature table and the
-    // funnel consumes its pair table, so the build order is sig →
-    // textdup → funnel and each field measures only its own stage
-    var textDupBuildSec = timed("textdup_build")(ops.TextOps.buildTextDup(spark, sfDir))
-    var funnelBuildSec = timed("funnel_build")(ops.TextOps.buildFunnel(spark, sfDir))
-    // the frequency-score table t20/t21 serve from (r10)
-    var freqBuildSec = timed("freq_build")(ops.TextOps.buildFreq(spark, sfDir))
-    var nearDupBuildSec = timed("neardup_build")(ops.SimOps.buildNearDup(spark, sfDir))
-    // and the merged-cube write (the production lifecycle's primary
-    // output) that p05/p06 serve from, plus the stage-1 granule cache
-    // whose read-back p08 serves.
-    var cubeBuildSec = timed("cube_build")(ops.Pipeline.buildCube(spark, sfDir))
-    var gcacheBuildSec = timed("gcache_build")(ops.Pipeline.buildGranuleCache(spark, sfDir))
-    // the GeoTIFF frame sink x08 reads back (consumes the cube build)
-    var gtiffBuildSec = timed("gtiff_build")(ops.Export.buildGeoTiffFrames(spark, sfDir))
+    // Build every artifact family up front (the CREATE INDEX step):
+    // the serve queries (v05/v07, t06…, p05/p06/p08, x08) then measure
+    // SERVING — which is what repeats at query time. The one-time build
+    // costs are not hidden: each is its own `<family>_build` field,
+    // gated below like any query (with build-sized bounds). The
+    // [[Families]] registry owns the build order (dependencies: sig →
+    // textdup → funnel) and each family's cold-reset for the re-runs.
+    val buildTimes = scala.collection.mutable.LinkedHashMap(
+      Families.all.map { fam =>
+        fam.field -> timed(fam.field)(fam.build(spark, sfDir))
+      }: _*)
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.LinkedHashMap(
@@ -160,96 +146,20 @@ object Bench {
       times(name) = best
       if (n > 0) reruns(name) = n
     }
-    locally {
-      val (best, n) = BenchGate.settle(ivfBuildSec, bFlagged("ivf_build", _),
-        () => { ops.SimOps.clearIvfCaches()
-          ops.Warehouse.invalidate("ivf", sfDir)
-          ops.Warehouse.invalidate("kmeans", sfDir)
-          timed("ivf_build")(ops.SimOps.buildIvf(spark, sfDir)) }, MaxReruns)
-      ivfBuildSec = best
-      if (n > 0) reruns("ivf_build") = n
-    }
-    locally {
-      val (best, n) = BenchGate.settle(sigBuildSec, bFlagged("sig_build", _),
-        () => { ops.TextOps.clearSigCache()
-          ops.Warehouse.invalidate("sig", sfDir)
-          timed("sig_build")(ops.TextOps.buildSigIndex(spark, sfDir)) }, MaxReruns)
-      sigBuildSec = best
-      if (n > 0) reruns("sig_build") = n
-    }
-    locally {
-      val (best, n) = BenchGate.settle(textDupBuildSec,
-        bFlagged("textdup_build", _),
-        () => { ops.TextOps.clearTextDupCache()
-          ops.Warehouse.invalidate("textdup", sfDir)
-          timed("textdup_build")(ops.TextOps.buildTextDup(spark, sfDir)) }, MaxReruns)
-      textDupBuildSec = best
-      if (n > 0) reruns("textdup_build") = n
-    }
-    locally {
-      val (best, n) = BenchGate.settle(funnelBuildSec,
-        bFlagged("funnel_build", _),
-        () => { ops.TextOps.clearFunnelCache()
-          ops.Warehouse.invalidate("funnel", sfDir)
-          timed("funnel_build")(ops.TextOps.buildFunnel(spark, sfDir)) }, MaxReruns)
-      funnelBuildSec = best
-      if (n > 0) reruns("funnel_build") = n
-    }
-    locally {
-      val (best, n) = BenchGate.settle(freqBuildSec,
-        bFlagged("freq_build", _),
-        () => { ops.TextOps.clearFreqCache()
-          ops.Warehouse.invalidate("freq", sfDir)
-          timed("freq_build")(ops.TextOps.buildFreq(spark, sfDir)) }, MaxReruns)
-      freqBuildSec = best
-      if (n > 0) reruns("freq_build") = n
-    }
-    locally {
-      val (best, n) = BenchGate.settle(nearDupBuildSec,
-        bFlagged("neardup_build", _),
-        () => { ops.SimOps.clearNearDupCache()
-          ops.Warehouse.invalidate("neardup", sfDir)
-          timed("neardup_build")(ops.SimOps.buildNearDup(spark, sfDir)) }, MaxReruns)
-      nearDupBuildSec = best
-      if (n > 0) reruns("neardup_build") = n
-    }
-    locally {
-      val (best, n) = BenchGate.settle(cubeBuildSec,
-        bFlagged("cube_build", _),
-        () => { ops.Pipeline.clearCubeCache()
-          ops.Warehouse.invalidate("cube", sfDir)
-          timed("cube_build")(ops.Pipeline.buildCube(spark, sfDir)) }, MaxReruns)
-      cubeBuildSec = best
-      if (n > 0) reruns("cube_build") = n
-    }
-    locally {
-      val (best, n) = BenchGate.settle(gcacheBuildSec,
-        bFlagged("gcache_build", _),
-        () => { ops.Pipeline.clearGranuleCacheCache()
-          ops.Warehouse.invalidate("gcache", sfDir)
-          timed("gcache_build")(ops.Pipeline.buildGranuleCache(spark, sfDir)) }, MaxReruns)
-      gcacheBuildSec = best
-      if (n > 0) reruns("gcache_build") = n
-    }
-    locally {
-      val (best, n) = BenchGate.settle(gtiffBuildSec,
-        bFlagged("gtiff_build", _),
-        () => { ops.Export.clearGtiffCache()
-          ops.Warehouse.invalidate("gtiff", sfDir)
-          timed("gtiff_build")(ops.Export.buildGeoTiffFrames(spark, sfDir)) }, MaxReruns)
-      gtiffBuildSec = best
-      if (n > 0) reruns("gtiff_build") = n
+    for (fam <- Families.all) {
+      val (best, n) = BenchGate.settle(buildTimes(fam.field),
+        bFlagged(fam.field, _),
+        () => { fam.cold(sfDir)
+          timed(fam.field)(fam.build(spark, sfDir)) }, MaxReruns)
+      buildTimes(fam.field) = best
+      if (n > 0) reruns(fam.field) = n
     }
 
     // A transient rerun crash must not mark a measurement broken when a
     // valid sample exists: settle keeps the valid minimum (negative rerun
     // samples are ignored there), so any name whose final time is ≥ 0 had
     // a real measurement — drop its error entry rather than exiting 4.
-    val finalBuilds = Map("ivf_build" -> ivfBuildSec, "sig_build" -> sigBuildSec,
-      "textdup_build" -> textDupBuildSec, "freq_build" -> freqBuildSec,
-      "funnel_build" -> funnelBuildSec, "neardup_build" -> nearDupBuildSec,
-      "cube_build" -> cubeBuildSec, "gcache_build" -> gcacheBuildSec,
-      "gtiff_build" -> gtiffBuildSec)
+    val finalBuilds = buildTimes.toMap
     for ((name, t) <- times if t >= 0) errors -= name
     for ((name, t) <- finalBuilds if t >= 0) errors -= name
 
@@ -276,7 +186,9 @@ object Bench {
     val errs = errors.toSeq.map { case (k, v) =>
       "\"" + k + "\":\"" + jstr(v) + "\""
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ivf_build":$ivfBuildSec,"sig_build":$sigBuildSec,"textdup_build":$textDupBuildSec,"freq_build":$freqBuildSec,"funnel_build":$funnelBuildSec,"neardup_build":$nearDupBuildSec,"cube_build":$cubeBuildSec,"gcache_build":$gcacheBuildSec,"gtiff_build":$gtiffBuildSec,"errors":$errs,"sf":"$sfDir","gate":$gate}"""
+    val bs = buildTimes.toSeq.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString(",")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$bs,"errors":$errs,"sf":"$sfDir","gate":$gate}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),

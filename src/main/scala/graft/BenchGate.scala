@@ -122,7 +122,8 @@ object BenchGate {
       json.indexOf("\"gate\":", start)).filter(_ >= 0)
       .minOption.getOrElse(json.length)
     val body = json.substring(start, end)
-    "\"((?:ivf|sig|textdup|freq|funnel|neardup|cube|gcache|gtiff)_build)\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)".r
+    ("\"((?:" + Families.nameAlternation +
+      ")_build)\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)").r
       .findAllMatchIn(body)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }

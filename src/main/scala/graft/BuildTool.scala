@@ -16,35 +16,18 @@ object BuildTool {
     val rest = args.drop(1)
     val cold = rest.contains("-cold")
     val fams0 = rest.filterNot(_ == "-cold")
-    val all = Seq("sig", "textdup", "freq", "funnel", "neardup", "ivf",
-      "cube", "gcache", "gtiff")
-    val fams = if (fams0.isEmpty || fams0.contains("all")) all else fams0.toSeq
+    // the per-family clear/invalidate/build table lives in [[Families]]
+    // (shared with Bench's settle re-runs) — one registry, no drift
+    val fams =
+      if (fams0.isEmpty || fams0.contains("all")) Families.all
+      else fams0.toSeq.map(f => Families.byName(f).getOrElse(sys.error(
+        s"unknown family '$f' (know: ${Families.all.map(_.name).mkString(", ")})")))
     val spark = Sessions.local()
-    val steps: Map[String, () => Unit] = Map(
-      "sig" -> (() => { if (cold) { ops.TextOps.clearSigCache(); ops.Warehouse.invalidate("sig", dir) }
-        ops.TextOps.buildSigIndex(spark, dir) }),
-      "textdup" -> (() => { if (cold) { ops.TextOps.clearTextDupCache(); ops.Warehouse.invalidate("textdup", dir) }
-        ops.TextOps.buildTextDup(spark, dir) }),
-      "freq" -> (() => { if (cold) { ops.TextOps.clearFreqCache(); ops.Warehouse.invalidate("freq", dir) }
-        ops.TextOps.buildFreq(spark, dir) }),
-      "funnel" -> (() => { if (cold) { ops.TextOps.clearFunnelCache(); ops.Warehouse.invalidate("funnel", dir) }
-        ops.TextOps.buildFunnel(spark, dir) }),
-      "neardup" -> (() => { if (cold) { ops.SimOps.clearNearDupCache(); ops.Warehouse.invalidate("neardup", dir) }
-        ops.SimOps.buildNearDup(spark, dir) }),
-      "ivf" -> (() => { if (cold) { ops.SimOps.clearIvfCaches()
-          ops.Warehouse.invalidate("ivf", dir); ops.Warehouse.invalidate("kmeans", dir) }
-        ops.SimOps.buildIvf(spark, dir) }),
-      "cube" -> (() => { if (cold) { ops.Pipeline.clearCubeCache(); ops.Warehouse.invalidate("cube", dir) }
-        ops.Pipeline.buildCube(spark, dir) }),
-      "gcache" -> (() => { if (cold) { ops.Pipeline.clearGranuleCacheCache(); ops.Warehouse.invalidate("gcache", dir) }
-        ops.Pipeline.buildGranuleCache(spark, dir) }),
-      "gtiff" -> (() => { if (cold) { ops.Export.clearGtiffCache(); ops.Warehouse.invalidate("gtiff", dir) }
-        ops.Export.buildGeoTiffFrames(spark, dir) }))
-    for (f <- fams) {
-      val step = steps.getOrElse(f, sys.error(s"unknown family '$f' (know: ${all.mkString(", ")})"))
+    for (fam <- fams) {
+      if (cold) fam.cold(dir)
       val t0 = System.nanoTime()
-      step()
-      println(f"$f%-8s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      fam.build(spark, dir)
+      println(f"${fam.name}%-8s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
     }
     spark.stop()
   }

@@ -234,9 +234,12 @@ object ScaleInvariants {
         max(abs(col("fresh") - col("cosine"))).as("gap"),
         min("cosine").as("mn"), count(lit(1)).as("n")).head()
       val (gap, mn, n) = (agg.getDouble(0), agg.getDouble(1), agg.getLong(2))
-      // r6 rounding + double-vs-DECIMAL accumulation: 1e-5 headroom;
-      // the pair table's own mining threshold is cosine > 0.4
-      (n == math.min(SamplePairs, nPairs) && gap <= 1e-5 && mn > 0.4,
+      // r6 rounding + double-vs-DECIMAL accumulation: 1e-5 headroom.
+      // The pair table's mining threshold is UNROUNDED cosine > 0.4, but
+      // the stored column is r6(cosine) — a legitimately mined pair with
+      // exact cosine in (0.4, 0.4000005) stores exactly 0.400000, so the
+      // stored-side bound is >= 0.4, not > 0.4.
+      (n == math.min(SamplePairs, nPairs) && gap <= 1e-5 && mn >= 0.4,
         f"pairs=$nPairs sampled=$n max_gap=$gap%.2e min_cosine=$mn%.4f")
       }
     }

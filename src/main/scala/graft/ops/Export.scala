@@ -291,14 +291,6 @@ object Export {
       }
   }
 
-  /** PNG frame sink — visualize_dataset.py:343-355 (export_all_frames):
-    * one colormapped RGBA frame per date per variable, NDVI normalized
-    * over (−0.2, 1.0) and EVI over (−0.2, 2.0) through the RdYlGn
-    * colormap (visualize_dataset.py:102, 119), missing cells
-    * transparent (matplotlib's masked-pixel default). Same
-    * `foreachPartition` whole-file writer shape as [[writeGeoTiffs]]:
-    * frames co-locate by date, each task encodes complete files, and
-    * the pixel→color mapping runs on the executors. */
   /** Frame-byte budget for the image sinks (override:
     * `graft.maxFrameBytes`; default 256 MiB). Each rendered frame
     * materializes one w×h buffer per date — a palette byte per pixel
@@ -321,6 +313,14 @@ object Export {
         "raise the budget")
   }
 
+  /** PNG frame sink — visualize_dataset.py:343-355 (export_all_frames):
+    * one colormapped RGBA frame per date per variable, NDVI normalized
+    * over (−0.2, 1.0) and EVI over (−0.2, 2.0) through the RdYlGn
+    * colormap (visualize_dataset.py:102, 119), missing cells
+    * transparent (matplotlib's masked-pixel default). Same
+    * `foreachPartition` whole-file writer shape as [[writeGeoTiffs]]:
+    * frames co-locate by date, each task encodes complete files, and
+    * the pixel→color mapping runs on the executors. */
   def writePngFrames(cube: DataFrame, outDir: String, grid: GridSpec): Unit = {
     requireFrameBudget("png", grid.width, grid.height, bytesPerPx = 4)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))

@@ -57,4 +57,22 @@ object Num {
     * this. */
   def r6(c: Column): Column = round(c, 6)
   def r4(c: Column): Column = round(c, 4)
+
+  /** Driver-side replica of [[xsumHi]]'s per-element cast: Spark's
+    * double→DECIMAL(38,18) cast parses `Double.toString` at scale 18
+    * HALF_UP. The hash-locked IVF numerics (v08) depend on the driver
+    * and the distributed aggregate agreeing bit-for-bit, so every
+    * driver-side spelling must come from HERE — a second copy that
+    * drifts (e.g. a rounding-mode tweak) would silently desynchronize
+    * training from assignment. */
+  def decHi(x: Double): java.math.BigDecimal =
+    new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(18, java.math.RoundingMode.HALF_UP)
+
+  /** Exact driver-side vector norm: sqrt of the exact scale-18 decimal
+    * sum of squares — bit-identical to `sqrt(xsumHi(c*c))` run
+    * distributed, order-independent by the decimal accumulation. */
+  def exactNorm(comps: Iterable[Double]): Double =
+    math.sqrt(comps.map(c => decHi(c * c))
+      .reduce(_.add(_)).doubleValue())
 }

@@ -320,14 +320,16 @@ object SimOps {
     * (Checkpoints.rddOf). */
   private[graft] def trainCentroids(emb: DataFrame, f: DataFrame, n: DataFrame,
       iters: Int = KmeansIters, k: Int = KmeansK,
-      seedLo: Int = KmeansSeedLo): DataFrame = {
+      seedLo: Int = KmeansSeedLo, knownStride: Long = -1L): DataFrame = {
     // Bounded training sample (see [[TrainSampleTarget]]): Lloyd's
     // rounds iterate over the modular slice, not the corpus, so
     // training cost is O(sample) at any scale. The filters run over
     // the already-pinned flat/norms checkpoints — a map-side prune,
     // no re-derivation. stride == 1 (small corpora) keeps the exact
-    // pre-sampling lineage.
-    val stride = trainStride(emb.count())
+    // pre-sampling lineage. A caller that already sampled (trainedRows)
+    // passes knownStride=1 so no count job re-runs on the sample.
+    val stride =
+      if (knownStride > 0) knownStride else trainStride(emb.count())
     val (embT, fT, nT) =
       if (stride == 1L) (emb, f, n)
       else {
@@ -379,17 +381,12 @@ object SimOps {
     val byCell = centRows.groupBy(_._1).toSeq.sortBy(_._1)
     val cents = byCell.map { case (cell, rs) =>
       (cell, rs.sortBy(_._2).map(_._3.toFloat)) }
-    // exact local replica of xsumHi(c * c): Spark's double→decimal cast
-    // parses Double.toString at scale 18 HALF_UP; the decimal sum is
-    // exact and order-independent, and only the final sqrt runs in
-    // double — so the driver-computed cell norms are bit-identical to
-    // the distributed aggregate they replace (v08 stays hash-locked)
-    def dec(x: Double): java.math.BigDecimal =
-      new java.math.BigDecimal(java.lang.Double.toString(x))
-        .setScale(18, java.math.RoundingMode.HALF_UP)
+    // Num.exactNorm is the one driver-side replica of sqrt(xsumHi(c*c)):
+    // the decimal sum is exact and order-independent, so the
+    // driver-computed cell norms are bit-identical to the distributed
+    // aggregate they replace (v08 stays hash-locked)
     val cnrms = byCell.map { case (cell, rs) =>
-      (cell, math.sqrt(rs.map(r => dec(r._3 * r._3))
-        .reduce(_.add(_)).doubleValue())) }
+      (cell, Num.exactNorm(rs.map(r => r._3))) }
     val centDF = centRows.toSeq.toDF("cell", "i", "c")
     val centsRow = Seq(Tuple1(cents)).toDF("cents")
     val cnDF = cnrms.toDF("cell", "cnrm")
@@ -454,14 +451,11 @@ object SimOps {
     val byCell = centRows.groupBy(_._1).toSeq.sortBy(_._1)
     // per cell: float-packed components (stage-1 native prune),
     // full-precision doubles (stage-2 exact dot) and the exact cell
-    // norm — one broadcast row carries the whole model
-    def dec(x: Double): java.math.BigDecimal =
-      new java.math.BigDecimal(java.lang.Double.toString(x))
-        .setScale(18, java.math.RoundingMode.HALF_UP)
+    // norm (Num.exactNorm — the shared decimal-contract replica) —
+    // one broadcast row carries the whole model
     val cents = byCell.map { case (cell, rs) =>
       val comps = rs.sortBy(_._2).map(_._3)
-      (cell, comps.map(_.toFloat), comps,
-        math.sqrt(comps.map(c => dec(c * c)).reduce(_.add(_)).doubleValue()))
+      (cell, comps.map(_.toFloat), comps, Num.exactNorm(comps))
     }
     val centsRow = Seq(Tuple1(cents)).toDF("cents")
     // The per-row exact re-rank is CPU-bound (margin × dim BigDecimal
@@ -500,12 +494,25 @@ object SimOps {
   private def embKey(d: String, extra: String = ""): String =
     s"$d@${BuildCache.version(d, "embeddings.parquet")}$extra"
 
+  /** Per-(dataset, file-version) corpus row count. Several build steps
+    * need |corpus| (training stride, IVF meta, near-dup band geometry);
+    * memoizing by the dataset's version marker collapses them to one
+    * footer-count job per dataset version — a regenerated or appended
+    * embeddings file changes the marker and re-counts. */
+  private val countCache = new BuildCache[Long]
+  private[graft] def corpusCount(s: SparkSession, d: String): Long =
+    countCache.get(embKey(d, "|n"))(Tables.embeddings(s, d).count())
+
   /** Train on an already-pinned (f, n) pair and collect the model rows,
     * releasing the final centroid snapshot — the shared core of
     * [[trainedModel]] and [[ivfIndex]]'s one-pass build. */
   private def trainAndCollect(s: SparkSession, emb: DataFrame, f: DataFrame,
       n: DataFrame, k: Int, seedLo: Int): Array[(Long, Long, Double)] = {
-    val cent = trainCentroids(emb, f, n, KmeansIters, k, seedLo)
+    // emb is already the bounded sample (trainedRows sampled before the
+    // flatten); a sample never re-samples, so pin stride 1 instead of
+    // paying a count job just to re-derive it
+    val cent = trainCentroids(emb, f, n, KmeansIters, k, seedLo,
+      knownStride = 1L)
     try {
       import s.implicits._
       cent.select("cell", "i", "c").as[(Long, Long, Double)].collect()
@@ -534,7 +541,7 @@ object SimOps {
         // — a sample never needs re-sampling — so the trained rows are
         // identical to sampling inside the loop, the oracle's spelling.)
         val emb = Tables.embeddings(s, d)
-        val stride = trainStride(emb.count())
+        val stride = trainStride(corpusCount(s, d))
         // widen the sample scan so the flatten/pin — and every Lloyd
         // round that re-reads the checkpoint's partitioning — runs at
         // cluster parallelism instead of the narrow file's task count
@@ -599,7 +606,7 @@ object SimOps {
         // a full build trains on the whole corpus: the meta records
         // both the corpus size and the TRAINING size (equal here) —
         // the frozen-centroid append contract reads them apart
-        val nVec = emb.count()
+        val nVec = corpusCount(s, d)
         writeIvfMeta(s, tmp.toString, nVec, nVec)
       }
     }
@@ -704,6 +711,9 @@ object SimOps {
   private[graft] def clearIvfCaches(): Unit = {
     modelCache.clear()
     indexCache.clear()
+    // the corpus-count memo too: a cold-build measurement must pay the
+    // count job the production cold path pays
+    countCache.clear()
   }
 
   /** Relational max-cosine cell ranking against a trained centroid
@@ -1235,8 +1245,9 @@ object SimOps {
       Warehouse.getOrBuild("neardup", d, "embeddings.parquet") { tmp =>
         val emb = Par.widen(Tables.embeddings(s, d))
         // the one corpus count (bandBits geometry sizing) runs at build
-        // time, not per query
-        val n = emb.count()
+        // time, not per query — and shares the per-version count memo
+        // with the ivf/kmeans builds
+        val n = corpusCount(s, d)
         val bits = bandBits(n)
         // pin the banded projection once: the 4-band hyperplane hashing
         // over the packed embedding arrays is the expensive per-vector
@@ -1464,7 +1475,10 @@ object SimOps {
   }
 
   /** Test hook: drop the per-dataset near-dup manifest cache. */
-  private[graft] def clearNearDupCache(): Unit = nearDupCache.clear()
+  private[graft] def clearNearDupCache(): Unit = {
+    nearDupCache.clear()
+    countCache.clear()
+  }
 
   /** Embedding-cosine near-duplicate pairs over the WHOLE corpus:
     * banded sign-LSH ([[nearDupBuckets]]) prunes to same-band-bucket

@@ -2049,6 +2049,14 @@ object TextOps {
     }
   }
 
+  /** File count for a sorted batch-posting append: one file for a
+    * normal micro-batch (tiny-file accumulation is the enemy — post/
+    * gains one file per append), widening only when the incoming batch
+    * itself arrived in many input splits (a bulk load). Derived from
+    * the physical split count, no extra Spark job. */
+  private def appendSortFiles(batch: DataFrame): Int =
+    math.max(1, math.min(8, batch.rdd.getNumPartitions / 4))
+
   /** Crossed-token cap for one append (override: `graft.freq.maxCrossed`). */
   private def maxCrossed: Int =
     sys.props.get("graft.freq.maxCrossed").flatMap(_.toIntOption).getOrElse(4096)
@@ -2088,12 +2096,16 @@ object TextOps {
         Warehouse.copyData(s"$prior/scores", tmp.resolve("scores"))
         Warehouse.copyData(s"$prior/post", tmp.resolve("post"))
         val priorCorr = java.nio.file.Paths.get(prior, "corr")
-        val priorCorrRows =
-          if (java.nio.file.Files.isDirectory(priorCorr)) {
-            Warehouse.copyData(priorCorr.toString, tmp.resolve("corr"))
-            s.read.parquet(priorCorr.toString).count()
-          } else 0L
+        val hasPriorCorr = java.nio.file.Files.isDirectory(priorCorr)
+        if (hasPriorCorr)
+          Warehouse.copyData(priorCorr.toString, tmp.resolve("corr"))
         if (crossed.nonEmpty) {
+          // the pending-correction row count only feeds the compaction
+          // bound below, so the (common) no-crossing append never pays
+          // this job
+          val priorCorrRows =
+            if (hasPriorCorr) s.read.parquet(priorCorr.toString).count()
+            else 0L
           // reprice ONLY the prior docs containing a crossed token:
           // the isin pushdown prunes the token-sorted postings to the
           // crossed tokens' row groups — O(affected), never O(corpus)
@@ -2124,7 +2136,15 @@ object TextOps {
           .agg(sum(col("mult") * col("klass")).as("isum"),
             sum("mult").as("len"))
           .write.mode("append").parquet(s"$tmp/scores")
+        // keep every appended file token-sorted like the full build's
+        // repartitionByRange(w) layout: the crossing probe's isin prunes
+        // post/ by row-group min/max on w, and an unsorted batch file
+        // spans the whole token range — after many streaming appends the
+        // probe would degrade from O(affected) back to O(corpus). The
+        // sort is batch-sized (one small exchange of the batch postings).
         btg.select("w", "doc_id", "mult")
+          .repartitionByRange(appendSortFiles(appended), col("w"))
+          .sortWithinPartitions("w")
           .write.mode("append").parquet(s"$tmp/post")
       } finally Checkpoints.release(pin)
     }

@@ -53,7 +53,11 @@ object Warehouse {
     * tables); ivf split into `cells/`+`meta/` (frozen-model appends).
     * v7: freq scores re-keyed to integer (isum, len) and the artifact
     * gained `post/`+`corr/` (exact O(affected) class-crossing
-    * repricing instead of the rebuild fallback). */
+    * repricing instead of the rebuild fallback).
+    * v8: kmeans/ivf quantizers train on the bounded modular sample
+    * (SimOps.trainStride), so a v7 model — trained on the full corpus
+    * past the sample target — would serve different (still valid, but
+    * not reproducible by this code or its oracle) centroids. */
   val LayoutVersion = 8
 
   /** Root directory: `graft.warehouse` system property (spec isolation),

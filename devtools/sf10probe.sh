@@ -7,8 +7,9 @@
 # ~flat across TWO orders of magnitude while the builds grow ~linearly.
 #
 # Usage: devtools/sf10probe.sh [src_sf_dir] [work_dir]
-# Expect ~45-60 min (ivf_build's Lloyd training is linear-in-rows and
-# dominates). Output: one ScaleProbe JSON line (also appended to
+# Expect ~30-60 min (Lloyd training is bounded-sample since r12, so the
+# linear terms are the per-row build scans — assignment, banding,
+# shingling). Output: one ScaleProbe JSON line (also appended to
 # $WORK/probe.jsonl with the corpus dir inside).
 set -euo pipefail
 cd "$(dirname "$0")/.."

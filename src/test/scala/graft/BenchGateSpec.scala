@@ -202,4 +202,24 @@ class BenchGateSpec extends AnyFunSuite {
       Files.delete(dir)
     }
   }
+
+  test("the Families registry round-trips through the contract line parser") {
+    // Bench serializes `<name>_build` fields from the registry and
+    // parseBuilds' allowlist regex is generated from the same registry —
+    // this locks the round trip so a new family cannot ship half-wired
+    // (timed and emitted but silently dropped from the baseline).
+    val names = Families.all.map(_.name)
+    assert(names.distinct == names, s"duplicate family names: $names")
+    val sigIdx = names.indexOf("sig")
+    assert(sigIdx >= 0 && sigIdx < names.indexOf("textdup") &&
+      names.indexOf("textdup") < names.indexOf("funnel"),
+      s"dependency order sig -> textdup -> funnel violated: $names")
+    val line = """{"metric":"total","value":1.0,"queries":{"q":0.1},""" +
+      Families.all.zipWithIndex.map { case (f, i) =>
+        s""""${f.field}":${i + 1}.5""" }.mkString(",") +
+      ""","errors":{},"sf":"/x","gate":{}}"""
+    val parsed = BenchGate.parseBuilds(line)
+    assert(parsed == Families.all.zipWithIndex.map { case (f, i) =>
+      f.field -> (i + 1.5) }.toMap, s"parsed: $parsed")
+  }
 }

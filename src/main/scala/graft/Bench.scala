@@ -173,18 +173,8 @@ object Bench {
     // errored queries carry time −1 in `queries`; keep them out of the
     // headline total (a sum with −1s would under-report, hiding breakage)
     val total = times.values.filter(_ >= 0).sum
-    // Full JSON string escaping (like Verify.q): the \s+ collapse above
-    // removes common whitespace, but a binary-tainted exception message
-    // can carry raw control chars (< 0x20) that would make the contract
-    // line invalid JSON for the driver's json.load.
-    def jstr(s: String): String = s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
     val errs = errors.toSeq.map { case (k, v) =>
-      "\"" + k + "\":\"" + jstr(v) + "\""
+      "\"" + k + "\":" + Json.str(v)
     }.mkString("{", ",", "}")
     val bs = buildTimes.toSeq.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString(",")

@@ -26,7 +26,15 @@ import org.apache.spark.sql.types._
   *
   * Null semantics mirror graft_cosine: NULL if either array is NULL or
   * lengths differ; element NULLs contribute nothing (SUM skips the
-  * NULL-valued product rows in the relational form).
+  * NULL-valued product rows in the relational form). A product that the
+  * double→DECIMAL(38,18) cast cannot represent — non-finite, or ≥1e20
+  * in magnitude so its scale-18 decimal exceeds 38 digits — likewise
+  * contributes nothing (the relational form's non-ANSI cast yields NULL
+  * for it and SUM skips the row; engine vectors are unit-scale floats,
+  * so this only triggers on user-supplied pathological input, which must
+  * degrade like the SQL spelling instead of throwing). If NO pair
+  * contributes (empty arrays, all-null, all unrepresentable) the result
+  * is NULL — SUM over zero rows.
   *
   * Not codegen'd (CodegenFallback): consumers evaluate it O(margin)
   * times per row on model-pruned candidates — the hot full-k loop stays
@@ -66,16 +74,21 @@ case class ExactDot(left: Expression, right: Expression)
     val xf = leftIsFloat()
     val yf = rightIsFloat()
     var sum: java.math.BigDecimal = java.math.BigDecimal.ZERO.setScale(18)
+    var terms = 0
     var i = 0
     while (i < n) {
       if (!x.isNullAt(i) && !y.isNullAt(i)) {
         val p = elem(x, xf, i) * elem(y, yf, i)
-        sum = sum.add(java.math.BigDecimal.valueOf(p)
-          .setScale(18, java.math.RoundingMode.HALF_UP))
+        if (java.lang.Double.isFinite(p)) {
+          val d = java.math.BigDecimal.valueOf(p)
+            .setScale(18, java.math.RoundingMode.HALF_UP)
+          // precision > 38 == the (38,18) cast overflows → NULL → skipped
+          if (d.precision <= 38) { sum = sum.add(d); terms += 1 }
+        }
       }
       i += 1
     }
-    sum.doubleValue()
+    if (terms == 0) null else sum.doubleValue()
   }
 
   override protected def withNewChildrenInternal(

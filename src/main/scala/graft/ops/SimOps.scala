@@ -283,6 +283,15 @@ object SimOps {
   private[graft] def trainStride(nVec: Long): Long =
     math.max(1L, nVec / TrainSampleTarget)
 
+  /** THE training-sample membership predicate: modular slice plus the k
+    * seed vectors. Single spelling shared by [[trainCentroids]] and the
+    * [[trainedRows]] pre-flatten sample (and mirrored verbatim by the
+    * DuckDB oracle) so the trained model and the sample the hash-locked
+    * v08 compare reproduces can never drift apart. */
+  private def samplePredicate(stride: Long, seedLo: Int, k: Int) =
+    (col("vec_id") % stride === 0) ||
+      col("vec_id").between(seedLo, seedLo + k - 1)
+
   /** Flattened (vec_id, i, v) relation — the Spark mirror of [[flatSql]]
     * (i 1-based long, v the exact float→double element value). */
   private[graft] def flat(emb: DataFrame): DataFrame =
@@ -333,8 +342,7 @@ object SimOps {
     val (embT, fT, nT) =
       if (stride == 1L) (emb, f, n)
       else {
-        val keep = (col("vec_id") % stride === 0) ||
-          col("vec_id").between(seedLo, seedLo + k - 1)
+        val keep = samplePredicate(stride, seedLo, k)
         (emb.filter(keep), f.filter(keep), n.filter(keep))
       }
     var (cent, pin) = Checkpoints.pin(
@@ -547,8 +555,7 @@ object SimOps {
         // cluster parallelism instead of the narrow file's task count
         val embT = Par.widen(
           if (stride == 1L) emb
-          else emb.filter((col("vec_id") % stride === 0) ||
-            col("vec_id").between(seedLo, seedLo + k - 1)))
+          else emb.filter(samplePredicate(stride, seedLo, k)))
         val (f, fPin) = Checkpoints.pin(flat(embT))
         try {
           val (n, nPin) = Checkpoints.pin(norms(f))
@@ -603,9 +610,12 @@ object SimOps {
           .select("cell", "vec_id", "embedding")
           .write.mode("overwrite").partitionBy("cell")
           .parquet(tmp.resolve("cells").toString))
-        // a full build trains on the whole corpus: the meta records
-        // both the corpus size and the TRAINING size (equal here) —
-        // the frozen-centroid append contract reads them apart
+        // trained_n records the CORPUS SIZE AT TRAINING TIME (the
+        // quantizer itself fits on a bounded modular sample of it,
+        // [[trainStride]]) — it is the frozen-centroid append
+        // contract's drift denominator (MaxIvfGrowth: appends past
+        // that multiple of the corpus-as-trained trigger a retrain),
+        // NOT the Lloyd's sample size
         val nVec = corpusCount(s, d)
         writeIvfMeta(s, tmp.toString, nVec, nVec)
       }

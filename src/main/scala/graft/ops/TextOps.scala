@@ -1227,6 +1227,11 @@ object TextOps {
     * unchanged) and recomputed ones re-derive. */
   private[graft] def incrementalComponents(priorComp: DataFrame,
       edges: DataFrame, changedNodes: DataFrame): DataFrame = {
+    // the common streaming micro-batch mines NO qualifying edges: no
+    // endpoint changed, every label carries verbatim — skip the two
+    // count jobs and the (empty-subgraph) propagation loop outright.
+    // isEmpty is a limit-1 action on the batch-bounded change set.
+    if (changedNodes.isEmpty) return priorComp
     // labels of prior components holding a changed endpoint — the
     // change set is batch-bounded, so the label lookups broadcast and
     // the prior-label scans stay map-side
@@ -1525,8 +1530,11 @@ object TextOps {
     * via the two-level prefix sum; also feeds the packed-shard sink
     * ([[graft.ops.Export.writePackedShards]]). */
   private[graft] def packAssignments(s: SparkSession, d: String): DataFrame = {
-    val docs = Par.widen(Tables.documents(s, d))
-    packAssignmentsOf(docs, packRangeFor(maxDocId(docs)))
+    // max(doc_id) runs on the RAW narrow scan — column-pruned, no
+    // exchange; the widen (a round-robin repartition that spreads the
+    // CPU-heavy tokenize) wraps only the relation the packer consumes
+    val docs = Tables.documents(s, d)
+    packAssignmentsOf(Par.widen(docs), packRangeFor(maxDocId(docs)))
   }
 
   /** The two-level prefix-sum packer over ANY (doc_id, text) relation —

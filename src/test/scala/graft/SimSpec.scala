@@ -37,6 +37,27 @@ class SimSpec extends SparkSpecBase {
     assert(mismatch == Seq(None))
   }
 
+  test("graft_dot_exact edge semantics: unrepresentable products skip, zero terms -> NULL") {
+    // matches: exact value on ordinary input
+    val plain = Seq((Array(1.5, 2.0), Array(2.0, -3.0))).toDF("a", "b")
+      .selectExpr("graft_dot_exact(a, b)").as[Double].collect().head
+    assert(math.abs(plain - (-3.0)) < 1e-15)
+    // a product the (38,18) cast cannot represent — non-finite (1e300²)
+    // or ≥1e20 finite (1e30·1e30 stays finite but needs >38 digits) —
+    // contributes nothing, like the relational non-ANSI cast→NULL→SUM-skip
+    val overflow = Seq(
+      (Array(1e300, 1.0), Array(1e300, 1.0)),  // Inf product + 1.0
+      (Array(1e30, 2.0), Array(1e30, 3.0))     // 1e60 product + 6.0
+    ).toDF("a", "b").selectExpr("graft_dot_exact(a, b)").as[Double].collect()
+    assert(overflow(0) == 1.0 && overflow(1) == 6.0)
+    // SUM over zero contributing rows is NULL: empty arrays, and a pair
+    // whose only product is unrepresentable
+    val empty = Seq((Array.empty[Double], Array.empty[Double]),
+      (Array(1e300), Array(1e300))).toDF("a", "b")
+      .selectExpr("graft_dot_exact(a, b)").as[Option[Double]].collect().toSeq
+    assert(empty == Seq(None, None))
+  }
+
   test("native top-k ranking agrees with the relational DECIMAL pipeline on testdata") {
     val rel = SimOps.simTopk(spark, sf)
       .select("qid", "rk", "cid").as[(Long, Int, Long)].collect().toSeq

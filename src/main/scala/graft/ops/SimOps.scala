@@ -1086,22 +1086,36 @@ object SimOps {
     * from scratch (full Lloyd chain + assignment + residual) so the
     * composition is hash-checked end to end.
     *
-    * Scale posture: the model broadcasts (k×dim); residuals are one
-    * (cell, i)-keyed join over the flattened corpus; the max-abs and
-    * census are keyed aggregates, map-side combined — no corpus-sized
-    * relation broadcasts or funnels through one reducer. */
+    * Scale posture: the model broadcasts (k×dim) as per-cell packed
+    * arrays and the residual, per-vector scale and int8 round-trip all
+    * compute IN ROW over the packed inverted file — the corpus never
+    * flattens or shuffles; the only exchange is the final k-cell
+    * census aggregate, partial-combined map-side. */
   val residualError: Q = (s, d) => {
+    import s.implicits._
     val inv = ivfIndex(s, d)
-    val cent = trainedModel(s, d)
-    val f = flat(inv.select("vec_id", "embedding"))
-    val r = f.join(inv.select("vec_id", "cell"), "vec_id")
-      .join(broadcast(cent), Seq("cell", "i"))
-      .select(col("cell"), col("vec_id"), (col("v") - col("c")).as("r"))
-    val m = r.groupBy("vec_id").agg(max(abs(col("r"))).as("m"))
-    r.join(m, "vec_id").filter(col("m") > 0)
+    // model-sized centroid arrays (ordered by component index, the
+    // [[exactAssign]] packing) broadcast once; the whole residual +
+    // int8-roundtrip error is then an IN-ROW projection over the packed
+    // inverted file — the flattened form paid a corpus×64 explode, a
+    // vec_id join, a per-vector max aggregation and a join BACK (three
+    // corpus-wide exchanges); this form's only exchange is the final
+    // k-cell aggregate, with partial aggregation map-side.
+    val cents = trainedRows(s, d).groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (cell, rs) => (cell, rs.sortBy(_._2).map(_._3)) }
+    val centsDf = cents.toDF("cell", "cd")
+    Par.widen(inv.select(col("cell"), col("embedding")))
+      .join(broadcast(centsDf), "cell")
+      // exact float→double elements minus the model component — the
+      // same IEEE subtraction the flattened (v - c) computed
       .select(col("cell"),
-        abs(col("r") - round(col("r") * 127.0 / col("m"), 0) * col("m") / 127.0)
-          .as("err"))
+        expr("zip_with(embedding, cd, (v, c) -> CAST(v AS DOUBLE) - c)")
+          .as("res"))
+      .withColumn("m", expr("array_max(transform(res, r -> abs(r)))"))
+      .filter(col("m") > 0)
+      .select(col("cell"), explode(
+        expr("transform(res, r -> abs(r - round(r * 127.0D / m, 0) * m / 127.0D))"))
+        .as("err"))
       .groupBy("cell")
       .agg(count(lit(1)).as("n_components"),
         r6(xsumHi(col("err")) / count(lit(1))).as("avg_err"),

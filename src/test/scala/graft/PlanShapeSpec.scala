@@ -246,6 +246,21 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("residual census computes in-row: model broadcast, one cell-keyed exchange") {
+    val p = plan("v13_residual_error")
+    // the corpus must never flatten or shuffle: the only exchanges are
+    // the broadcast of the model-sized centroid arrays, the final
+    // k-cell census aggregate, and presentation ordering
+    assert(p.contains("BroadcastExchange"),
+      s"centroid arrays lost their broadcast:\n$p")
+    val nEx = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(nEx <= 2, s"expected ≤2 keyed exchanges (census + order), got $nEx:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"model lookup fell back to a corpus-shuffling SMJ:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"census aggregate lost its map-side partial:\n$p")
+  }
+
   test("quantization census combines map-side at both aggregation levels") {
     val p = plan("v11_quantize_error")
     val nAgg = "HashAggregate".r.findAllIn(p).length

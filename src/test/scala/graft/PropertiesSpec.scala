@@ -126,6 +126,36 @@ class PropertiesSpec extends SparkSpecBase {
     }
   }
 
+  test("graft_dot_exact equals an independent BigDecimal reference for any finite vectors") {
+    // the documented contract: each IEEE product cast to DECIMAL(38,18)
+    // (Double.toString, scale-18 HALF_UP — Spark's double→decimal cast),
+    // exact accumulation, one rounded conversion at the end; SUM
+    // semantics on empties. Re-spelled here from the contract, not the
+    // implementation, so a drift in either direction fails.
+    def ref(a: Seq[Double], b: Seq[Double]): Option[Double] = {
+      val ds = a.zip(b).map { case (x, y) => x * y }
+        .filter(java.lang.Double.isFinite)
+        .map(p => java.math.BigDecimal.valueOf(p)
+          .setScale(18, java.math.RoundingMode.HALF_UP))
+        .filter(_.precision <= 38)
+      if (ds.isEmpty) None
+      else Some(ds.reduce(_.add(_)).doubleValue())
+    }
+    val vecGen: Gen[List[(List[Double], List[Double])]] =
+      Gen.nonEmptyListOf(for {
+        n <- Gen.chooseNum(0, 8)
+        a <- Gen.listOfN(n, Gen.chooseNum(-1e12, 1e12))
+        b <- Gen.listOfN(n, Gen.chooseNum(-1e12, 1e12))
+      } yield (a, b))
+    samples(vecGen, 6).foreach { rows =>
+      val got = rows.toDF("a", "b")
+        .selectExpr("graft_dot_exact(a, b)")
+        .as[Option[Double]].collect().toSeq
+      val want = rows.map { case (a, b) => ref(a, b) }
+      assert(got == want, s"native=$got reference=$want")
+    }
+  }
+
   test("int8 quantization error stays below half a step for arbitrary vectors") {
     val vecGen: Gen[List[Array[Float]]] = Gen.nonEmptyListOf(
       Gen.listOfN(8, Gen.chooseNum(-4.0f, 4.0f)).map(_.toArray))

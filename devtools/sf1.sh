@@ -62,7 +62,11 @@ SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" java $ADDOPENS \
 echo "== Bench at sf1 (rolling baseline: BENCH_SF1.json)"
 PREV=""
 [ -f BENCH_SF1.json ] && PREV="BENCH_SF1.json"
-SPARK_GRAFT_SF_DIR="$CORPUS" SPARK_GRAFT_BENCH_OUT="BENCH_SF1.json" \
+# same parallelism as the verify/invariant steps — the bench step
+# previously inherited the 4-thread default, timing sf1 at a quarter of
+# the parallelism every other step (and the sf0.1 artifact) uses
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" \
+  SPARK_GRAFT_SF_DIR="$CORPUS" SPARK_GRAFT_BENCH_OUT="BENCH_SF1.json" \
   SPARK_GRAFT_BENCH_PREV="$PREV" \
   java $ADDOPENS -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC -Xmx48g -cp "$CP" graft.Bench \

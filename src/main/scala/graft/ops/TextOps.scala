@@ -1162,7 +1162,7 @@ object TextOps {
           .withColumn("comp", col("id")))
       var changed = 1L
       var rounds = 0
-      while (changed > 0) {
+      while (changed > 0) Prof.tt("cc")(s"round-${rounds + 1}") {
         require(rounds < maxRounds,
           s"connected components still propagating after $maxRounds rounds — " +
             "component diameter exceeds the near-dup posture; raise maxRounds " +

@@ -694,20 +694,29 @@ object TextOps {
         // affected subgraph (see incrementalComponents — this was the
         // last corpus-growing term in the append).
         val newEdges = newPairs.filter(col("est_jaccard") >= 0.5)
-        val deadEdges =
-          if (!anyCross) priorPairs.filter(lit(false))
-          else priorPairs.filter(col("est_jaccard") >= 0.5)
-            .join(alivePairKeys, Seq("doc_a", "doc_b"), "left_anti")
-        val changedNodes = newEdges.select(col("doc_a").as("id"))
-          .unionByName(newEdges.select(col("doc_b").as("id")))
-          .unionByName(deadEdges.select(col("doc_a").as("id")))
-          .unionByName(deadEdges.select(col("doc_b").as("id")))
-          .distinct()
-        val edges = pairs.filter(col("est_jaccard") >= 0.5)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        tt("comp")(Warehouse.writeParquet(
-          incrementalComponents(s.read.parquet(s"$prior/comp"), edges,
-            changedNodes), s"$tmp/comp"))
+        tt("comp") {
+          val priorC = s.read.parquet(s"$prior/comp")
+          val comp =
+            if (!anyCross)
+              // no prior edge died: pure-add delta — merge components
+              // by driver union-find over batch-bounded super-edges,
+              // no subgraph propagation (see [[mergeComponents]])
+              mergeComponents(priorC, newEdges
+                .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+            else {
+              val deadEdges = priorPairs.filter(col("est_jaccard") >= 0.5)
+                .join(alivePairKeys, Seq("doc_a", "doc_b"), "left_anti")
+              val changedNodes = newEdges.select(col("doc_a").as("id"))
+                .unionByName(newEdges.select(col("doc_b").as("id")))
+                .unionByName(deadEdges.select(col("doc_a").as("id")))
+                .unionByName(deadEdges.select(col("doc_b").as("id")))
+                .distinct()
+              val edges = pairs.filter(col("est_jaccard") >= 0.5)
+                .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+              incrementalComponents(priorC, edges, changedNodes)
+            }
+          Warehouse.writeParquet(comp, s"$tmp/comp")
+        }
         } finally Checkpoints.release(npPin)
       } finally Checkpoints.release(mPin)
       // the per-doc simhash table extends exactly like the signature
@@ -1255,6 +1264,78 @@ object TextOps {
       val carried = priorComp.join(broadcast(affected), Seq("comp"), "left_anti")
       fresh.unionByName(carried.select("id", "comp"))
     }
+  }
+
+  /** Driver-side union-find with union-by-min: roots are the minimum id
+    * of their set, so a merged group's root IS its min-label. The edge
+    * list is batch-bounded by contract (distinct component super-edges
+    * of one append batch), never corpus-sized. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  /** ADD-ONLY companion to [[incrementalComponents]] — the common
+    * streaming append (no cap crossing, so no prior edge dies). Added
+    * edges can only MERGE components, and a merge needs no label
+    * propagation at all: contract each added edge to a SUPER-EDGE
+    * between its endpoints' groups (the prior component label for known
+    * nodes, the node's own id for first-edge nodes — labels are min
+    * member ids, so a group's id doubles as its label candidate), run
+    * union-find over the batch-bounded distinct super-edges on the
+    * driver, and rewrite affected labels through one broadcast map.
+    *
+    * Per append this costs two map-side corpus scans (the semi-join
+    * label lookup and the relabel write) and zero corpus shuffles —
+    * where the subgraph-propagation path pays two count jobs plus an
+    * iterative CC whose frontier at high duplicate density is the whole
+    * touched CLUSTER set (measured at the 100× probe: ~2M-edge
+    * subgraphs for a 200-doc batch, the dominant append term).
+    * Labels stay exactly [[connectedComponents]]' fixpoint: untouched
+    * components carry verbatim, merged ones take the min over merged
+    * groups, first-edge nodes enter with their union root. */
+  private[graft] def mergeComponents(priorComp: DataFrame,
+      added: DataFrame): DataFrame = {
+    val s = priorComp.sparkSession
+    import s.implicits._
+    if (added.isEmpty) return priorComp
+    val ends = added.select(col("src").as("id"))
+      .unionByName(added.select(col("dst").as("id"))).distinct()
+    // labels of the touched nodes: semi-join the corpus-sized label
+    // table against the broadcast batch ids (map-side-pruned scan,
+    // batch-bounded result), never the reverse
+    val known = priorComp.join(broadcast(ends), Seq("id"), "left_semi")
+    val endLbl = ends.join(known, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("grp"),
+        col("comp").isNotNull.as("known"))
+    val superEdges = added
+      .join(broadcast(endLbl.select(col("id").as("src"), col("grp").as("ga"))), "src")
+      .join(broadcast(endLbl.select(col("id").as("dst"), col("grp").as("gb"))), "dst")
+      .select("ga", "gb").distinct()
+      .as[(Long, Long)].collect().toSeq
+    val root = unionFind(superEdges)
+    // only groups whose label CHANGES need rewriting — typically the
+    // few clusters the batch merged
+    val remap = root.toSeq.filter { case (g, r) => g != r }
+      .toDF("comp", "newcomp")
+    val carried = priorComp.join(broadcast(remap), Seq("comp"), "left")
+      .select(col("id"), coalesce(col("newcomp"), col("comp")).as("comp"))
+    val fresh = endLbl.filter(!col("known"))
+      .join(broadcast(root.toSeq.toDF("grp", "root")), Seq("grp"), "left")
+      .select(col("id"), coalesce(col("root"), col("grp")).as("comp"))
+    carried.unionByName(fresh)
   }
 
   /** Audit companion to [[connectedComponents]] (mirror of

@@ -119,6 +119,34 @@ class TextAggSpec extends SparkSpecBase {
       20L -> 1L, 21L -> 1L), s"inc=$inc")
   }
 
+  test("add-only component merge equals a full recompute: extend, chain-merge, first-edge nodes") {
+    val priorEdges = (Seq((1L, 2L), (10L, 11L), (20L, 21L), (30L, 31L)) ++
+      (100L to 120L).map(i => (i, i + 1))).toDF("src", "dst")
+    val priorComp = TextOps.connectedComponents(priorEdges)
+    // batch 200-203: 200 joins {1,2}; 201 CHAINS {10,11} and {20,21}
+    // through itself (a transitive merge union-find must close); 202-203
+    // are first-edge nodes forming their own pair; 204 attaches to the
+    // edgeless corpus doc 50 (also a first-edge node, and the min)
+    val added = Seq((2L, 200L), (11L, 201L), (201L, 20L), (202L, 203L),
+      (50L, 204L)).toDF("src", "dst")
+    val inc = TextOps.mergeComponents(priorComp, added)
+      .as[(Long, Long)].collect().toMap
+    val full = TextOps.connectedComponents(
+      priorEdges.unionByName(added)).as[(Long, Long)].collect().toMap
+    assert(inc == full, s"inc=$inc full=$full")
+    assert(inc(200L) == 1L && inc(201L) == 10L && inc(21L) == 10L &&
+      inc(203L) == 202L && inc(204L) == 50L && inc(120L) == 100L, s"inc=$inc")
+  }
+
+  test("add-only component merge with no added edges returns the prior labels unchanged") {
+    val priorComp = TextOps.connectedComponents(
+      Seq((1L, 2L)).toDF("src", "dst"))
+    val out = TextOps.mergeComponents(priorComp,
+      Seq.empty[(Long, Long)].toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("incremental components with an empty change set carry every prior label") {
     val priorEdges = Seq((1L, 2L), (10L, 11L)).toDF("src", "dst")
     val priorComp = TextOps.connectedComponents(priorEdges)

@@ -8,17 +8,34 @@ package graft
   * contract (Bench is); only touches the documents/embeddings tables so
   * a replica dataset does not need the TPC-H-ish relations.
   *
-  * Usage: `java ... graft.ScaleProbe <datasetDir>` → one JSON line of
-  * seconds per step, builds forced cold (warehouse invalidated first).
+  * Usage: `java ... graft.ScaleProbe <datasetDir> [appends-only[:text|:vec]]`
+  * → one JSON line of seconds per step, builds forced cold (warehouse
+  * invalidated first). `appends-only` skips the primary-dir build and
+  * query timings and probes just the append paths (the copy-side builds
+  * still run — appends need prior artifacts); the `:text` / `:vec`
+  * suffix restricts to the document chain (sig → textdup → funnel →
+  * freq) or the vector chain (neardup, ivf), halving the copy-build
+  * cost when iterating on one side.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mode = args.lift(1).getOrElse("")
+    val appendsOnly = mode.startsWith("appends-only")
+    val chain = mode.split(':').lift(1).getOrElse("all")
     val spark = Sessions.local()
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime()
       f
       (System.nanoTime() - t0) / 1e9
+    }
+    if (appendsOnly) {
+      val line = probeAppends(spark, dir, chain).map {
+        case (k, v) => s""""$k":${math.rint(v * 1000) / 1000}"""
+      }.mkString(s"""{"dir":"$dir","mode":"$mode",""", ",", "}")
+      println(line)
+      spark.stop()
+      return
     }
     ops.Warehouse.invalidateDataset(dir)
     val builds = Seq(
@@ -58,7 +75,9 @@ object ScaleProbe {
   }
 
   private def probeAppends(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Seq[(String, Double)] = {
+      dir: String, chain: String = "all"): Seq[(String, Double)] = {
+    val text = chain == "all" || chain == "text"
+    val vec = chain == "all" || chain == "vec"
     import org.apache.spark.sql.functions._
     import scala.jdk.CollectionConverters._
     def timed(f: => Unit): Double = {
@@ -90,12 +109,16 @@ object ScaleProbe {
     }
     // cold artifact builds on the copy (untimed here — the build costs
     // are measured above on the primary dir)
-    ops.TextOps.buildSigIndex(spark, tmpDs)
-    ops.TextOps.buildTextDup(spark, tmpDs)
-    ops.TextOps.buildFunnel(spark, tmpDs)
-    ops.TextOps.buildFreq(spark, tmpDs)
-    ops.SimOps.buildNearDup(spark, tmpDs)
-    ops.SimOps.buildIvf(spark, tmpDs)
+    if (text) {
+      ops.TextOps.buildSigIndex(spark, tmpDs)
+      ops.TextOps.buildTextDup(spark, tmpDs)
+      ops.TextOps.buildFunnel(spark, tmpDs)
+      ops.TextOps.buildFreq(spark, tmpDs)
+    }
+    if (vec) {
+      ops.SimOps.buildNearDup(spark, tmpDs)
+      ops.SimOps.buildIvf(spark, tmpDs)
+    }
     // fixed-size batches: 200 docs (half exact copies, half perturbed),
     // 40 vectors (small enough that bandBits stays put at the 1x corpus
     // — a geometry flip would measure a full rebuild, not an append)
@@ -120,13 +143,17 @@ object ScaleProbe {
       .write.mode("append").parquet(s"$tmpDs/embeddings.parquet")
     val batchVec = spark.read.parquet(s"$tmpDs/embeddings.parquet")
       .filter(col("vec_id") > maxV)
-    val out = Seq(
-      "sig_append" -> timed(ops.TextOps.appendToSigIndex(spark, tmpDs, batchDocs)),
-      "textdup_append" -> timed(ops.TextOps.appendToTextDup(spark, tmpDs, batchDocs)),
-      "funnel_append" -> timed(ops.TextOps.appendToFunnel(spark, tmpDs, batchDocs)),
-      "freq_append" -> timed(ops.TextOps.appendToFreq(spark, tmpDs, batchDocs)),
-      "neardup_append" -> timed(ops.SimOps.appendToNearDup(spark, tmpDs, batchVec)),
-      "ivf_append" -> timed(ops.SimOps.appendToIvf(spark, tmpDs, batchVec)))
+    val out =
+      (if (text) Seq(
+        "sig_append" -> timed(ops.TextOps.appendToSigIndex(spark, tmpDs, batchDocs)),
+        "textdup_append" -> timed(ops.TextOps.appendToTextDup(spark, tmpDs, batchDocs)),
+        "funnel_append" -> timed(ops.TextOps.appendToFunnel(spark, tmpDs, batchDocs)),
+        "freq_append" -> timed(ops.TextOps.appendToFreq(spark, tmpDs, batchDocs)))
+      else Seq.empty) ++
+      (if (vec) Seq(
+        "neardup_append" -> timed(ops.SimOps.appendToNearDup(spark, tmpDs, batchVec)),
+        "ivf_append" -> timed(ops.SimOps.appendToIvf(spark, tmpDs, batchVec)))
+      else Seq.empty)
     ops.Warehouse.invalidateDataset(tmpDs)
     out
   }

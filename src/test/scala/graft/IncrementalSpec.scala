@@ -119,6 +119,35 @@ class IncrementalSpec extends SparkSpecBase {
     Warehouse.invalidateDataset(ds)
   }
 
+  test("pure-add funnel append takes the epoch delta path and still equals a full rebuild") {
+    // no staged death: the textdup append carries its pair-state epoch,
+    // the funnel append sees it match its recorded pairsepoch and takes
+    // the batch-bounded stage-2 delta (no full pair join) — the batch's
+    // near-dup twins must still drop at stage 2 exactly as a rebuild
+    // derives, and every other stage must match row-for-row
+    val ds = tmpDs("graft-inc-funnel-delta")
+    val base = seedDocs(ds)
+    resetTextCaches()
+    TextOps.buildSigIndex(spark, ds)
+    TextOps.buildTextDup(spark, ds)
+    TextOps.buildFunnel(spark, ds)
+    val batch = makeBatch(base)
+    base.unionByName(batch).write.mode("overwrite")
+      .parquet(s"$ds/documents.parquet")
+    TextOps.appendToSigIndex(spark, ds, batch)
+    TextOps.appendToTextDup(spark, ds, batch)
+    TextOps.appendToFunnel(spark, ds, batch)
+    val f1 = TextOps.funnelIndex(spark, ds).orderBy("stage", "doc_id").collect()
+    resetTextCaches()
+    Warehouse.invalidate("sig", ds)
+    Warehouse.invalidate("textdup", ds)
+    Warehouse.invalidate("funnel", ds)
+    val f2 = TextOps.funnelIndex(spark, ds).orderBy("stage", "doc_id").collect()
+    assert(f1.sameElements(f2),
+      s"delta-path funnel stages drifted: ${f1.length} vs ${f2.length}")
+    Warehouse.invalidateDataset(ds)
+  }
+
   test("appendToTextDup fast path: no cap crossing carries pairs/pairbk/verify by file") {
     val ds = tmpDs("graft-inc-textfast")
     val base = seedDocs(ds)

@@ -33,9 +33,11 @@ fi
 echo "== ScaleProbe at 100x"
 # stage profile on stdout: at this scale the per-stage split IS the
 # diagnosis (the 100x run is how the cluster-sized CC frontier and the
-# result-sized verify terms were found)
+# result-sized verify terms were found). probe.jsonl stays one JSON
+# line per run — the profile lines go to probe.out only.
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" java $ADDOPENS \
   -Dgraft.buildProfile \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx96g -cp "$CP" graft.ScaleProbe "$CORPUS" \
-  2>"$WORK/probe.log" | tee -a "$WORK/probe.jsonl"
+  2>"$WORK/probe.log" | tee "$WORK/probe.out"
+grep '^{"dir"' "$WORK/probe.out" >> "$WORK/probe.jsonl"

@@ -283,8 +283,13 @@ object ScaleInvariants {
       // mis-ranks cells or drops candidates breaks the dominance before
       // it shows in any mean. (Same property SimSpec locks at sf0.001;
       // asserted here at envelope scale where the clustering is real.)
-      val exact = ops.SimOps.simTopk(spark, dir)
-        .filter(col("rk") <= 3).select("qid", "cid")
+      // pin the exact brute-force top-3 (the expensive relation here):
+      // it anchors BOTH recall branches of the single final action, and
+      // unpinned each branch re-executes the full corpus ranking
+      val (exact, exPin) = ops.Checkpoints.pin(
+        ops.SimOps.simTopk(spark, dir)
+          .filter(col("rk") <= 3).select("qid", "cid"))
+      try {
       def recallOf(served: DataFrame): DataFrame =
         exact.join(
             broadcast(served.select(col("qid"), col("cid"), lit(1).as("hit"))),
@@ -305,6 +310,7 @@ object ScaleInvariants {
       (n == 20 && bad == 0 && dom == 0,
         f"queries=$n out_of_range=$bad probe2_below_probe1=$dom " +
           f"mean1=${agg.getDouble(3)}%.3f mean2=${agg.getDouble(4)}%.3f")
+      } finally ops.Checkpoints.release(exPin)
     }
 
     // ---- t09/t05: exact-dedup keep set is consistent ----------------

@@ -29,11 +29,14 @@ object ScaleProbe {
       f
       (System.nanoTime() - t0) / 1e9
     }
+    def contractLine(head: Seq[(String, String)],
+        steps: Seq[(String, Double)]): String =
+      (head.map { case (k, v) => s""""$k":${Json.str(v)}""" } ++
+        steps.map { case (k, v) => s""""$k":${math.rint(v * 1000) / 1000}""" })
+        .mkString("{", ",", "}")
     if (appendsOnly) {
-      val line = probeAppends(spark, dir, chain).map {
-        case (k, v) => s""""$k":${math.rint(v * 1000) / 1000}"""
-      }.mkString(s"""{"dir":"$dir","mode":"$mode",""", ",", "}")
-      println(line)
+      println(contractLine(Seq("dir" -> dir, "mode" -> mode),
+        probeAppends(spark, dir, chain)))
       spark.stop()
       return
     }
@@ -67,10 +70,7 @@ object ScaleProbe {
     // hard-linked copy of the text/vector tables (appends mutate the
     // corpus dir; the probe must not touch the shared testdata).
     val appends = probeAppends(spark, dir)
-    val line = (builds ++ queries ++ appends).map {
-      case (k, v) => s""""$k":${math.rint(v * 1000) / 1000}"""
-    }.mkString(s"""{"dir":"$dir",""", ",", "}")
-    println(line)
+    println(contractLine(Seq("dir" -> dir), builds ++ queries ++ appends))
     spark.stop()
   }
 

@@ -1378,16 +1378,17 @@ object TextOps {
       .unionByName(added.select(col("dst").as("id"))).distinct()
     // labels of the touched nodes: semi-join the corpus-sized label
     // table against the broadcast batch ids (map-side-pruned scan,
-    // batch-bounded result), never the reverse
+    // batch-bounded result), never the reverse — then COLLECT the
+    // batch-bounded lookup ONCE and finish driver-side, so the append
+    // pays exactly TWO corpus scans (this lookup and the relabel write
+    // below); leaving the lookup as three broadcast subplans would
+    // re-execute the scan once per subplan
     val known = priorComp.join(broadcast(ends), Seq("id"), "left_semi")
-    val endLbl = ends.join(known, Seq("id"), "left")
-      .select(col("id"), coalesce(col("comp"), col("id")).as("grp"),
-        col("comp").isNotNull.as("known"))
-    val superEdges = added
-      .join(broadcast(endLbl.select(col("id").as("src"), col("grp").as("ga"))), "src")
-      .join(broadcast(endLbl.select(col("id").as("dst"), col("grp").as("gb"))), "dst")
-      .select("ga", "gb").distinct()
-      .as[(Long, Long)].collect().toSeq
+    val endRows = ends.join(known, Seq("id"), "left")
+      .select(col("id"), col("comp")).as[(Long, Option[Long])].collect()
+    val grp = endRows.map { case (id, c) => id -> c.getOrElse(id) }.toMap
+    val superEdges = added.select("src", "dst").as[(Long, Long)].collect()
+      .map { case (a, b) => (grp(a), grp(b)) }.distinct.toSeq
     val root = unionFind(superEdges)
     // only groups whose label CHANGES need rewriting — typically the
     // few clusters the batch merged
@@ -1395,9 +1396,8 @@ object TextOps {
       .toDF("comp", "newcomp")
     val carried = priorComp.join(broadcast(remap), Seq("comp"), "left")
       .select(col("id"), coalesce(col("newcomp"), col("comp")).as("comp"))
-    val fresh = endLbl.filter(!col("known"))
-      .join(broadcast(root.toSeq.toDF("grp", "root")), Seq("grp"), "left")
-      .select(col("id"), coalesce(col("root"), col("grp")).as("comp"))
+    val fresh = endRows.collect { case (id, None) =>
+      (id, root.getOrElse(grp(id), grp(id))) }.toSeq.toDF("id", "comp")
     carried.unionByName(fresh)
   }
 

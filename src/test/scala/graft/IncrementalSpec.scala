@@ -134,9 +134,25 @@ class IncrementalSpec extends SparkSpecBase {
     val batch = makeBatch(base)
     base.unionByName(batch).write.mode("overwrite")
       .parquet(s"$ds/documents.parquet")
+    // Pin the delta path actually ENGAGING, not falling back (the full
+    // path is also rebuild-identical, so output equality alone is
+    // vacuous): engagement requires the funnel's build-recorded
+    // pairsepoch to equal the textdup epoch AT APPEND TIME, i.e. the
+    // build epochs match and the pure-add textdup append carries its
+    // epoch unchanged. A broken carry or a renamed epoch table fails
+    // here before it silently degrades the append to the full join.
+    def epochOf(fam: String, table: String): String = spark.read.parquet(
+      s"${Warehouse.latest(fam, ds).get}/$table").head().getString(0)
+    val e0 = epochOf("textdup", "epoch")
+    assert(e0 == epochOf("funnel", "pairsepoch"),
+      "funnel build did not record the textdup epoch")
     TextOps.appendToSigIndex(spark, ds, batch)
     TextOps.appendToTextDup(spark, ds, batch)
+    assert(epochOf("textdup", "epoch") == e0,
+      "pure-add textdup append bumped the epoch — funnel delta would disengage")
     TextOps.appendToFunnel(spark, ds, batch)
+    assert(epochOf("funnel", "pairsepoch") == e0,
+      "funnel append did not carry the incorporated epoch forward")
     val f1 = TextOps.funnelIndex(spark, ds).orderBy("stage", "doc_id").collect()
     resetTextCaches()
     Warehouse.invalidate("sig", ds)

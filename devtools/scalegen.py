@@ -128,7 +128,42 @@ def main() -> None:
             t = t.set_column(t.schema.get_field_index('user_id'), 'user_id',
                              pc.add(t['user_id'], 100000 * k))
         reps.append(t)
-    pq.write_table(pa.concat_tables(reps), f'{dst}/events.parquet')
+    # Seed THRESHOLD-CROSSING days (r13): replication preserves per-day
+    # means (every replica repeats the same ts/value rows), so a source
+    # whose day series never crosses the -3.0 abrupt-drop threshold
+    # yields a 0-row e03 at EVERY scale — the flagship event query's
+    # scale row was vacuously green. Six synthetic days appended after
+    # the source's last day, with fully controlled means (only seeded
+    # events land there), exercise all three classification branches
+    # (quality.py:127-154): 50 -> 40 -> 50 is a transient_anomaly
+    # (drop -10, recovery +10), 50 -> 45 -> 44.8 a possible_fire_or_
+    # harvest (drop -5, no recovery), 44.8 -> 40 on the final day a
+    # recent_event (no next scene). 45/44.8/40 also sit under the 49.7
+    # sustained-low bar with a 50.0 scene three back, keeping e04
+    # non-trivial. Deterministic, scale-invariant (seeded once, not per
+    # replica), and both engines read the same parquet — the oracle
+    # recomputes everything from these rows.
+    import datetime as dt
+    maxts = pc.max(ev['ts']).as_py()
+    base = maxts.date() + dt.timedelta(days=1)
+    plan = [(0, 50.0), (1, 40.0), (2, 50.0), (3, 45.0), (4, 44.8), (5, 40.0)]
+    cols = {c: [] for c in ev.column_names}
+    eid = 2_000_000_000
+    for off, mean in plan:
+        for j, dv in enumerate([-1.5, -0.5, 0.5, 1.5]):
+            cols['event_id'].append(eid)
+            eid += 1
+            cols['ts'].append(dt.datetime.combine(
+                base + dt.timedelta(days=off), dt.time(hour=6 + j)))
+            cols['user_id'].append(999983)
+            cols['event_type'].append('view')
+            cols['value'].append(mean + dv)
+            cols['props'].append('{}')
+    seed = pa.table(
+        {c: pa.array(cols[c], type=ev.schema.field(c).type)
+         for c in ev.column_names})
+    allev = [t.replace_schema_metadata(None) for t in reps] + [seed]
+    pq.write_table(pa.concat_tables(allev), f'{dst}/events.parquet')
     for t in ['region', 'nation', 'customer', 'supplier', 'part']:
         dstf = f'{dst}/{t}.parquet'
         if not os.path.exists(dstf):

@@ -41,3 +41,14 @@ SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" java $ADDOPENS \
   -Xmx96g -cp "$CP" graft.ScaleProbe "$CORPUS" \
   2>"$WORK/probe.log" | tee "$WORK/probe.out"
 grep '^{"dir"' "$WORK/probe.out" >> "$WORK/probe.jsonl"
+
+# Correctness rows at the timed scale (r13): the 100× point carried
+# timings but no correctness evidence — the invariants are linear, the
+# probe just built every artifact, so the 12 rows are cheap here.
+# Output lands in the repo root like CORRECTNESS_SF1.txt does for sf1.
+echo "== ScaleInvariants at 100x"
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" java $ADDOPENS \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx96g -cp "$CP" graft.ScaleInvariants "$CORPUS" \
+  2>"$WORK/invariants.log" | tee CORRECTNESS_SCALE100.txt
+grep -q "== invariants: all ok" CORRECTNESS_SCALE100.txt

@@ -168,15 +168,18 @@ object Bench {
       BenchGate.BuildFactor, BenchGate.BuildFloorSec, BenchGate.BuildDeltaSec)
     val gate = BenchGate.report(artifact.map(_._1), qRegs, bRegs, reruns.toMap)
 
-    val qs = times.toSeq.map { case (k, v) => "\"" + k + "\":" + v }
+    // keys escape through Json.str like the values: a query/build name
+    // with a quote or backslash (none today, but names are data here)
+    // must not emit invalid JSON
+    val qs = times.toSeq.map { case (k, v) => Json.str(k) + ":" + v }
       .mkString("{", ",", "}")
     // errored queries carry time −1 in `queries`; keep them out of the
     // headline total (a sum with −1s would under-report, hiding breakage)
     val total = times.values.filter(_ >= 0).sum
     val errs = errors.toSeq.map { case (k, v) =>
-      "\"" + k + "\":" + Json.str(v)
+      Json.str(k) + ":" + Json.str(v)
     }.mkString("{", ",", "}")
-    val bs = buildTimes.toSeq.map { case (k, v) => "\"" + k + "\":" + v }
+    val bs = buildTimes.toSeq.map { case (k, v) => Json.str(k) + ":" + v }
       .mkString(",")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$bs,"errors":$errs,"sf":"$sfDir","gate":$gate}"""
     println(line)

@@ -31,9 +31,15 @@ object ScaleProbe {
     }
     def contractLine(head: Seq[(String, String)],
         steps: Seq[(String, Double)]): String =
-      (head.map { case (k, v) => s""""$k":${Json.str(v)}""" } ++
-        steps.map { case (k, v) => s""""$k":${math.rint(v * 1000) / 1000}""" })
+      (head.map { case (k, v) => s"${Json.str(k)}:${Json.str(v)}" } ++
+        steps.map { case (k, v) =>
+          s"${Json.str(k)}:${math.rint(v * 1000) / 1000}" })
         .mkString("{", ",", "}")
+    // an unrecognized suffix must fail fast, not silently probe nothing
+    // (an `appends-only:vce` typo would otherwise run the corpus copy,
+    // emit a zero-step contract line and exit 0)
+    require(Set("all", "text", "vec").contains(chain),
+      s"unknown chain suffix '$chain' (expected :text or :vec)")
     if (appendsOnly) {
       println(contractLine(Seq("dir" -> dir, "mode" -> mode),
         probeAppends(spark, dir, chain)))
@@ -143,6 +149,18 @@ object ScaleProbe {
       .write.mode("append").parquet(s"$tmpDs/embeddings.parquet")
     val batchVec = spark.read.parquet(s"$tmpDs/embeddings.parquet")
       .filter(col("vec_id") > maxV)
+    // per-OUTPUT accounting (r13): an append whose wall time grows with
+    // scale is only judgeable next to its emitted-pair count — at 100×
+    // duplicate density each new doc has ~10× more TRUE duplicates, so
+    // a flat cost-per-emitted-pair is the correct asymptotic shape even
+    // when the wall clock rises. The artifact pair tables are
+    // result-sized, so the counts are cheap scans.
+    def pairCount(table: String): Double =
+      ops.Warehouse.latest(table, tmpDs)
+        .map(p => spark.read.parquet(s"$p/pairs").count().toDouble)
+        .getOrElse(-1.0)
+    val tdPre = if (text) pairCount("textdup") else -1.0
+    val ndPre = if (vec) pairCount("neardup") else -1.0
     val out =
       (if (text) Seq(
         "sig_append" -> timed(ops.TextOps.appendToSigIndex(spark, tmpDs, batchDocs)),
@@ -154,7 +172,12 @@ object ScaleProbe {
         "neardup_append" -> timed(ops.SimOps.appendToNearDup(spark, tmpDs, batchVec)),
         "ivf_append" -> timed(ops.SimOps.appendToIvf(spark, tmpDs, batchVec)))
       else Seq.empty)
+    val outCounts =
+      (if (text) Seq("textdup_append_pairs" -> (pairCount("textdup") - tdPre))
+       else Seq.empty) ++
+      (if (vec) Seq("neardup_append_pairs" -> (pairCount("neardup") - ndPre))
+       else Seq.empty)
     ops.Warehouse.invalidateDataset(tmpDs)
-    out
+    out ++ outCounts
   }
 }

@@ -1103,7 +1103,12 @@ object SimOps {
     // k-cell aggregate, with partial aggregation map-side.
     val cents = trainedRows(s, d).groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (cell, rs) => (cell, rs.sortBy(_._2).map(_._3)) }
+    // the inverted file's partition-discovered `cell` infers as int;
+    // cast the driver-built long side to match explicitly rather than
+    // riding the implicit numeric coercion (which blocks stats-based
+    // pruning and is fragile to partition-inference config)
     val centsDf = cents.toDF("cell", "cd")
+      .select(col("cell").cast("int").as("cell"), col("cd"))
     Par.widen(inv.select(col("cell"), col("embedding")))
       .join(broadcast(centsDf), "cell")
       // exact float→double elements minus the model component — the

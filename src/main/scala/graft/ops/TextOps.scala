@@ -473,12 +473,24 @@ object TextOps {
         // to disk by the checkpoint if it outgrows memory — not
         // corpus-sized
         tt("verify") {
-          val (csh, sPin) = Checkpoints.pin(candShingles(
-            Tables.documents(s, d), pairs.select("doc_a", "doc_b")))
-          try Warehouse.writeParquet(
-            jaccardOfShingles(pairs.select("doc_a", "doc_b"), csh),
-            s"$tmp/verify")
-          finally Checkpoints.release(sPin)
+          // exact-content fast path first (see [[fingerprintTagged]]):
+          // byte-identical pairs decide in-row; only the genuinely-near
+          // remainder shingles + intersects. The tag pins because both
+          // split sides consume it; the near shingles pin because the
+          // Jaccard reads them three ways (sizes + both intersection
+          // sides) — and they are now NEAR-pair-sized, not
+          // all-candidate-sized.
+          val docs = Tables.documents(s, d)
+          val (tagged, tPin) = Checkpoints.pin(
+            fingerprintTagged(docs, pairs.select("doc_a", "doc_b")))
+          try {
+            val near = nearOfTagged(tagged)
+            val (csh, sPin) = Checkpoints.pin(candShingles(docs, near))
+            try Warehouse.writeParquet(
+              jaccardOfShingles(near, csh).unionByName(exactOfTagged(tagged)),
+              s"$tmp/verify")
+            finally Checkpoints.release(sPin)
+          } finally Checkpoints.release(tPin)
         }
         val edges = pairs.filter(col("est_jaccard") >= 0.5)
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -504,11 +516,22 @@ object TextOps {
   }
 
   /** The recorded epoch, or None for a pre-epoch artifact vintage
-    * (consumers then take their full-recompute path). */
+    * (consumers then take their full-recompute path). A PRESENT but
+    * unreadable epoch also degrades to None (the safe full path), but
+    * with a stderr warning — a persistent infra error (permissions,
+    * corruption) would otherwise permanently and invisibly disable the
+    * delta optimization. */
   private def readEpoch(s: SparkSession, path: String,
       table: String): Option[String] =
     try Some(s.read.parquet(s"$path/$table").head().getString(0))
-    catch { case scala.util.control.NonFatal(_) => None }
+    catch { case scala.util.control.NonFatal(e) =>
+      if (java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(path, table)))
+        System.err.println(
+          s"graft: epoch table $path/$table exists but failed to read " +
+            s"($e) — consumer takes its full-recompute path")
+      None
+    }
 
   /** Explicit build step for the near-dup manifest (the dedup CREATE
     * INDEX analog); queries build lazily on first use, [[graft.Bench]]
@@ -724,9 +747,12 @@ object TextOps {
             if (!anyCross)
               // no prior edge died: pure-add delta — merge components
               // by driver union-find over batch-bounded super-edges,
-              // no subgraph propagation (see [[mergeComponents]])
+              // no subgraph propagation (see [[mergeComponents]]); the
+              // full updated edge table backs the over-budget fallback
               mergeComponents(priorC, newEdges
-                .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+                .select(col("doc_a").as("src"), col("doc_b").as("dst")),
+                Some(pairs.filter(col("est_jaccard") >= 0.5)
+                  .select(col("doc_a").as("src"), col("doc_b").as("dst"))))
             else {
               val deadEdges = priorPairs.filter(col("est_jaccard") >= 0.5)
                 .join(alivePairKeys, Seq("doc_a", "doc_b"), "left_anti")
@@ -748,7 +774,13 @@ object TextOps {
         // their full path once)
         if (!anyCross)
           try Warehouse.copyData(s"$prior/epoch", tmp.resolve("epoch"))
-          catch { case scala.util.control.NonFatal(_) =>
+          catch { case scala.util.control.NonFatal(e) =>
+            // degrading to a fresh epoch is SAFE (consumers take their
+            // full path once) but must not be silent — a persistent
+            // copy failure would permanently disable the funnel delta
+            System.err.println(
+              s"graft: epoch carry from $prior failed ($e) — " +
+                "writing a fresh epoch; funnel takes its full path once")
             writeEpoch(s, tmp.toString, "epoch") }
         else writeEpoch(s, tmp.toString, "epoch")
         } finally Checkpoints.release(npPin)
@@ -1026,7 +1058,57 @@ object TextOps {
       .distinct()
   }
 
-  private def jaccardVerifyTable(doc: DataFrame, cand: DataFrame): DataFrame =
+  /** Exact-content tag per candidate pair: md5(text) of both sides plus
+    * whether the A side has no REAL shingle (<3 tokens → its single
+    * shingle is NULL and can never intersect; identical texts share the
+    * flag). Byte-identical pairs — the BULK of the pair set on any
+    * corpus where exact dups dominate near-dups (28.7M of the 100×
+    * probe's pairs connect exact replicas) — have their Jaccard decided
+    * by definition: identical texts ⇒ identical shingle sets ⇒ 1.0, or
+    * 0.0 for the no-real-shingle degenerate (the NULL shingle counts
+    * toward both set sizes but never matches — join-on-NULL semantics,
+    * same as the slow path and the oracle). Only the genuinely-near
+    * remainder pays the shingle-set intersection. */
+  private def fingerprintTagged(doc: DataFrame, cand: DataFrame): DataFrame = {
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // candidate-pruned scan; one md5 + token count per member, map-side.
+    // NULL text degrades like the slow path: md5(NULL) = NULL pairs
+    // null-safely below, and coalesce marks it trivial (its one shingle
+    // is NULL), so both sides of the split agree with the intersection.
+    val fp = doc.join(candDocs.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"),
+        coalesce(size(toks) < 3, lit(true)).as("trivial"))
+    cand.hint("shuffle_hash")
+      .join(fp.select(col("doc_id").as("doc_a"), col("h").as("h_a"),
+        col("trivial").as("tr_a")).hint("shuffle_hash"), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("h").as("h_b"))
+        .hint("shuffle_hash"), "doc_b")
+  }
+
+  /** Verify rows decided by the exact-content fast path (Jaccard 1 by
+    * definition, 0 for the no-real-shingle degenerate). */
+  private def exactOfTagged(tagged: DataFrame): DataFrame =
+    tagged.filter(col("h_a") <=> col("h_b"))
+      .select(col("doc_a"), col("doc_b"),
+        when(col("tr_a"), lit(0.0)).otherwise(lit(1.0)).as("jaccard"))
+
+  /** The genuinely-near remainder — the only pairs that pay the
+    * shingle-set intersection. */
+  private def nearOfTagged(tagged: DataFrame): DataFrame =
+    tagged.filter(!(col("h_a") <=> col("h_b"))).select("doc_a", "doc_b")
+
+  private[graft] def jaccardVerifyTable(doc: DataFrame, cand: DataFrame): DataFrame = {
+    val tagged = fingerprintTagged(doc, cand)
+    val near = nearOfTagged(tagged)
+    jaccardOfShingles(near, candShingles(doc, near))
+      .unionByName(exactOfTagged(tagged))
+  }
+
+  /** Test hook: the pre-fast-path verify form — EVERY candidate pair
+    * pays the shingle intersection. The equivalence reference the fast
+    * path is spec-checked against. */
+  private[graft] def jaccardVerifySlow(doc: DataFrame, cand: DataFrame): DataFrame =
     jaccardOfShingles(cand, candShingles(doc, cand))
 
   private def jaccardOfShingles(cand: DataFrame, sh: DataFrame): DataFrame = {
@@ -1369,36 +1451,87 @@ object TextOps {
     * Labels stay exactly [[connectedComponents]]' fixpoint: untouched
     * components carry verbatim, merged ones take the min over merged
     * groups, first-edge nodes enter with their union root. */
+  /** Collected super-edge budget: the driver pull is O(distinct group
+    * pairs) by construction, but an adversarial batch (bulk backfill
+    * routed through the pure-add path, every edge bridging two distinct
+    * groups) could still inflate it — past this bound the caller falls
+    * back to the distributed [[incrementalComponents]] instead of
+    * silently stalling the driver. 4M pairs ≈ 64 MB of longs. */
+  private[graft] val MaxSuperEdges = 4000000
+
+  /** `allEdges` is the FULL updated edge table, evaluated only on the
+    * guard fallback (the by-name thunk costs nothing on the normal
+    * path); when absent the guard falls back by throwing, which the
+    * appendToTextDup wrapper turns into the idempotent full rebuild. */
   private[graft] def mergeComponents(priorComp: DataFrame,
-      added: DataFrame): DataFrame = {
+      added: DataFrame, allEdges: => Option[DataFrame] = None,
+      maxSuper: Int = MaxSuperEdges): DataFrame = {
     val s = priorComp.sparkSession
     import s.implicits._
     if (added.isEmpty) return priorComp
     val ends = added.select(col("src").as("id"))
       .unionByName(added.select(col("dst").as("id"))).distinct()
-    // labels of the touched nodes: semi-join the corpus-sized label
-    // table against the broadcast batch ids (map-side-pruned scan,
-    // batch-bounded result), never the reverse — then COLLECT the
-    // batch-bounded lookup ONCE and finish driver-side, so the append
-    // pays exactly TWO corpus scans (this lookup and the relabel write
-    // below); leaving the lookup as three broadcast subplans would
-    // re-execute the scan once per subplan
+    // group label per touched endpoint: the prior component label for
+    // known nodes, the node's own id for first-edge nodes (labels are
+    // min member ids, so a group's id doubles as its label candidate).
+    // Semi-join the corpus-sized label table against the broadcast
+    // batch ids (map-side-pruned scan, batch-bounded result), never
+    // the reverse.
     val known = priorComp.join(broadcast(ends), Seq("id"), "left_semi")
-    val endRows = ends.join(known, Seq("id"), "left")
-      .select(col("id"), col("comp")).as[(Long, Option[Long])].collect()
-    val grp = endRows.map { case (id, c) => id -> c.getOrElse(id) }.toMap
-    val superEdges = added.select("src", "dst").as[(Long, Long)].collect()
-      .map { case (a, b) => (grp(a), grp(b)) }.distinct.toSeq
-    val root = unionFind(superEdges)
-    // only groups whose label CHANGES need rewriting — typically the
-    // few clusters the batch merged
-    val remap = root.toSeq.filter { case (g, r) => g != r }
-      .toDF("comp", "newcomp")
-    val carried = priorComp.join(broadcast(remap), Seq("comp"), "left")
-      .select(col("id"), coalesce(col("newcomp"), col("comp")).as("comp"))
-    val fresh = endRows.collect { case (id, None) =>
-      (id, root.getOrElse(grp(id), grp(id))) }.toSeq.toDF("id", "comp")
-    carried.unionByName(fresh)
+    // pin the endpoint→group lookup ONCE: it feeds three subplans (both
+    // super-edge contraction sides and the first-edge-node relabel), and
+    // each broadcast subplan would otherwise re-run the corpus-sized
+    // label scan — the append pays exactly TWO corpus scans (this pin
+    // and the relabel write below), same contract as before
+    val (lab, labPin) = Checkpoints.pin(ends.join(known, Seq("id"), "left")
+      .select(col("id"), col("comp"),
+        coalesce(col("comp"), col("id")).as("g")))
+    try {
+      // contract each added edge to its endpoints' GROUP pair and
+      // distinct IN SPARK before any driver pull: a batch doc matching
+      // thousands of priors in one cluster contributes ONE super-edge,
+      // not thousands of raw rows. Self-pairs (both endpoints already in
+      // one group) are union-find no-ops and drop here too.
+      val superDf = added
+        .join(broadcast(lab.select(col("id").as("src"), col("g").as("ga"))), "src")
+        .join(broadcast(lab.select(col("id").as("dst"), col("g").as("gb"))), "dst")
+        .filter(col("ga") =!= col("gb"))
+        .select("ga", "gb").distinct()
+      // collected size guard (the contract says batch-bounded, but a
+      // contract is not a bound): the limit caps what the driver ever
+      // materializes; an over-budget batch takes the distributed
+      // subgraph path over the full edge table when the caller supplied
+      // it, else throws — appendToTextDup turns that into the
+      // idempotent full rebuild
+      val superEdges = superDf.limit(maxSuper + 1)
+        .as[(Long, Long)].collect().toSeq
+      if (superEdges.length > maxSuper) {
+        allEdges match {
+          case Some(edges) =>
+            return incrementalComponents(priorComp, edges, ends)
+          case None => sys.error(
+            s"mergeComponents: super-edges exceed the $maxSuper " +
+              "driver budget and no distributed fallback was supplied")
+        }
+      }
+      val root = unionFind(superEdges)
+      // first-edge nodes enter with their union root. Collected
+      // driver-side: every fresh node appears in ≥1 super-edge (its id
+      // is not a prior member, so it can never equal a known group
+      // label), so the pull is bounded by 2× the already-guarded
+      // super-edge count — and the returned lineage then references
+      // only driver-local rows + the priorComp scan, outliving the pin.
+      val freshRows = lab.filter(col("comp").isNull)
+        .select(col("id"), col("g")).as[(Long, Long)].collect()
+        .map { case (id, g) => (id, root.getOrElse(g, g)) }.toSeq
+      // only groups whose label CHANGES need rewriting — typically the
+      // few clusters the batch merged
+      val remap = root.toSeq.filter { case (g, r) => g != r }
+        .toDF("comp", "newcomp")
+      val carried = priorComp.join(broadcast(remap), Seq("comp"), "left")
+        .select(col("id"), coalesce(col("newcomp"), col("comp")).as("comp"))
+      carried.unionByName(freshRows.toDF("id", "comp"))
+    } finally Checkpoints.release(labPin)
   }
 
   /** Audit companion to [[connectedComponents]] (mirror of

@@ -138,6 +138,58 @@ class TextAggSpec extends SparkSpecBase {
       inc(203L) == 202L && inc(204L) == 50L && inc(120L) == 100L, s"inc=$inc")
   }
 
+  test("add-only merge contracts to distinct super-edges; over-budget falls back distributed or loud") {
+    val priorEdges = Seq((1L, 2L), (10L, 11L), (20L, 21L)).toDF("src", "dst")
+    val priorComp = TextOps.connectedComponents(priorEdges)
+    // a batch doc matching MANY members of two clusters: raw edges are
+    // 4, but they contract to just 2 distinct super-edges ({1},{10}
+    // bridged through 200) — under a budget of 2 the driver path runs
+    val added = Seq((1L, 200L), (2L, 200L), (10L, 200L), (11L, 200L))
+      .toDF("src", "dst")
+    val full = TextOps.connectedComponents(priorEdges.unionByName(added))
+      .as[(Long, Long)].collect().toMap
+    val inc = TextOps.mergeComponents(priorComp, added, None, maxSuper = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(inc == full, s"inc=$inc full=$full")
+    // budget 1 (< the 2 super-edges): with the full edge table supplied
+    // the distributed subgraph path takes over, labels still exact
+    val allEdges = priorEdges.unionByName(added)
+    val fb = TextOps.mergeComponents(priorComp, added, Some(allEdges),
+        maxSuper = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(fb == full, s"fb=$fb full=$full")
+    // without a fallback the guard fails loudly, never a silent stall
+    val e = intercept[RuntimeException] {
+      TextOps.mergeComponents(priorComp, added, None, maxSuper = 1).collect()
+    }
+    assert(e.getMessage.contains("driver budget"), e.getMessage)
+  }
+
+  test("verify fast path == full intersection on identical, short and near pairs") {
+    // docs: 1/2 byte-identical (>=3 tokens, Jaccard exactly 1); 3 a near
+    // variant of 1; 4/5 identical SHORT docs (<3 tokens -> single NULL
+    // shingle, Jaccard 0 by join-on-NULL semantics); 6 short and
+    // different; 7 shares a prefix with 1 but differs
+    val doc = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "alpha beta gamma delta zeta"),
+      (4L, "tiny doc"),
+      (5L, "tiny doc"),
+      (6L, "other short"),
+      (7L, "alpha beta gamma other tail")).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (1L, 3L), (4L, 5L), (4L, 6L), (2L, 3L),
+      (1L, 7L), (3L, 7L)).toDF("doc_a", "doc_b")
+    val fast = TextOps.jaccardVerifyTable(doc, cand)
+      .as[(Long, Long, Double)].collect().toSet
+    val slow = TextOps.jaccardVerifySlow(doc, cand)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fast == slow, s"fast=$fast slow=$slow")
+    val m = fast.map(r => (r._1, r._2) -> r._3).toMap
+    assert(m((1L, 2L)) == 1.0 && m((4L, 5L)) == 0.0 && m((4L, 6L)) == 0.0)
+    assert(m((1L, 3L)) > 0 && m((1L, 3L)) < 1, s"near pair got ${m((1L, 3L))}")
+  }
+
   test("add-only component merge with no added edges returns the prior labels unchanged") {
     val priorComp = TextOps.connectedComponents(
       Seq((1L, 2L)).toDF("src", "dst"))

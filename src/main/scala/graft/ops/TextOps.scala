@@ -418,6 +418,10 @@ object TextOps {
     *    pair with its signature-estimated Jaccard;
     *  - `verify/` (doc_a, doc_b, jaccard) — exact n-gram Jaccard over
     *    the same pair set;
+    *  - `nearpairs/` (doc_a, doc_b, est_jaccard) — the pairs whose
+    *    sides are NOT byte-identical (md5(text) differs): the only
+    *    pairs that can ever drop an exact-dedup survivor, so the
+    *    funnel's stage-2 join reads this subset;
     *  - `comp/`   (id, comp) — min-label connected components of the
     *    est_jaccard ≥ 0.5 pair graph;
     *  - `audit/`  (band, key, n_members) — the over-cap band buckets
@@ -482,7 +486,7 @@ object TextOps {
           // all-candidate-sized.
           val docs = Tables.documents(s, d)
           val (tagged, tPin) = Checkpoints.pin(
-            fingerprintTagged(docs, pairs.select("doc_a", "doc_b")))
+            fingerprintTagged(docs, pairs))
           try {
             val near = nearOfTagged(tagged)
             val (csh, sPin) = Checkpoints.pin(candShingles(docs, near))
@@ -490,6 +494,18 @@ object TextOps {
               jaccardOfShingles(near, csh).unionByName(exactOfTagged(tagged)),
               s"$tmp/verify")
             finally Checkpoints.release(sPin)
+            // nearpairs/: the same tag, kept as an artifact — the
+            // funnel's stage-2 drop join consumes THIS subset instead
+            // of the full pair table (a byte-identical pair can never
+            // drop: its doc_b shares doc_a's md5 group, so it already
+            // lost exact dedup — see [[nearPairPath]]); on a corpus
+            // where exact replicas dominate, that join's input shrinks
+            // by the replica pair mass (28.7M → near-only at the 100×
+            // probe)
+            Warehouse.writeParquet(
+              tagged.filter(!(col("h_a") <=> col("h_b")))
+                .select("doc_a", "doc_b", "est_jaccard"),
+              s"$tmp/nearpairs")
           } finally Checkpoints.release(tPin)
         }
         val edges = pairs.filter(col("est_jaccard") >= 0.5)
@@ -719,20 +735,31 @@ object TextOps {
         // result-sized relations per append instead)
         val freshDocs = newPairs.select(col("doc_a").as("doc_id"))
           .unionByName(newPairs.select(col("doc_b").as("doc_id"))).distinct()
-        val newVerify = jaccardVerifyTable(
+        val (newVerify, newNear) = verifyAndNear(
           Tables.documents(s, d)
             .join(broadcast(freshDocs), Seq("doc_id"), "left_semi"),
-          newPairs.select("doc_a", "doc_b"))
+          newPairs)
         if (!anyCross) {
           tt("verify") {
             Warehouse.copyData(s"$prior/verify", tmp.resolve("verify"))
             newVerify.write.mode("append").parquet(s"$tmp/verify")
+          }
+          // nearpairs extends like pairs/verify: carried files top out
+          // at the prior high-water doc_b, so the funnel's epoch-delta
+          // min/max pruning keeps working across appends
+          tt("nearpairs") {
+            Warehouse.copyData(s"$prior/nearpairs", tmp.resolve("nearpairs"))
+            newNear.write.mode("append").parquet(s"$tmp/nearpairs")
           }
         } else {
           val survVerify = s.read.parquet(s"$prior/verify")
             .join(pairs.select("doc_a", "doc_b").hint("shuffle_hash"),
               Seq("doc_a", "doc_b"), "left_semi")
           tt("verify")(Warehouse.writeParquet(survVerify.unionByName(newVerify), s"$tmp/verify"))
+          val survNear = s.read.parquet(s"$prior/nearpairs")
+            .join(pairs.select("doc_a", "doc_b").hint("shuffle_hash"),
+              Seq("doc_a", "doc_b"), "left_semi")
+          tt("nearpairs")(Warehouse.writeParquet(survNear.unionByName(newNear), s"$tmp/nearpairs"))
         }
         // Cluster labels maintain INCREMENTALLY: the change set is the
         // freshly mined edges plus the prior edges the bucket-cap
@@ -870,7 +897,9 @@ object TextOps {
         .filter(col("doc_id") === col("m")).select("doc_id")
       val k1 = stage("01_exact_dedup").unionByName(k1new)
       val tdPath = textDupIndex(s, d)
-      val pairs = s.read.parquet(s"$tdPath/pairs")
+      // stage 2 only ever needs the genuinely-near subset (byte-identical
+      // pairs can't drop an exact-dedup survivor — see [[nearPairs]])
+      val pairs = s.read.parquet(s"$tdPath/nearpairs")
       val tdEpoch = readEpoch(s, tdPath, "epoch")
       val k2 =
         if (tdEpoch.isDefined &&
@@ -1104,6 +1133,33 @@ object TextOps {
     jaccardOfShingles(near, candShingles(doc, near))
       .unionByName(exactOfTagged(tagged))
   }
+
+  /** One tagging pass → (verify rows, genuinely-near pair subset with
+    * est_jaccard) — the append-path form of the build's split: the
+    * near subset lands in `nearpairs/` so the funnel's stage-2 join
+    * stays pruned across appends. `cand` must carry est_jaccard. */
+  private def verifyAndNear(doc: DataFrame,
+      cand: DataFrame): (DataFrame, DataFrame) = {
+    val tagged = fingerprintTagged(doc, cand)
+    val near = nearOfTagged(tagged)
+    (jaccardOfShingles(near, candShingles(doc, near))
+        .unionByName(exactOfTagged(tagged)),
+      tagged.filter(!(col("h_a") <=> col("h_b")))
+        .select("doc_a", "doc_b", "est_jaccard"))
+  }
+
+  /** The `nearpairs/` table of the current textdup artifact: every
+    * under-cap banded pair whose sides are NOT byte-identical. The
+    * funnel's stage-2 drop rule ("doc_b loses to a ≥[[FunnelJaccard]]
+    * pair whose doc_a survived exact dedup") reads THIS subset: for a
+    * byte-identical pair, doc_b shares doc_a's md5 group and
+    * doc_a < doc_b, so doc_b is never its group's min — it already
+    * lost stage 1 and the anti-join against it is a no-op. Excluding
+    * those pairs is therefore output-invariant (spec-asserted against
+    * the full-pair form) while shrinking the stage-2 input by the
+    * exact-replica pair mass that dominates any real corpus. */
+  private[graft] def nearPairs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${textDupIndex(s, d)}/nearpairs")
 
   /** Test hook: the pre-fast-path verify form — EVERY candidate pair
     * pays the shingle intersection. The equivalence reference the fast
@@ -1960,7 +2016,12 @@ object TextOps {
     val k1 = pin(doc.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
       .withColumn("m", min("doc_id").over(Window.partitionBy("h")))
       .filter(col("doc_id") === col("m")).select("doc_id"))
-    val drop2 = dedupMinhash(s, d).filter(col("est_jaccard") >= FunnelJaccard)
+    // nearpairs, not the full pair table: a byte-identical pair's
+    // doc_b already lost exact dedup (shared md5 group, higher id), so
+    // only genuinely-near pairs can drop — output-invariant
+    // (spec-asserted) and the join input shrinks by the exact-replica
+    // pair mass that dominates the 100× probe's 28.7M pairs
+    val drop2 = nearPairs(s, d).filter(col("est_jaccard") >= FunnelJaccard)
       .join(k1.select(col("doc_id").as("doc_a")), "doc_a")
       .select(col("doc_b").as("doc_id")).distinct()
     val k2 = pin(k1.join(drop2, Seq("doc_id"), "left_anti"))

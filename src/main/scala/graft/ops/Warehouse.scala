@@ -57,8 +57,12 @@ object Warehouse {
     * v8: kmeans/ivf quantizers train on the bounded modular sample
     * (SimOps.trainStride), so a v7 model — trained on the full corpus
     * past the sample target — would serve different (still valid, but
-    * not reproducible by this code or its oracle) centroids. */
-  val LayoutVersion = 8
+    * not reproducible by this code or its oracle) centroids.
+    * v9: textdup gained `nearpairs/` (the genuinely-near pair subset
+    * the funnel's stage-2 drop joins against — byte-identical pairs
+    * can never drop a stage-1 survivor, see TextOps.nearPairPath); a
+    * v8 prior lacks the table, so appends full-rebuild once. */
+  val LayoutVersion = 9
 
   /** Root directory: `graft.warehouse` system property (spec isolation),
     * else `GRAFT_WAREHOUSE` env, else `spark-warehouse/graft` under the

@@ -96,7 +96,14 @@ class IncrementalSpec extends SparkSpecBase {
       TextOps.dedupComponents(spark, ds).collect(),
       TextOps.componentAudit(spark, ds).collect(),
       TextOps.funnelIndex(spark, ds).orderBy("stage", "doc_id").collect())
+    def nearSnap() = TextOps.nearPairs(spark, ds)
+      .orderBy("doc_a", "doc_b").collect()
     val (p1, v1, c1, a1, f1) = snap()
+    val n1 = nearSnap()
+    // the batch's exact copies band as est-1.0 pairs but are
+    // byte-identical — nearpairs must exclude them
+    assert(n1.length < p1.length,
+      "exact-copy pairs leaked into nearpairs (or none were banded)")
     // the cross-batch copy pairs surfaced with exact-dup estimates
     for (id <- Seq(3L, 17L, 42L))
       assert(p1.exists(r => r.getLong(0) == id && r.getLong(1) == id + 1000L
@@ -116,6 +123,8 @@ class IncrementalSpec extends SparkSpecBase {
     assert(c1.sameElements(c2), s"components drifted: ${c1.length} vs ${c2.length}")
     assert(a1.sameElements(a2), "component audit drifted")
     assert(f1.sameElements(f2), s"funnel stages drifted: ${f1.length} vs ${f2.length}")
+    assert(n1.sameElements(nearSnap()),
+      s"nearpairs drifted from rebuild: ${n1.length} rows")
     Warehouse.invalidateDataset(ds)
   }
 

@@ -190,6 +190,45 @@ class TextAggSpec extends SparkSpecBase {
     assert(m((1L, 3L)) > 0 && m((1L, 3L)) < 1, s"near pair got ${m((1L, 3L))}")
   }
 
+  test("nearpairs artifact is exactly the pairs whose texts differ") {
+    val idx = TextOps.textDupIndex(spark, sf)
+    val pairs = spark.read.parquet(s"$idx/pairs")
+      .as[(Long, Long, Double)].collect().toSet
+    val near = spark.read.parquet(s"$idx/nearpairs")
+      .as[(Long, Long, Double)].collect().toSet
+    // independent ground truth: driver-side md5 comparison per pair
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hash = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> (if (t == null) null
+               else md.digest(t.getBytes("UTF-8")).toSeq) }.toMap
+    val expected = pairs.filter(p => hash(p._1) != hash(p._2))
+    assert(near == expected,
+      s"nearpairs drifted: extra=${near -- expected} missing=${expected -- near}")
+    // (sf0.001 bands no byte-identical pair, so near == pairs here; the
+    // subset SHRINKING under exact dups is exercised by IncrementalSpec's
+    // synthetic corpora and measured at the sf10 probe)
+  }
+
+  test("funnel stage-2 from nearpairs equals the full-pair drop rule") {
+    // the output-invariance claim behind serving stage 2 from the
+    // nearpairs subset: a byte-identical pair's doc_b already lost
+    // exact dedup, so recomputing the drop set from the FULL pair
+    // table must yield the same stage-2 membership
+    val idx = TextOps.textDupIndex(spark, sf)
+    val stages = TextOps.funnelIndex(spark, sf)
+    def members(st: String): Set[Long] = stages
+      .filter(col("stage") === st).select("doc_id").as[Long].collect().toSet
+    val k1 = members("01_exact_dedup")
+    val dropFull = spark.read.parquet(s"$idx/pairs")
+      .filter(col("est_jaccard") >= TextOps.FunnelJaccard)
+      .as[(Long, Long, Double)].collect()
+      .collect { case (a, b, _) if k1.contains(a) => b }.toSet
+    assert(members("02_near_dedup") == k1 -- dropFull,
+      "nearpairs-served stage 2 drifted from the full-pair drop rule")
+  }
+
   test("add-only component merge with no added edges returns the prior labels unchanged") {
     val priorComp = TextOps.connectedComponents(
       Seq((1L, 2L)).toDF("src", "dst"))

@@ -711,6 +711,9 @@ object SimOps {
         .select("cell", "vec_id", "embedding")
         .write.mode("append").partitionBy("cell")
         .parquet(tmp.resolve("cells").toString)
+      // each append lands one file per touched cell; past the per-cell
+      // file budget the cell dir rewrites in place (rows unchanged)
+      Warehouse.compactTreeIfNeeded(s, tmp.resolve("cells"))
       writeIvfMeta(s, tmp.toString, n, trainedN)
     }
     ()

@@ -309,6 +309,8 @@ object TextOps {
           Warehouse.getOrBuild("sig", d, "documents.parquet") { tmp =>
             Warehouse.copyData(prior, tmp)
             signatures(appended).write.mode("append").parquet(tmp.toString)
+            Warehouse.compactIfNeeded(s, tmp, Seq("doc_id"))
+            ()
           }
           ()
         } catch { case scala.util.control.NonFatal(_) => buildSigIndex(s, d) }
@@ -816,6 +818,17 @@ object TextOps {
       // artifact: carry the prior files, hash only the batch
       tt("simhash")(Warehouse.copyData(s"$prior/simhash", tmp.resolve("simhash")))
       tt("simhash-batch")(simhashDoc(appended).write.mode("append").parquet(s"$tmp/simhash"))
+      // file-count hygiene: the carry+append tables gain O(1) files per
+      // micro-batch; past the budget they rewrite sorted on their
+      // pruning key (doc_b carries the high-water min/max stats the
+      // funnel's epoch delta prunes on)
+      tt("compact") {
+        Warehouse.compactIfNeeded(s, tmp.resolve("pairs"), Seq("doc_b"))
+        Warehouse.compactIfNeeded(s, tmp.resolve("pairbk"), Seq("doc_b"))
+        Warehouse.compactIfNeeded(s, tmp.resolve("verify"), Seq("doc_b"))
+        Warehouse.compactIfNeeded(s, tmp.resolve("nearpairs"), Seq("doc_b"))
+        Warehouse.compactIfNeeded(s, tmp.resolve("simhash"), Seq("doc_id"))
+      }
     }
     ()
   }
@@ -877,6 +890,7 @@ object TextOps {
       // Spark per append
       Warehouse.copyData(s"$prior/hashes", tmp.resolve("hashes"))
       batchHashes.write.mode("append").parquet(s"$tmp/hashes")
+      Warehouse.compactIfNeeded(s, tmp.resolve("hashes"), Seq("doc_id"))
       def stage(n: String): DataFrame =
         priorStages.filter(col("stage") === n).select("doc_id")
       val s0 = stage("00_total").unionByName(appended.select("doc_id"))
@@ -2497,6 +2511,13 @@ object TextOps {
           .repartitionByRange(appendSortFiles(appended), col("w"))
           .sortWithinPartitions("w")
           .write.mode("append").parquet(s"$tmp/post")
+        // past the file budget the carried tables rewrite in place:
+        // post/ re-sorts GLOBALLY on w, restoring the tight per-file
+        // token ranges the crossing probe's row-group pruning wants
+        // (per-batch files each span their own batch's vocabulary)
+        Warehouse.compactIfNeeded(s, tmp.resolve("post"), Seq("w"))
+        Warehouse.compactIfNeeded(s, tmp.resolve("scores"), Seq("doc_id"))
+        Warehouse.compactIfNeeded(s, tmp.resolve("corr"), Seq("doc_id"))
       } finally Checkpoints.release(pin)
     }
     ()

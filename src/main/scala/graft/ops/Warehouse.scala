@@ -1,7 +1,8 @@
 package graft.ops
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Stable on-disk warehouse for per-corpus build artifacts — the
   * signature table, funnel membership, k-means model, IVF inverted
@@ -321,6 +322,98 @@ object Warehouse {
       ()
     }
     rm(p.toFile)
+  }
+
+  /** Per-table part-file budget for append-maintained artifact tables
+    * (override: `graft.compact.maxFiles`). The incremental updaters
+    * deliberately add O(1) files per micro-batch (hard-link carry +
+    * batch append — the O(batch) append contract), so after thousands
+    * of batches a table's file count, not its byte count, becomes the
+    * scan-planning cost, and the file-level min/max pruning the freq
+    * crossing probe and the funnel epoch delta rely on decays (every
+    * tiny batch file is a candidate). Crossing the budget triggers an
+    * in-place rewrite at append time; between compactions the count
+    * stays under budget + the O(1) files one batch adds. */
+  def maxFilesPerTable: Int =
+    sys.props.get("graft.compact.maxFiles").flatMap(_.toIntOption).getOrElse(48)
+
+  /** Compacted-file size target — at 100 TB the rewrite should land
+    * HDFS-block-sized files, not one giant row group. */
+  private val TargetFileBytes = 128L << 20
+
+  /** Count of data part files directly under `dir` (manifest/_SUCCESS
+    * excluded) — the quantity the compaction budget bounds. */
+  def partFileCount(dir: Path): Int = {
+    if (!Files.isDirectory(dir)) return 0
+    val s = Files.list(dir)
+    try { import scala.jdk.CollectionConverters._
+      s.iterator().asScala.count(f =>
+        Files.isRegularFile(f) && f.getFileName.toString.startsWith("part-")) }
+    finally s.close()
+  }
+
+  /** In-place compaction of one append-maintained parquet table when
+    * its part-file count crosses [[maxFilesPerTable]]: rewrite into
+    * ceil(bytes / 128 MB) files (floor 1), range-partitioned and
+    * sorted on `sortCols` so every file carries tight min/max stats on
+    * the table's pruning key — the freq `post/` probe (token isin) and
+    * the funnel's doc_b high-water delta PRUNE BETTER after compaction
+    * than against the carried batch files. Rows are untouched, so
+    * append == rebuild equality is unaffected (soak-spec-asserted).
+    *
+    * Runs inside a build-in-progress `.tmp-` dir, so crash safety is
+    * the artifact protocol's: a failure litters tmp, never a completed
+    * key. The rewrite breaks hard-link sharing with the prior version
+    * on purpose — that is the amortized O(data/budget) per-append cost
+    * that buys back bounded file counts. Returns true when a rewrite
+    * happened. */
+  def compactIfNeeded(s: SparkSession, dir: Path,
+      sortCols: Seq[String] = Nil): Boolean = {
+    val nParts = partFileCount(dir)
+    if (nParts <= maxFilesPerTable) return false
+    val bytes = {
+      val l = Files.list(dir)
+      try { import scala.jdk.CollectionConverters._
+        l.iterator().asScala
+          .filter(f => Files.isRegularFile(f) &&
+            f.getFileName.toString.startsWith("part-"))
+          .map(Files.size).sum }
+      finally l.close()
+    }
+    val target = math.max(1L,
+      math.min(maxFilesPerTable.toLong, bytes / TargetFileBytes + 1)).toInt
+    val df = s.read.parquet(dir.toString)
+    val out =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(target, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+      else df.repartition(target)
+    // the staging name keeps ".tmp-"-style invisibility: prune/latest
+    // skip anything containing ".compact-", and invalidate's
+    // table@dataset match sweeps a crash's litter
+    val staging = dir.resolveSibling(
+      dir.getFileName.toString + s".compact-${System.nanoTime()}")
+    try writeParquet(out, staging.toString)
+    catch { case e: Throwable => rmTree(staging); throw e }
+    rmTree(dir)
+    Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
+    true
+  }
+
+  /** [[compactIfNeeded]] over a PARTITIONED parquet tree (the IVF
+    * `cells/cell=N` inverted file): each leaf partition dir compacts
+    * independently against the same budget (appends land one file per
+    * touched cell per batch, so the per-cell count is the one that
+    * grows). No sort key — a cell's rows are served whole. Returns the
+    * number of leaf dirs rewritten. */
+  def compactTreeIfNeeded(s: SparkSession, root: Path): Int = {
+    if (!Files.isDirectory(root)) return 0
+    val l = Files.list(root)
+    val leaves =
+      try { import scala.jdk.CollectionConverters._
+        l.iterator().asScala.filter(Files.isDirectory(_)).toList }
+      finally l.close()
+    leaves.count(compactIfNeeded(s, _))
   }
 
   /** Parquet write that stays READABLE when the relation is empty: a

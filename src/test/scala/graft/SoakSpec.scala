@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.ops.{SimOps, TextOps, Warehouse}
+
+/** Round-13 long-soak: ~50 sequential micro-batch appends through the
+  * streaming maintenance path. The carry+append contract adds O(1)
+  * files per table per batch, so WITHOUT compaction the soak would
+  * leave each artifact table with ~50+ part files — scan planning and
+  * the row-group pruning the freq crossing probe / funnel epoch delta
+  * depend on degrade with exactly that growth. With the budget set low
+  * the soak must (a) stay row-identical to a from-scratch rebuild at
+  * the final corpus version, and (b) plateau every append-maintained
+  * table's file count under the budget. */
+class SoakSpec extends SparkSpecBase {
+
+  private def partsOf(dir: String, sub: String = ""): Int =
+    Warehouse.partFileCount(java.nio.file.Paths.get(
+      if (sub.isEmpty) dir else s"$dir/$sub"))
+
+  test("50-batch text-chain soak: append==rebuild, compaction bounds every table's file count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val budget = 8
+    val prevBudget = sys.props.get("graft.compact.maxFiles")
+    sys.props("graft.compact.maxFiles") = budget.toString
+    val ds = java.nio.file.Files.createTempDirectory("graft-soak-text").toString
+    try {
+      val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      base.write.parquet(s"$ds/documents.parquet")
+      TextOps.clearSigCache()
+      TextOps.clearTextDupCache()
+      TextOps.clearFunnelCache()
+      TextOps.clearFreqCache()
+      TextOps.buildFunnel(spark, ds) // builds sig + textdup transitively
+      TextOps.buildFreq(spark, ds)
+      // stream rows reference a source doc: copy=true ships its exact
+      // text (cross-batch exact-dup + banding pair), else a perturbed
+      // unique text — every batch grows pairs/, verify/, hashes/,
+      // post/ and scores/ by at least one file
+      val input = MemoryStream[(Long, Long, Boolean)]
+      val q = input.toDF().toDF("doc_id", "src_id", "copy")
+        .writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val docs = batch.join(
+              base.select(col("doc_id").as("src_id"), col("text"),
+                col("lang"), col("source"), col("n_chars")), "src_id")
+            .select(col("doc_id"),
+              when(col("copy"), col("text"))
+                .otherwise(concat(col("text"), lit(" zq"), col("doc_id"))).as("text"),
+              col("lang"), col("source"), col("n_chars"))
+          if (!docs.isEmpty) {
+            docs.write.mode("append").parquet(s"$ds/documents.parquet")
+            TextOps.appendToSigIndex(spark, ds, docs)
+            TextOps.appendToTextDup(spark, ds, docs)
+            TextOps.appendToFunnel(spark, ds, docs)
+            TextOps.appendToFreq(spark, ds, docs)
+          }
+          ()
+        }
+        .start()
+      try {
+        for (i <- 0 until 50) {
+          input.addData(
+            (10000L + 2 * i, (i * 7L) % 500L, true),
+            (10001L + 2 * i, (i * 11L) % 500L, false))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      // --- file-count plateau: every append-maintained table sits at
+      // or under the budget after 50 batches (compaction rewrites past
+      // the threshold; without it sig alone would carry 50+ files)
+      val sig = Warehouse.latest("sig", ds).get
+      val td = Warehouse.latest("textdup", ds).get
+      val fn = Warehouse.latest("funnel", ds).get
+      val fq = Warehouse.latest("freq", ds).get
+      val counts = Seq(
+        "sig" -> partsOf(sig),
+        "textdup/pairs" -> partsOf(td, "pairs"),
+        "textdup/pairbk" -> partsOf(td, "pairbk"),
+        "textdup/verify" -> partsOf(td, "verify"),
+        "textdup/nearpairs" -> partsOf(td, "nearpairs"),
+        "textdup/simhash" -> partsOf(td, "simhash"),
+        "funnel/hashes" -> partsOf(fn, "hashes"),
+        "freq/post" -> partsOf(fq, "post"),
+        "freq/scores" -> partsOf(fq, "scores"))
+      for ((name, n) <- counts)
+        assert(n <= budget, s"$name carries $n part files after the soak (budget $budget)")
+      // at least one table must have actually compacted (soak is long
+      // enough that the budget was crossed, not merely approached)
+      assert(counts.exists(_._2 < 5),
+        s"no table shows a compacted (low) file count: $counts")
+      // --- the soaked chain equals a from-scratch build at the final
+      // corpus version (compaction rewrote files, never rows)
+      def snap() = (
+        TextOps.dedupMinhash(spark, ds).collect(),
+        TextOps.ngramJaccard(spark, ds).collect(),
+        TextOps.dedupComponents(spark, ds).collect(),
+        TextOps.funnelIndex(spark, ds).orderBy("stage", "doc_id").collect(),
+        TextOps.freqBucket(spark, ds).collect(),
+        TextOps.nearPairs(spark, ds).orderBy("doc_a", "doc_b").collect())
+      val (p1, j1, c1, f1, b1, n1) = snap()
+      TextOps.clearSigCache()
+      TextOps.clearTextDupCache()
+      TextOps.clearFunnelCache()
+      TextOps.clearFreqCache()
+      Warehouse.invalidate("sig", ds)
+      Warehouse.invalidate("textdup", ds)
+      Warehouse.invalidate("funnel", ds)
+      Warehouse.invalidate("freq", ds)
+      val (p2, j2, c2, f2, b2, n2) = snap()
+      assert(p1.sameElements(p2), "soaked pairs drifted from rebuild")
+      assert(j1.sameElements(j2), "soaked verify drifted from rebuild")
+      assert(c1.sameElements(c2), "soaked components drifted from rebuild")
+      assert(f1.sameElements(f2), "soaked funnel drifted from rebuild")
+      assert(b1.sameElements(b2), "soaked freq buckets drifted from rebuild")
+      assert(n1.sameElements(n2), "soaked nearpairs drifted from rebuild")
+    } finally {
+      prevBudget match {
+        case Some(v) => sys.props("graft.compact.maxFiles") = v
+        case None => sys.props.remove("graft.compact.maxFiles")
+      }
+      Warehouse.invalidateDataset(ds)
+    }
+  }
+
+  test("30-batch ivf soak: per-cell file counts stay under budget, index == frozen-model rebuild") {
+    val budget = 8
+    val prevBudget = sys.props.get("graft.compact.maxFiles")
+    sys.props("graft.compact.maxFiles") = budget.toString
+    val ds = java.nio.file.Files.createTempDirectory("graft-soak-ivf").toString
+    try {
+      val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      base.write.parquet(s"$ds/embeddings.parquet")
+      SimOps.clearIvfCaches()
+      SimOps.buildIvf(spark, ds)
+      // 30 tiny batches (60 vectors on 500 — inside the MaxIvfGrowth
+      // contract, so the model stays frozen and every batch takes the
+      // assignment-only append); each lands one file per touched cell
+      for (i <- 0 until 30) {
+        val batch = base.filter(col("vec_id").isin((i * 13L) % 500L, (i * 17L + 1) % 500L))
+          .select((col("vec_id") + 10000L + 2 * i).as("vec_id"),
+            reverse(col("embedding")).as("embedding"), col("label"))
+        spark.read.parquet(s"$ds/embeddings.parquet").unionByName(batch)
+          .write.mode("overwrite").parquet(s"$ds/embeddings2.parquet")
+        spark.read.parquet(s"$ds/embeddings2.parquet")
+          .write.mode("overwrite").parquet(s"$ds/embeddings.parquet")
+        SimOps.clearIvfCaches()
+        SimOps.appendToIvf(spark, ds, batch)
+      }
+      val ivf = Warehouse.latest("ivf", ds).get
+      val cells = java.nio.file.Paths.get(ivf, "cells")
+      val leafCounts = {
+        val l = java.nio.file.Files.list(cells)
+        try { import scala.jdk.CollectionConverters._
+          l.iterator().asScala.filter(java.nio.file.Files.isDirectory(_))
+            .map(p => p.getFileName.toString -> Warehouse.partFileCount(p)).toList }
+        finally l.close()
+      }
+      assert(leafCounts.nonEmpty, "no cell dirs in the soaked inverted file")
+      for ((cell, n) <- leafCounts)
+        assert(n <= budget, s"cell $cell carries $n part files after the soak (budget $budget)")
+      assert(leafCounts.exists(_._2 < 5),
+        s"no cell shows a compacted (low) file count: $leafCounts")
+      def snaps() = (
+        SimOps.ivfIndexQ(spark, ds).collect(),
+        SimOps.simIvf(spark, ds).collect())
+      val (i1, v1) = snaps()
+      SimOps.clearIvfCaches()
+      Warehouse.invalidate("ivf", ds)
+      val (i2, v2) = snaps()
+      assert(i1.sameElements(i2), "soaked inverted file drifted from full assignment")
+      assert(v1.sameElements(v2), "v05 over the soaked index drifted")
+    } finally {
+      prevBudget match {
+        case Some(v) => sys.props("graft.compact.maxFiles") = v
+        case None => sys.props.remove("graft.compact.maxFiles")
+      }
+      Warehouse.invalidateDataset(ds)
+    }
+  }
+}

@@ -35,6 +35,30 @@ object ScaleProbe {
         steps.map { case (k, v) =>
           s"${Json.str(k)}:${math.rint(v * 1000) / 1000}" })
         .mkString("{", ",", "}")
+    // `build:<step>` re-times ONE cold build in isolation (iterating on
+    // a single build's plan at 100x should not cost the whole probe)
+    val builders: Map[String, () => Unit] = Map(
+      "sig" -> (() => ops.TextOps.buildSigIndex(spark, dir)),
+      "textdup" -> (() => ops.TextOps.buildTextDup(spark, dir)),
+      "freq" -> (() => ops.TextOps.buildFreq(spark, dir)),
+      "neardup" -> (() => ops.SimOps.buildNearDup(spark, dir)),
+      "funnel" -> (() => ops.TextOps.buildFunnel(spark, dir)),
+      "ivf" -> (() => ops.SimOps.buildIvf(spark, dir)))
+    if (mode.startsWith("build:")) {
+      val step = mode.stripPrefix("build:")
+      val b = builders.getOrElse(step,
+        sys.error(s"unknown build step '$step' (${builders.keys.mkString(",")})"))
+      // invalidate only this build's artifact (plus kmeans, which ivf
+      // and neardup would otherwise reuse) — the rest of the dataset's
+      // warehouse stays, so a 100x textdup artifact survives an ivf
+      // re-time
+      ops.Warehouse.invalidate(step, dir)
+      if (step == "ivf" || step == "neardup") ops.Warehouse.invalidate("kmeans", dir)
+      println(contractLine(Seq("dir" -> dir, "mode" -> mode),
+        Seq(s"${step}_build" -> timed(b()))))
+      spark.stop()
+      return
+    }
     // an unrecognized suffix must fail fast, not silently probe nothing
     // (an `appends-only:vce` typo would otherwise run the corpus copy,
     // emit a zero-step contract line and exit 0)

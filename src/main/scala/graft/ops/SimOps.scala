@@ -1373,8 +1373,9 @@ object SimOps {
         // meta — a parquet-footer metadata read, no data scan — and a
         // mismatch (missed/overlapping batch, restored backup) routes
         // to the full rebuild before the geometry can silently drift.
-        val n = priorN + appended.count()
-        if (nearDupReconciled.add(d) && Tables.embeddings(s, d).count() != n) {
+        val n = priorN + Prof.tt("neardup+")("batch-count")(appended.count())
+        if (nearDupReconciled.add(d) &&
+            Prof.tt("neardup+")("reconcile")(Tables.embeddings(s, d).count()) != n) {
           buildNearDup(s, d)
         } else {
           val bits = bandBits(n)
@@ -1397,6 +1398,7 @@ object SimOps {
   private def appendToNearDupIncremental(s: SparkSession, d: String,
       appended: DataFrame, emb: DataFrame, n: Long, bits: Int,
       prior: String): Unit = {
+    def tt[A](name: String)(f: => A): A = Prof.tt("neardup+")(name)(f)
     Warehouse.getOrBuild("neardup", d, "embeddings.parquet") { tmp =>
       // Batch-side bucketing is a pure per-vector function — O(batch),
       // no corpus scan. The census then MERGES the batch's bucket
@@ -1420,12 +1422,13 @@ object SimOps {
         .select("band", "key")
       val freshBuckets = bc.join(matched, Seq("band", "key"), "left_anti")
         .select(col("band"), col("key"), col("b_n").as("n_members"))
-      Warehouse.writeParquet(grown.unionByName(freshBuckets), s"$tmp/sizes")
+      tt("sizes")(Warehouse.writeParquet(
+        grown.unionByName(freshBuckets), s"$tmp/sizes"))
       val sizes = s.read.parquet(s"$tmp/sizes")
-      Warehouse.writeParquet(
+      tt("audit")(Warehouse.writeParquet(
         sizes.filter(col("n_members") > MaxNearDupBucket)
           .select("band", "key", "n_members"),
-        s"$tmp/audit")
+        s"$tmp/audit"))
       val audit = s.read.parquet(s"$tmp/audit").select("band", "key")
       // Mining: a new pair always involves an appended vector, and
       // every bucket containing one is batch-hit — the corpus side
@@ -1438,8 +1441,8 @@ object SimOps {
           Seq("band", "key"))
         .filter(col("n_members") <= MaxNearDupBucket)
         .select("band", "key")
-      val (members, mPin) = Checkpoints.pin(
-        nearDupBuckets(emb, bits).join(broadcast(hitKeys), Seq("band", "key")))
+      val (members, mPin) = tt("pin-members")(Checkpoints.pin(
+        nearDupBuckets(emb, bits).join(broadcast(hitKeys), Seq("band", "key"))))
       try {
         // candidates involving >= 1 appended member, canonical
         // lower-id-first; both-new pairs arrive twice and collapse in
@@ -1472,16 +1475,17 @@ object SimOps {
         val surviving = priorPairs.join(
           aliveBk.select("keep_id", "dup_id").dropDuplicates("keep_id", "dup_id"),
           Seq("keep_id", "dup_id"), "left_semi")
-        Warehouse.writeParquet(surviving.unionByName(newPairs), s"$tmp/pairs")
+        tt("pairs")(Warehouse.writeParquet(
+          surviving.unionByName(newPairs), s"$tmp/pairs"))
         val pairs = s.read.parquet(s"$tmp/pairs")
-        Warehouse.writeParquet(
+        tt("pairbk")(Warehouse.writeParquet(
           priorPairbk.join(pairs.select("keep_id", "dup_id"),
               Seq("keep_id", "dup_id"), "left_semi")
             .unionByName(exp.select("band", "key", "keep_id", "dup_id")
               .join(pairs.select("keep_id", "dup_id"),
                 Seq("keep_id", "dup_id"), "left_semi")
               .dropDuplicates("band", "key", "keep_id", "dup_id")),
-          s"$tmp/pairbk")
+          s"$tmp/pairbk"))
       } finally Checkpoints.release(mPin)
     }
     ()

@@ -367,12 +367,22 @@ object TextOps {
     buckets
       .filter(size(col("ms")) > 1 && size(col("ms")) <= MaxBucketMembers)
       .select(col("band"), col("key"), explode(expr(
-        """flatten(transform(ms, (a, i) ->
-          |  transform(slice(ms, i + 2, size(ms)), b ->
-          |    struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
-          |           a.sg AS sga, b.sg AS sgb))))""".stripMargin)).as("p"))
+        // est_jaccard computes IN-ROW here instead of carrying both
+        // 8-long signature arrays on every expanded pair: the pinned
+        // expansion (result-sized — 28.7M rows at the 100× probe) drops
+        // from 20 columns to 5, which is most of the pin's checkpoint
+        // volume. Same value as [[estJaccard]]: matches/8 is an exact
+        // binary fraction, `if(x = y,...)` counts null sig slots as
+        // non-matches like the element_at spelling, and coalesce maps
+        // an all-null signature to the 0.0 the old code produced.
+        s"""flatten(transform(ms, (a, i) ->
+           |  transform(slice(ms, i + 2, size(ms)), b ->
+           |    struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |      round(coalesce(aggregate(zip_with(a.sg, b.sg,
+           |          (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v),
+           |        0) / ${Seeds.size}.0D, 6) AS est_jaccard))))""".stripMargin)).as("p"))
       .select(col("band"), col("key"),
-        col("p.doc_a"), col("p.doc_b"), col("p.sga"), col("p.sgb"))
+        col("p.doc_a"), col("p.doc_b"), col("p.est_jaccard"))
 
   /** Signature-estimated Jaccard per matching-sig count — shared by
     * the build expansion and the incremental candidate join. */
@@ -384,11 +394,11 @@ object TextOps {
   }
 
   /** Pair relation (doc_a, doc_b, est_jaccard) from the expansion —
-    * a pair sharing several buckets collapses once. */
+    * a pair sharing several buckets collapses once (the signatures are
+    * per-doc, so a pair's est_jaccard is identical in every bucket it
+    * shares and the distinct lands on one row per pair). */
   private def pairsOfExpansion(exp: DataFrame): DataFrame =
-    exp.select(col("doc_a"), col("doc_b"), col("sga"), col("sgb"))
-      .distinct()
-      .select(col("doc_a"), col("doc_b"), estJaccard.as("est_jaccard"))
+    exp.select(col("doc_a"), col("doc_b"), col("est_jaccard")).distinct()
 
   private def pairsOfBuckets(buckets: DataFrame): DataFrame =
     pairsOfExpansion(pairExpansion(buckets))
@@ -1943,22 +1953,46 @@ object TextOps {
     * Complements t10's length/punctuation/stopword score with the
     * repetition dimension real filter stacks (Gopher, C4) apply.
     *
-    * Scale posture: two explode → keyed-aggregate passes (doc_id and
-    * (doc_id, gram) keys, map-side combined) — the t03/t07 shape; no
-    * self-join, no window over more than one document's grams. */
+    * Scale posture: fully in-row — per-document array ops in one
+    * projection (see [[repetitionStats]]); no explode, no exchange, no
+    * window over more than one document's grams. */
   val repetitionScore: Q = (s, d) =>
     repetitionStats(Par.widen(Tables.documents(s, d)))
 
   private[graft] def repetitionStats(doc: DataFrame): DataFrame = {
-    val tri = ngrams(doc, 3).groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tri"), countDistinct("s").as("n_tri_d"))
-    val big = ngrams(doc, 2).groupBy("doc_id", "s")
-      .agg(count(lit(1)).as("n"))
-      .groupBy("doc_id")
-      .agg(sum("n").as("n_big"), max("n").as("top_big"))
+    // IN-ROW per-doc n-gram stats — zero explode, zero shuffle. The old
+    // form ran two explode → keyed-aggregate passes (~2× the corpus
+    // token count through an exchange, the countDistinct two-phase on
+    // (doc_id, trigram)); but no stat here needs cross-document
+    // context: duplicate-trigram count is size − size(array_distinct),
+    // and the top bigram multiplicity is the longest equal-run of the
+    // SORTED per-doc bigram array. Each document's arrays are
+    // doc-length-bounded (the corpus caps n_chars), so one row's work
+    // is O(tokens log tokens) and the whole relation is one projection.
+    // Same gram spelling as [[ngrams]]; docs under 3 tokens contribute
+    // nothing, matching the old tri ⋈ big inner join.
+    def gram(n: Int): String = {
+      val cat = (0 until n).map(j => s"try_element_at(ts, g + $j)")
+        .mkString(", ' ', ")
+      s"transform(sequence(1, size(ts) - ${n - 1}), g -> concat($cat))"
+    }
+    val topRun =
+      """aggregate(array_sort(bigs),
+        |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+        |  (acc, x) -> named_struct('prev', x,
+        |    'run', IF(x <=> acc.prev, acc.run + 1L, 1L),
+        |    'best', GREATEST(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L))),
+        |  acc -> acc.best)""".stripMargin
     val dupFrac = (col("n_tri") - col("n_tri_d")).cast("double") / col("n_tri")
     val topFrac = col("top_big").cast("double") / col("n_big")
-    tri.join(big, "doc_id")
+    doc.select(col("doc_id"), toks.as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), expr(gram(3)).as("tris"), expr(gram(2)).as("bigs"))
+      .select(col("doc_id"),
+        size(col("tris")).as("n_tri"),
+        size(expr("array_distinct(tris)")).as("n_tri_d"),
+        size(col("bigs")).as("n_big"),
+        expr(topRun).as("top_big"))
       .select(col("doc_id"), r6(dupFrac).as("dup_trigram_frac"),
         r6(topFrac).as("top_bigram_frac"),
         (dupFrac > DupTrigramMax || topFrac > TopBigramMax).as("repetitive"))
@@ -2026,8 +2060,12 @@ object TextOps {
   private[graft] def funnelStages(s: SparkSession, d: String,
       pin: DataFrame => DataFrame = identity): Seq[(String, DataFrame)] = {
     import org.apache.spark.sql.expressions.Window
+    // pins are EAGER (localCheckpoint), so timing each one attributes
+    // the build's `stages` step to the stage that actually computed
+    def tp(name: String)(df: DataFrame): DataFrame =
+      Prof.tt("funnel")(name)(pin(df))
     val doc = Par.widen(Tables.documents(s, d))
-    val k1 = pin(doc.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val k1 = tp("k1-exact")(doc.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
       .withColumn("m", min("doc_id").over(Window.partitionBy("h")))
       .filter(col("doc_id") === col("m")).select("doc_id"))
     // nearpairs, not the full pair table: a byte-identical pair's
@@ -2038,11 +2076,11 @@ object TextOps {
     val drop2 = nearPairs(s, d).filter(col("est_jaccard") >= FunnelJaccard)
       .join(k1.select(col("doc_id").as("doc_a")), "doc_a")
       .select(col("doc_b").as("doc_id")).distinct()
-    val k2 = pin(k1.join(drop2, Seq("doc_id"), "left_anti"))
-    val k3 = pin(k2.join(qualityFlags(doc).filter(col("keep")).select("doc_id"), "doc_id"))
-    val k4 = pin(k3.join(repetitionStats(doc).filter(col("repetitive")).select("doc_id"),
+    val k2 = tp("k2-near")(k1.join(drop2, Seq("doc_id"), "left_anti"))
+    val k3 = tp("k3-quality")(k2.join(qualityFlags(doc).filter(col("keep")).select("doc_id"), "doc_id"))
+    val k4 = tp("k4-repetition")(k3.join(repetitionStats(doc).filter(col("repetitive")).select("doc_id"),
       Seq("doc_id"), "left_anti"))
-    val k5 = pin(k4.join(decontaminate(s, d).select("doc_id"), Seq("doc_id"), "left_anti"))
+    val k5 = tp("k5-decontam")(k4.join(decontaminate(s, d).select("doc_id"), Seq("doc_id"), "left_anti"))
     FunnelStageNames.zip(Seq(doc.select("doc_id"), k1, k2, k3, k4, k5))
   }
 

@@ -1295,6 +1295,21 @@ object SimOps {
         Warehouse.writeParquet(
           bucketed.groupBy("band", "key").agg(count(lit(1)).as("n_members")),
           s"$tmp/sizes")
+        // the bucket MEMBERSHIP persists too (`members/`, vectors
+        // co-located with their band keys — the inverted-file layout),
+        // range-sorted on (band, key) so every part file carries tight
+        // key min/max: the append's member fetch becomes a row-group-
+        // pruned artifact scan over the batch-hit buckets instead of
+        // re-bucketing the grown corpus (the last O(corpus) append
+        // term — pin-members was 3.3 s of the 7.2 s append at the 100×
+        // probe and the only step that grew 1×→100×). Storage is
+        // NearDupBands× the embedding table — the standard
+        // posting-list-with-payload trade (freq's `post/` for tokens,
+        // IVF's `cells/` for centroids).
+        Warehouse.writeParquet(
+          bucketed.repartitionByRange(col("band"), col("key"))
+            .sortWithinPartitions("band", "key"),
+          s"$tmp/members")
         val sizes = s.read.parquet(s"$tmp/sizes")
         Warehouse.writeParquet(
           sizes.filter(col("n_members") > MaxNearDupBucket)
@@ -1331,12 +1346,13 @@ object SimOps {
     * re-joins the WHOLE corpus against itself inside every bucket; the
     * updater instead:
     *
-    *  1. re-derives the cheap per-vector bucket projection and bucket
-    *     sizes over the grown corpus (one scan + one keyed count — the
-    *     O(n) part that cannot be skipped, since every bucket's size
-    *     may have grown);
+    *  1. buckets the BATCH only (a per-vector function), merges its
+    *     key counts into the persisted size census, and fetches the
+    *     members of batch-hit under-cap buckets from the key-sorted
+    *     `members/` table by row-group-pruned scan — every step is
+    *     O(batch-hit buckets), no corpus scan anywhere;
     *  2. generates candidates only for pairs INVOLVING an appended
-    *     vector (batch-side × corpus-side bucket join instead of
+    *     vector (batch-side × fetched-members bucket join instead of
     *     corpus × corpus) and exact-verifies them;
     *  3. rechecks the PRIOR pair list against the new bucket sizes —
     *     appends only grow buckets, so an old pair dies exactly when
@@ -1383,8 +1399,7 @@ object SimOps {
             // the incremental path is an optimization: if a concurrent
             // newer-version build prunes `prior` mid-read (or anything
             // else fails), fall back to the idempotent full build
-            try appendToNearDupIncremental(s, d, appended,
-              Tables.embeddings(s, d), n, bits, prior)
+            try appendToNearDupIncremental(s, d, appended, n, bits, prior)
             catch { case scala.util.control.NonFatal(_) => buildNearDup(s, d) }
           } else buildNearDup(s, d)
         }
@@ -1396,7 +1411,7 @@ object SimOps {
   }
 
   private def appendToNearDupIncremental(s: SparkSession, d: String,
-      appended: DataFrame, emb: DataFrame, n: Long, bits: Int,
+      appended: DataFrame, n: Long, bits: Int,
       prior: String): Unit = {
     def tt[A](name: String)(f: => A): A = Prof.tt("neardup+")(name)(f)
     Warehouse.getOrBuild("neardup", d, "embeddings.parquet") { tmp =>
@@ -1441,9 +1456,34 @@ object SimOps {
           Seq("band", "key"))
         .filter(col("n_members") <= MaxNearDupBucket)
         .select("band", "key")
+      // Member fetch is O(batch-hit buckets), not O(corpus): the
+      // persisted `members/` table is key-sorted, so the literal isin
+      // over the batch's key set (≤ NearDupBands keys per appended
+      // vector — micro-batch-bounded) prunes at the parquet row-group
+      // level before the exact (band, key) semi-join; the batch's own
+      // members union in from the per-vector banding. A pre-members
+      // artifact vintage throws on the read and the caller's fallback
+      // runs the full (idempotent) rebuild once, minting the table.
+      val batchKeys = bc.select("key").distinct().collect().map(_.getString(0))
+      val priorMembers = s.read.parquet(s"$prior/members")
       val (members, mPin) = tt("pin-members")(Checkpoints.pin(
-        nearDupBuckets(emb, bits).join(broadcast(hitKeys), Seq("band", "key"))))
+        priorMembers.filter(col("key").isin(batchKeys.toSeq: _*))
+          .join(broadcast(hitKeys), Seq("band", "key"), "left_semi")
+          .unionByName(batchBuckets
+            .join(broadcast(hitKeys), Seq("band", "key"), "left_semi")
+            .select(priorMembers.columns.map(col).toSeq: _*))))
       try {
+        // members/ itself carries by hard link + one batch-sized file
+        // per append; the file-count budget compacts in place (same
+        // contract as textdup's pairs/verify tables)
+        tt("members") {
+          Warehouse.copyData(s"$prior/members", tmp.resolve("members"))
+          batchBuckets.select(priorMembers.columns.map(col).toSeq: _*)
+            .write.mode("append").parquet(s"$tmp/members")
+          Warehouse.compactIfNeeded(s, tmp.resolve("members"),
+            Seq("band", "key"))
+          ()
+        }
         // candidates involving >= 1 appended member, canonical
         // lower-id-first; both-new pairs arrive twice and collapse in
         // the keyed dropDuplicates

@@ -1953,46 +1953,31 @@ object TextOps {
     * Complements t10's length/punctuation/stopword score with the
     * repetition dimension real filter stacks (Gopher, C4) apply.
     *
-    * Scale posture: fully in-row — per-document array ops in one
-    * projection (see [[repetitionStats]]); no explode, no exchange, no
-    * window over more than one document's grams. */
+    * Scale posture: two explode → keyed-aggregate passes (doc_id and
+    * (doc_id, gram) keys, map-side combined) — the t03/t07 shape; no
+    * self-join, no window over more than one document's grams. A fully
+    * in-row spelling (array_distinct + an aggregate() run-length pass
+    * over the sorted per-doc bigram array — zero exchanges) was
+    * measured at the 100× probe and LOST 3.7×: higher-order-function
+    * lambdas evaluate interpreted per element, and 500k docs × ~200
+    * grams of interpreted named_struct updates cost far more than the
+    * codegen'd hash aggregation the explode plan runs after its
+    * token-count-sized exchange (330 s vs ~90 s for the k4 funnel
+    * stage). Shuffles are not free, but losing whole-stage codegen on
+    * the per-token path is worse. */
   val repetitionScore: Q = (s, d) =>
     repetitionStats(Par.widen(Tables.documents(s, d)))
 
   private[graft] def repetitionStats(doc: DataFrame): DataFrame = {
-    // IN-ROW per-doc n-gram stats — zero explode, zero shuffle. The old
-    // form ran two explode → keyed-aggregate passes (~2× the corpus
-    // token count through an exchange, the countDistinct two-phase on
-    // (doc_id, trigram)); but no stat here needs cross-document
-    // context: duplicate-trigram count is size − size(array_distinct),
-    // and the top bigram multiplicity is the longest equal-run of the
-    // SORTED per-doc bigram array. Each document's arrays are
-    // doc-length-bounded (the corpus caps n_chars), so one row's work
-    // is O(tokens log tokens) and the whole relation is one projection.
-    // Same gram spelling as [[ngrams]]; docs under 3 tokens contribute
-    // nothing, matching the old tri ⋈ big inner join.
-    def gram(n: Int): String = {
-      val cat = (0 until n).map(j => s"try_element_at(ts, g + $j)")
-        .mkString(", ' ', ")
-      s"transform(sequence(1, size(ts) - ${n - 1}), g -> concat($cat))"
-    }
-    val topRun =
-      """aggregate(array_sort(bigs),
-        |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
-        |  (acc, x) -> named_struct('prev', x,
-        |    'run', IF(x <=> acc.prev, acc.run + 1L, 1L),
-        |    'best', GREATEST(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L))),
-        |  acc -> acc.best)""".stripMargin
+    val tri = ngrams(doc, 3).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"), countDistinct("s").as("n_tri_d"))
+    val big = ngrams(doc, 2).groupBy("doc_id", "s")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_big"), max("n").as("top_big"))
     val dupFrac = (col("n_tri") - col("n_tri_d")).cast("double") / col("n_tri")
     val topFrac = col("top_big").cast("double") / col("n_big")
-    doc.select(col("doc_id"), toks.as("ts"))
-      .filter(size(col("ts")) >= 3)
-      .select(col("doc_id"), expr(gram(3)).as("tris"), expr(gram(2)).as("bigs"))
-      .select(col("doc_id"),
-        size(col("tris")).as("n_tri"),
-        size(expr("array_distinct(tris)")).as("n_tri_d"),
-        size(col("bigs")).as("n_big"),
-        expr(topRun).as("top_big"))
+    tri.join(big, "doc_id")
       .select(col("doc_id"), r6(dupFrac).as("dup_trigram_frac"),
         r6(topFrac).as("top_bigram_frac"),
         (dupFrac > DupTrigramMax || topFrac > TopBigramMax).as("repetitive"))

@@ -1179,6 +1179,13 @@ object SimOps {
   val NearDupBands = 4
   val MaxNearDupBucket = 4096
 
+  /** Driver budget for the append's distinct batch bucket-key pull
+    * (the isin literal the members/ row-group pruning runs on):
+    * ≥ 16k appended vectors in one batch (4 bands × 4k+ keys) is a
+    * bulk backfill, not a micro-batch — it routes to the full rebuild
+    * via [[appendToNearDup]]'s fallback. */
+  private[graft] val MaxBatchKeys = 65536
+
   /** (vec_id, label, embedding, band, key) — one row per vector per
     * band; `bits` comes from [[bandBits]]. */
   private def nearDupBuckets(emb: DataFrame, bits: Int): DataFrame = {
@@ -1275,6 +1282,7 @@ object SimOps {
   private[graft] def nearDupIndex(s: SparkSession, d: String): String =
     nearDupCache.get(embKey(d)) {
       Warehouse.getOrBuild("neardup", d, "embeddings.parquet") { tmp =>
+        def tt[A](name: String)(f: => A): A = Prof.tt("neardup")(name)(f)
         val emb = Par.widen(Tables.embeddings(s, d))
         // the one corpus count (bandBits geometry sizing) runs at build
         // time, not per query — and shares the per-version count memo
@@ -1286,15 +1294,16 @@ object SimOps {
         // work, and THREE consumers read it (the size census plus both
         // sides of the candidate self-join) — unpinned, each re-runs
         // the banding over the corpus
-        val (bucketed, bPin) = Checkpoints.pin(nearDupBuckets(emb, bits))
+        val (bucketed, bPin) = tt("pin-buckets")(
+          Checkpoints.pin(nearDupBuckets(emb, bits)))
         try {
         writeNearDupMeta(s, tmp.toString, n, bits)
         // the FULL size census persists (`sizes/`): the NEXT append
         // merges batch-key counts into it instead of re-bucketing the
         // grown corpus — what makes incremental maintenance O(batch)
-        Warehouse.writeParquet(
+        tt("sizes")(Warehouse.writeParquet(
           bucketed.groupBy("band", "key").agg(count(lit(1)).as("n_members")),
-          s"$tmp/sizes")
+          s"$tmp/sizes"))
         // the bucket MEMBERSHIP persists too (`members/`, vectors
         // co-located with their band keys — the inverted-file layout),
         // range-sorted on (band, key) so every part file carries tight
@@ -1306,26 +1315,28 @@ object SimOps {
         // NearDupBands× the embedding table — the standard
         // posting-list-with-payload trade (freq's `post/` for tokens,
         // IVF's `cells/` for centroids).
-        Warehouse.writeParquet(
+        tt("members")(Warehouse.writeParquet(
           bucketed.repartitionByRange(col("band"), col("key"))
             .sortWithinPartitions("band", "key"),
-          s"$tmp/members")
+          s"$tmp/members"))
         val sizes = s.read.parquet(s"$tmp/sizes")
-        Warehouse.writeParquet(
+        tt("audit")(Warehouse.writeParquet(
           sizes.filter(col("n_members") > MaxNearDupBucket)
             .select("band", "key", "n_members"),
-          s"$tmp/audit")
-        val (exp, ePin) = Checkpoints.pin(nearDupCandExpansion(bucketed, sizes))
+          s"$tmp/audit"))
+        val (exp, ePin) = tt("pin-exp")(
+          Checkpoints.pin(nearDupCandExpansion(bucketed, sizes)))
         try {
-          Warehouse.writeParquet(exactVerify(dedupCands(exp)), s"$tmp/pairs")
+          tt("pairs")(
+            Warehouse.writeParquet(exactVerify(dedupCands(exp)), s"$tmp/pairs"))
           // pairbk records every under-cap bucket each VERIFIED pair
           // shares (buckets only die, never revive, so the mine-time
           // list covers all future survival witnesses)
-          Warehouse.writeParquet(
+          tt("pairbk")(Warehouse.writeParquet(
             exp.select("band", "key", "keep_id", "dup_id")
               .join(s.read.parquet(s"$tmp/pairs").select("keep_id", "dup_id"),
                 Seq("keep_id", "dup_id"), "left_semi"),
-            s"$tmp/pairbk")
+            s"$tmp/pairbk"))
         } finally Checkpoints.release(ePin)
         } finally Checkpoints.release(bPin)
       }
@@ -1464,7 +1475,16 @@ object SimOps {
       // members union in from the per-vector banding. A pre-members
       // artifact vintage throws on the read and the caller's fallback
       // runs the full (idempotent) rebuild once, minting the table.
-      val batchKeys = bc.select("key").distinct().collect().map(_.getString(0))
+      // collected size guard (the micro-batch contract is not a bound):
+      // the limit caps the driver pull AND the isin literal the scan
+      // prunes on; an over-budget batch (a bulk backfill routed through
+      // the append path) throws, and the caller's NonFatal fallback
+      // runs the idempotent full rebuild — which such a batch deserves
+      val batchKeys = bc.select("key").distinct()
+        .limit(MaxBatchKeys + 1).collect().map(_.getString(0))
+      if (batchKeys.length > MaxBatchKeys) sys.error(
+        s"appendToNearDup: batch hits ${batchKeys.length} distinct bucket " +
+          s"keys, over the $MaxBatchKeys isin budget — rebuilding")
       val priorMembers = s.read.parquet(s"$prior/members")
       val (members, mPin) = tt("pin-members")(Checkpoints.pin(
         priorMembers.filter(col("key").isin(batchKeys.toSeq: _*))

@@ -269,6 +269,41 @@ class PlanShapeSpec extends SparkSpecBase {
       s"corpus lookup joins lost their co-located/broadcast shape:\n$p")
   }
 
+  test("fact-fact joins build on the orders side, push filters, keep range predicates in the join") {
+    // r18/r13 sf1 plan audit (round 13): both join lineitem (the larger
+    // fact) with orders. Under the 64 MB broadcast threshold the orders
+    // side broadcasts through sf1 (measured 6.9 s / 2.5 s at sf1) and
+    // AQE's size estimate degrades the plan to a sort-merge join once
+    // orders outgrows it — the right scale behavior, so the pinned
+    // invariants are the scale-safe ones: if anything broadcasts it is
+    // ORDERS (never the lineitem side), r18's discount filter reaches
+    // the scan, and r13's interval bounds ride INSIDE the join (a lost
+    // range predicate would explode the join output 90-days-to-all).
+    for ((q, pushed) <- Seq(
+        "r18_sql_api" -> "GreaterThan(l_discount,0.05)",
+        "r13_range_join" -> "IsNotNull(l_shipdate)")) {
+      val df = SparkEntry.queries(q)(spark, d)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains(pushed), s"$q lost its scan pushdown:\n$p")
+      // every broadcast subtree (child prints directly under the node)
+      // must hash the orders relation, never lineitem
+      p.split("BroadcastExchange").drop(1).foreach { sub =>
+        val child = sub.take(600)
+        assert(!child.contains("lineitem.parquet"),
+          s"$q broadcasts the lineitem fact side:\n$p")
+      }
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q fell off the equi-join path:\n$p")
+    }
+    val r13 = SparkEntry.queries("r13_range_join")(spark, d)
+    r13.collect()
+    val p13 = r13.queryExecution.executedPlan.toString
+    assert("Join.*l_shipdate.*INTERVAL".r.findFirstIn(p13).isDefined ||
+      p13.contains("90"), s"r13 range bounds left the join condition:\n$p13")
+  }
+
   test("whole-stage codegen covers the band-math expression block") {
     // codegen spans only materialize in the AQE-finalized executed plan,
     // where they render as the `*(n)` stage prefix

@@ -225,6 +225,17 @@ class WarehouseSpec extends SparkSpecBase {
     ops.SimOps.appendToNearDup(spark, ds, appended)
     val inc = ops.SimOps.embedNearDup(spark, ds).collect()
     val incKeep = ops.SimOps.embedKeep(spark, ds).collect()
+    // the carried members/ table (what the NEXT append's candidate
+    // mining reads) must hold exactly the rebuild's row set — a miss
+    // here silently loses future pairs, which pairs-equality today
+    // cannot catch
+    def membersRows(): Array[String] = {
+      val p = ops.Warehouse.latest("neardup", ds).get
+      spark.read.parquet(s"$p/members")
+        .select("band", "key", "vec_id")
+        .collect().map(_.mkString("|")).sorted
+    }
+    val incMembers = membersRows()
     // the cross-batch exact-copy pairs surfaced
     for (id <- Seq(7L, 11L, 13L))
       assert(inc.exists(r => r.getLong(0) == id && r.getLong(1) == id + 1000L),
@@ -237,6 +248,8 @@ class WarehouseSpec extends SparkSpecBase {
       s"incremental manifest drifted: ${inc.length} vs ${full.length} pairs")
     assert(ops.SimOps.embedKeep(spark, ds).collect().sameElements(incKeep),
       "v14 over the incremental manifest drifted from the full rebuild")
+    assert(incMembers.sameElements(membersRows()),
+      "append-maintained members/ drifted from the rebuild's bucket membership")
     ops.Warehouse.invalidateDataset(ds)
   }
 

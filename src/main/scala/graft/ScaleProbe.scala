@@ -59,6 +59,26 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // `ivfk:<k>` prices the quantizer-geometry knob at scale: cold-build
+    // the k-variant index + model, then time its probe-1 serve next to
+    // the oracle-pinned k=8 serve on the same corpus (the declared v05
+    // pins k=8 for oracle stability; a 100 TB deployment runs k ~ sqrt n
+    // and this mode is the measurement behind that claim in ENGINE.md)
+    if (mode.startsWith("ivfk:")) {
+      val k = mode.stripPrefix("ivfk:").toInt
+      ops.Warehouse.invalidate("ivf", dir)
+      ops.Warehouse.invalidate("kmeans", dir)
+      ops.SimOps.clearIvfCaches()
+      val b8 = timed(ops.SimOps.buildIvf(spark, dir))
+      val s8 = timed { ops.SimOps.simIvf(spark, dir).count(); () }
+      val bk = timed { ops.SimOps.ivfIndexK(spark, dir, k).count(); () }
+      val sk = timed { ops.SimOps.simIvfK(spark, dir, k).count(); () }
+      println(contractLine(Seq("dir" -> dir, "mode" -> mode),
+        Seq("ivf_build_k8" -> b8, "v05_serve_k8" -> s8,
+          s"ivf_build_k$k" -> bk, s"v05_serve_k$k" -> sk)))
+      spark.stop()
+      return
+    }
     // an unrecognized suffix must fail fast, not silently probe nothing
     // (an `appends-only:vce` typo would otherwise run the corpus copy,
     // emit a zero-step contract line and exit 0)

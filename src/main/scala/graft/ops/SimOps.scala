@@ -624,6 +624,36 @@ object SimOps {
     s.read.parquet(s"$path/cells").withColumn("cell", col("cell").cast("long"))
   }
 
+  /** [[ivfIndex]] at an EXPLICIT quantizer size — the geometry knob a
+    * 100 TB deployment turns. The declared v05/v07/v08/v09/v10 queries
+    * pin k = [[KmeansK]] for oracle stability, which makes the probe-1
+    * serve scan ~n/8 vectors — fine at the gated SFs, linear at scale.
+    * The faiss posture is k ≈ √n so the probed fraction shrinks as the
+    * corpus grows, and nothing in the engine hard-wires 8: training,
+    * assignment, the inverted file and the serve plan are all
+    * k-generic. This entry point builds the k-variant index under its
+    * own warehouse family (`ivf@k<k>-s<seed>@…` — [[Warehouse.latest]]
+    * prefixes on params, so the default family's append carry can
+    * never adopt it) and is exercised by SimSpec at a second k and by
+    * ScaleProbe's `ivfk:<k>` mode at the 100× corpus (measured: see
+    * ENGINE.md scale experiment). */
+  private[graft] def ivfIndexK(s: SparkSession, d: String, k: Int): DataFrame = {
+    if (k == KmeansK) return ivfIndex(s, d)
+    val path = indexCache.get(embKey(d, s"|ivfk$k")) {
+      Warehouse.getOrBuild("ivf", d, "embeddings.parquet",
+        s"k$k-s$KmeansSeedLo") { tmp =>
+        val rows = trainedRows(s, d, k)
+        exactAssign(Tables.embeddings(s, d), rows)
+          .select("cell", "vec_id", "embedding")
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(tmp.resolve("cells").toString)
+        val nVec = corpusCount(s, d)
+        writeIvfMeta(s, tmp.toString, nVec, nVec)
+      }
+    }
+    s.read.parquet(s"$path/cells").withColumn("cell", col("cell").cast("long"))
+  }
+
   /** `meta/` table of the IVF artifact: the corpus size and the size of
     * the corpus the quantizer was TRAINED on — the append contract's
     * drift denominator ([[MaxIvfGrowth]]). */
@@ -813,6 +843,7 @@ object SimOps {
     * probed cells of the index — no corpus-wide pass per query. */
   private def simIvfN(nprobe: Int): Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
+    import s.implicits._
     val emb = Tables.embeddings(s, d)
     val inv = ivfIndex(s, d) // builds model + index together on a cold cache
     val cent = trainedModel(s, d)
@@ -825,11 +856,60 @@ object SimOps {
     val qemb = emb.filter(col("vec_id") < 20)
     val qf = flat(qemb)
     val qn = norms(qf)
-    val qprobe = cellRanks(qf, qn, cent).filter(col("arn") <= nprobe)
+    // The (qid → probed cell) map COLLECTS (≤ queries × nprobe rows —
+    // query-coordination state, like the centroid model) so the probed
+    // cell set reaches the inverted-file scan as a LITERAL partition
+    // filter. The broadcast-join spelling left cell pruning to runtime
+    // DPP, and the executed plan showed dynamicpruningexpression(true)
+    // — DPP dropped, every cell scanned. Invisible at the gated SFs
+    // (the file is MBs), a full index scan per query batch at 100 TB;
+    // static isin pruning is deterministic at any scale and
+    // PlanShapeSpec pins it.
+    val ranked = cellRanks(qf, qn, cent).filter(col("arn") <= nprobe)
       .select(col("vec_id").as("qid"), col("cell"))
+      .as[(Long, Long)].collect().toSeq
+    val qprobe = ranked.toDF("qid", "cell")
       .join(qemb.select(col("vec_id").as("qid"), col("embedding").as("ea")), "qid")
     val wN = Window.partitionBy("qid").orderBy(col("ncos").desc, col("cid").asc)
-    val cand = inv.select(col("vec_id").as("cid"), col("cell"), col("embedding").as("eb"))
+    val cand = inv.filter(col("cell").isin(ranked.map(_._2).distinct: _*))
+      .select(col("vec_id").as("cid"), col("cell"), col("embedding").as("eb"))
+      .join(broadcast(qprobe), Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("ncos", expr("graft_cosine(ea, eb)"))
+      .withColumn("nrk", row_number().over(wN))
+      .filter(col("nrk") <= 6)
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid").asc)
+    exactCosine(cand.select("qid", "cid", "ea", "eb"), Seq("qid", "cid"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("cid"), r6(col("cosine")).as("cosine"))
+      .orderBy("qid", "rk")
+  }
+
+  /** [[simIvfN]]'s plan at an explicit quantizer size — the serve half
+    * of [[ivfIndexK]]. Same two-stage shape (codegen'd graft_cosine
+    * prune over the probed cells, DECIMAL-exact re-rank, top-3), only
+    * the model and inverted file swap; SimSpec locks its structure and
+    * served-cosine exactness at a non-default k. */
+  private[graft] def simIvfK(s: SparkSession, d: String, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val inv = ivfIndexK(s, d, k)
+    val cent = trainedModel(s, d, k)
+    val qemb = emb.filter(col("vec_id") < 20)
+    val qf = flat(qemb)
+    val qn = norms(qf)
+    // literal probed-cell partition pruning — see [[simIvfN]]
+    val ranked = cellRanks(qf, qn, cent).filter(col("arn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cell"))
+      .as[(Long, Long)].collect().toSeq
+    val qprobe = ranked.toDF("qid", "cell")
+      .join(qemb.select(col("vec_id").as("qid"), col("embedding").as("ea")), "qid")
+    val wN = Window.partitionBy("qid").orderBy(col("ncos").desc, col("cid").asc)
+    val cand = inv.filter(col("cell").isin(ranked.map(_._2).distinct: _*))
+      .select(col("vec_id").as("cid"), col("cell"), col("embedding").as("eb"))
       .join(broadcast(qprobe), Seq("cell"))
       .filter(col("cid") =!= col("qid"))
       .withColumn("ncos", expr("graft_cosine(ea, eb)"))

@@ -269,6 +269,32 @@ class PlanShapeSpec extends SparkSpecBase {
       s"corpus lookup joins lost their co-located/broadcast shape:\n$p")
   }
 
+  test("IVF serve prunes the inverted file to the probed cells statically") {
+    // the broadcast-join spelling relied on runtime DPP, and the
+    // executed plan carried dynamicpruningexpression(true) — pruning
+    // dropped, every cell scanned (a full index scan per query batch
+    // at 100 TB). The serve now pushes the collected probed-cell set
+    // as a literal isin, which must surface as a STATIC partition
+    // filter on the cells/ scan.
+    for (q <- Seq("v05_sim_ivf", "v07_sim_ivf_probe2")) {
+      val df = SparkEntry.queries(q)(spark, d)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // the cells/ scan is the only partitioned relation in the plan;
+      // its Location path truncates in toString, so key on the
+      // PartitionFilters attribute itself
+      val scan = p.split("\n").find(_.contains("PartitionFilters: ["))
+      assert(scan.isDefined, s"$q: no partitioned cells/ scan in:\n$p")
+      // the literal IN list must sit in PartitionFilters itself —
+      // runtime DPP may still be planned alongside (harmless and
+      // redundant), but the static filter is what guarantees the
+      // probed-cells-only scan at any scale
+      assert("PartitionFilters: \\[[^\\]]*cell#\\d+ IN".r
+        .findFirstIn(scan.get).isDefined,
+        s"$q: probed-cell set is not a static partition filter:\n${scan.get}")
+    }
+  }
+
   test("fact-fact joins build on the orders side, push filters, keep range predicates in the join") {
     // r18/r13 sf1 plan audit (round 13): both join lineitem (the larger
     // fact) with orders. Under the 64 MB broadcast threshold the orders

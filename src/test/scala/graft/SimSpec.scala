@@ -228,6 +228,42 @@ class SimSpec extends SparkSpecBase {
     assert(snap.sameElements(again), "k=4 training is not deterministic")
   }
 
+  test("IVF geometry is a parameter end to end: k=16 index partitions the corpus, serve stays exact") {
+    // the 100 TB scaling knob (ENGINE.md): the declared v05 pins k=8
+    // for oracle stability, but nothing hard-wires it — the k-variant
+    // index must partition the corpus across its own seed cells and
+    // the k-variant serve must return the same exact-cosine contract
+    val inv16 = SimOps.ivfIndexK(spark, sf, 16)
+    val nVec = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(inv16.count() == nVec, "k=16 inverted file lost rows")
+    assert(inv16.select("vec_id").distinct().count() == nVec,
+      "k=16 inverted file duplicated a vector")
+    val cells = inv16.select("cell").distinct().as[Long].collect().toSet
+    assert(cells.subsetOf((100L to 115L).toSet) && cells.size > 8,
+      s"k=16 cells are not the 16 seeded ids: $cells")
+    val served = SimOps.simIvfK(spark, sf, 16).collect()
+    val qids = served.map(_.getLong(0)).distinct
+    assert(qids.length == 20, s"expected 20 query ids, got ${qids.length}")
+    served.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.sameElements(1 to rows.length) &&
+        rows.length <= 3, s"qid $q ranks malformed")
+    }
+    // served cosines match an independently spelled double recompute
+    import org.apache.spark.sql.functions.col
+    val pairs = served.map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
+      .toDF("qid", "cid", "served")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val gap = pairs
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("ea")), "qid")
+      .join(emb.select(col("vec_id").as("cid"), col("embedding").as("eb")), "cid")
+      .selectExpr("""abs(served -
+        aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, v) -> a + v)
+        / (sqrt(aggregate(transform(ea, x -> CAST(x AS DOUBLE) * x), 0D, (a, v) -> a + v))
+         * sqrt(aggregate(transform(eb, x -> CAST(x AS DOUBLE) * x), 0D, (a, v) -> a + v)))) AS g""")
+      .agg(org.apache.spark.sql.functions.max("g")).head.getDouble(0)
+    assert(gap < 5e-7, s"k=16 served cosine drifted from exact: $gap")
+  }
+
   test("bounded-sample training == training on the modular sample as its own corpus") {
     // trainStride math: everything at or below the target trains whole
     assert(SimOps.trainStride(100) == 1L)

@@ -126,6 +126,64 @@ class SoakSpec extends SparkSpecBase {
     }
   }
 
+  test("30-batch near-dup soak: members/ and pair tables stay under budget, manifest == rebuild") {
+    // the members/ table is the r13 addition that makes the append
+    // O(batch-hit buckets); it carries by hard link + one batch file
+    // per append, so it is exactly the table a long soak must show
+    // plateauing — and its row set must survive 30 carries + however
+    // many compaction rewrites bit-identically
+    val budget = 8
+    val prevBudget = sys.props.get("graft.compact.maxFiles")
+    sys.props("graft.compact.maxFiles") = budget.toString
+    val ds = java.nio.file.Files.createTempDirectory("graft-soak-nd").toString
+    try {
+      val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      base.write.parquet(s"$ds/embeddings.parquet")
+      SimOps.clearNearDupCache()
+      SimOps.buildNearDup(spark, ds)
+      for (i <- 0 until 30) {
+        // one exact copy (a guaranteed cross-batch pair in the same
+        // buckets) + one fresh vector per batch
+        val batch = base.filter(col("vec_id") === (i * 13L) % 500L)
+          .select((col("vec_id") + 10000L + 2 * i).as("vec_id"),
+            col("embedding"), col("label"))
+          .unionByName(base.filter(col("vec_id") === (i * 17L + 1) % 500L)
+            .select((col("vec_id") + 10001L + 2 * i).as("vec_id"),
+              reverse(col("embedding")).as("embedding"), col("label")))
+        batch.write.mode("append").parquet(s"$ds/embeddings.parquet")
+        SimOps.appendToNearDup(spark, ds, batch)
+      }
+      val nd = Warehouse.latest("neardup", ds).get
+      val counts = Seq(
+        "neardup/members" -> partsOf(nd, "members"),
+        "neardup/pairs" -> partsOf(nd, "pairs"),
+        "neardup/pairbk" -> partsOf(nd, "pairbk"))
+      for ((name, n) <- counts)
+        assert(n <= budget, s"$name carries $n part files after the soak (budget $budget)")
+      assert(counts.exists(_._2 < 5),
+        s"no table shows a compacted (low) file count: $counts")
+      def snaps() = (
+        SimOps.embedNearDup(spark, ds).collect(),
+        SimOps.embedKeep(spark, ds).collect(),
+        spark.read.parquet(s"${Warehouse.latest("neardup", ds).get}/members")
+          .select("band", "key", "vec_id")
+          .collect().map(_.mkString("|")).sorted)
+      val (p1, k1, m1) = snaps()
+      SimOps.clearNearDupCache()
+      Warehouse.invalidate("neardup", ds)
+      val (p2, k2, m2) = snaps()
+      assert(p1.sameElements(p2), "soaked near-dup pairs drifted from rebuild")
+      assert(k1.sameElements(k2), "soaked keep set drifted from rebuild")
+      assert(m1.sameElements(m2), "soaked members/ drifted from the rebuild's bucket membership")
+    } finally {
+      prevBudget match {
+        case Some(v) => sys.props("graft.compact.maxFiles") = v
+        case None => sys.props.remove("graft.compact.maxFiles")
+      }
+      Warehouse.invalidateDataset(ds)
+    }
+  }
+
   test("30-batch ivf soak: per-cell file counts stay under budget, index == frozen-model rebuild") {
     val budget = 8
     val prevBudget = sys.props.get("graft.compact.maxFiles")

@@ -52,3 +52,13 @@ SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" java $ADDOPENS \
   -Xmx96g -cp "$CP" graft.ScaleInvariants "$CORPUS" \
   2>"$WORK/invariants.log" | tee CORRECTNESS_SCALE100.txt
 grep -q "== invariants: all ok" CORRECTNESS_SCALE100.txt
+
+# IVF geometry knob at the timed scale (r13): price the oracle-pinned
+# k=8 serve next to k=64 on the same corpus — the n/k probed-fraction
+# term a 100 TB deployment controls by training k ~ sqrt(n). One JSON
+# line appended to probe.jsonl like the main probe's.
+echo "== IVF geometry probe (k=8 vs k=64) at 100x"
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" java $ADDOPENS \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx96g -cp "$CP" graft.ScaleProbe "$CORPUS" ivfk:64 \
+  2>>"$WORK/probe.log" | tee -a "$WORK/probe.jsonl"

@@ -754,10 +754,37 @@ object SimOps {
   private[graft] def clearIvfCaches(): Unit = {
     modelCache.clear()
     indexCache.clear()
+    rankedCache.clear()
     // the corpus-count memo too: a cold-build measurement must pay the
     // count job the production cold path pays
     countCache.clear()
   }
+
+  /** Collected query-batch probe-cell ranking — (qid, cell, arn) for
+    * the ≤20 query vectors against the trained k-cell quantizer,
+    * memoized per (dataset version, k, seed). The ranking runs over the
+    * QUERY vectors only: the vec_id<20 filter sits below the
+    * flat/norms/dot pipeline, so its posexplode and DECIMAL
+    * accumulation touch ≤20 rows — per-vector arithmetic is
+    * independent, so the ranks (and the oracle hash) are identical to
+    * ranking the whole corpus and keeping 20 rows, at none of the cost.
+    * ONE collect (all k ranks per query) serves every nprobe consumer —
+    * v05 (arn ≤ 1), v07 (arn ≤ 2) and v10's recall composition, which
+    * previously re-ranked + re-collected per serve construction (3×
+    * the round-trips in its one metric). The memo keys on the dataset
+    * version marker, so an appended/regenerated corpus re-ranks. */
+  private val rankedCache = new BuildCache[Seq[(Long, Long, Long)]]
+  private def rankedCells(s: SparkSession, d: String, k: Int = KmeansK,
+      seedLo: Int = KmeansSeedLo): Seq[(Long, Long, Long)] =
+    rankedCache.get(embKey(d, s"|ranks|$k|$seedLo")) {
+      import s.implicits._
+      val qemb = Tables.embeddings(s, d).filter(col("vec_id") < 20)
+      val qf = flat(qemb)
+      val qn = norms(qf)
+      cellRanks(qf, qn, trainedModel(s, d, k, seedLo))
+        .select(col("vec_id"), col("cell"), col("arn").cast("long"))
+        .as[(Long, Long, Long)].collect().toSeq
+    }
 
   /** Relational max-cosine cell ranking against a trained centroid
     * relation — the same exact-DECIMAL arithmetic as the oracle, so the
@@ -846,28 +873,23 @@ object SimOps {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
     val inv = ivfIndex(s, d) // builds model + index together on a cold cache
-    val cent = trainedModel(s, d)
-    // Probe-cell ranking runs over the QUERY vectors only: the vec_id<20
-    // filter sits below the flat/norms/dot pipeline, so its posexplode
-    // and DECIMAL accumulation touch ≤20 rows — per-vector arithmetic is
-    // independent, so the ranks (and the oracle hash) are identical to
-    // ranking the whole corpus and keeping 20 rows, at none of the cost.
-    // The corpus side serves purely from the materialized inverted file.
+    // The (qid → probed cell) map is DRIVER STATE ([[rankedCells]] —
+    // ≤ queries × k rows, collected once per dataset version like the
+    // centroid model) so the probed cell set reaches the inverted-file
+    // scan as a LITERAL partition filter. The broadcast-join spelling
+    // left cell pruning to runtime DPP, and the executed plan showed
+    // dynamicpruningexpression(true) — DPP dropped, every cell scanned.
+    // Invisible at the gated SFs (the file is MBs), a full index scan
+    // per query batch at 100 TB; static isin pruning is deterministic
+    // at any scale and PlanShapeSpec pins it.
+    // NOTE: constructing this DataFrame therefore RUNS Spark jobs on a
+    // cold ranking memo (build/serve coordination, not lazy plan
+    // assembly), and the probed cells freeze into the plan — a Q built
+    // before an index/corpus refresh serves the pre-refresh cells, the
+    // same contract as the frozen `inv` artifact scan it joins.
     val qemb = emb.filter(col("vec_id") < 20)
-    val qf = flat(qemb)
-    val qn = norms(qf)
-    // The (qid → probed cell) map COLLECTS (≤ queries × nprobe rows —
-    // query-coordination state, like the centroid model) so the probed
-    // cell set reaches the inverted-file scan as a LITERAL partition
-    // filter. The broadcast-join spelling left cell pruning to runtime
-    // DPP, and the executed plan showed dynamicpruningexpression(true)
-    // — DPP dropped, every cell scanned. Invisible at the gated SFs
-    // (the file is MBs), a full index scan per query batch at 100 TB;
-    // static isin pruning is deterministic at any scale and
-    // PlanShapeSpec pins it.
-    val ranked = cellRanks(qf, qn, cent).filter(col("arn") <= nprobe)
-      .select(col("vec_id").as("qid"), col("cell"))
-      .as[(Long, Long)].collect().toSeq
+    val ranked = rankedCells(s, d).filter(_._3 <= nprobe)
+      .map(r => (r._1, r._2))
     val qprobe = ranked.toDF("qid", "cell")
       .join(qemb.select(col("vec_id").as("qid"), col("embedding").as("ea")), "qid")
     val wN = Window.partitionBy("qid").orderBy(col("ncos").desc, col("cid").asc)
@@ -897,14 +919,11 @@ object SimOps {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
     val inv = ivfIndexK(s, d, k)
-    val cent = trainedModel(s, d, k)
     val qemb = emb.filter(col("vec_id") < 20)
-    val qf = flat(qemb)
-    val qn = norms(qf)
-    // literal probed-cell partition pruning — see [[simIvfN]]
-    val ranked = cellRanks(qf, qn, cent).filter(col("arn") <= nprobe)
-      .select(col("vec_id").as("qid"), col("cell"))
-      .as[(Long, Long)].collect().toSeq
+    // literal probed-cell partition pruning + eager-collect memo
+    // semantics — see [[simIvfN]]/[[rankedCells]]
+    val ranked = rankedCells(s, d, k).filter(_._3 <= nprobe)
+      .map(r => (r._1, r._2))
     val qprobe = ranked.toDF("qid", "cell")
       .join(qemb.select(col("vec_id").as("qid"), col("embedding").as("ea")), "qid")
     val wN = Window.partitionBy("qid").orderBy(col("ncos").desc, col("cid").asc)

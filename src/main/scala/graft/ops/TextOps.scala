@@ -554,10 +554,12 @@ object TextOps {
     try Some(s.read.parquet(s"$path/$table").head().getString(0))
     catch { case scala.util.control.NonFatal(e) =>
       if (java.nio.file.Files.isDirectory(
-          java.nio.file.Paths.get(path, table)))
+          java.nio.file.Paths.get(path, table))) {
+        Prof.degrade("funnel", "epoch-read")
         System.err.println(
           s"graft: epoch table $path/$table exists but failed to read " +
             s"($e) — consumer takes its full-recompute path")
+      }
       None
     }
 
@@ -817,6 +819,7 @@ object TextOps {
             // degrading to a fresh epoch is SAFE (consumers take their
             // full path once) but must not be silent — a persistent
             // copy failure would permanently disable the funnel delta
+            Prof.degrade("textdup", "epoch-carry")
             System.err.println(
               s"graft: epoch carry from $prior failed ($e) — " +
                 "writing a fresh epoch; funnel takes its full path once")

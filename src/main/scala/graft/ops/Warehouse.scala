@@ -177,7 +177,14 @@ object Warehouse {
       // there makes the victim's move throw and (if it was a different
       // version than `keep`) aborts a valid build; tmp sweeping belongs
       // to invalidate() only
-      if (stale && !n.contains(".tmp-") && Files.exists(manifest(f))) rmTree(f)
+      // ".compact-" siblings (staged copies, work dirs) carry no
+      // manifest and would leak when their artifact is pruned; sweep
+      // any not belonging to `keep` (an in-flight stager write for a
+      // superseded version just fails and counts a miss)
+      val compactLitter = n.startsWith(p) && n.contains(".compact-") &&
+        !n.startsWith(keep + ".compact-")
+      if ((stale && !n.contains(".tmp-") && Files.exists(manifest(f))) ||
+        compactLitter) rmTree(f)
     }
   }
 
@@ -352,52 +359,92 @@ object Warehouse {
     finally s.close()
   }
 
-  /** In-place compaction of one append-maintained parquet table when
-    * its part-file count crosses [[maxFilesPerTable]]: rewrite into
-    * ceil(bytes / 128 MB) files (floor 1), range-partitioned and
-    * sorted on `sortCols` so every file carries tight min/max stats on
-    * the table's pruning key — the freq `post/` probe (token isin) and
-    * the funnel's doc_b high-water delta PRUNE BETTER after compaction
-    * than against the carried batch files. Rows are untouched, so
-    * append == rebuild equality is unaffected (soak-spec-asserted).
-    *
-    * Runs inside a build-in-progress `.tmp-` dir, so crash safety is
-    * the artifact protocol's: a failure litters tmp, never a completed
-    * key. The rewrite breaks hard-link sharing with the prior version
-    * on purpose — that is the amortized O(data/budget) per-append cost
-    * that buys back bounded file counts. Returns true when a rewrite
-    * happened. */
-  def compactIfNeeded(s: SparkSession, dir: Path,
-      sortCols: Seq[String] = Nil): Boolean = {
+  /** Bytes of data part files directly under `dir`. */
+  private def dataBytes(dir: Path): Long = {
+    val l = Files.list(dir)
+    try { import scala.jdk.CollectionConverters._
+      l.iterator().asScala
+        .filter(f => Files.isRegularFile(f) &&
+          f.getFileName.toString.startsWith("part-"))
+        .map(Files.size).sum }
+    finally l.close()
+  }
+
+  /** Size-implied file-count floor: the count a compaction rewrite
+    * lands on — ceil(bytes / 128 MB), min 1. A table this large can
+    * never sit below this many target-sized files, so the compaction
+    * TRIGGER must sit a full budget above it: triggering at the bare
+    * [[maxFilesPerTable]] would, once the table outgrows
+    * budget × 128 MB, land every rewrite exactly at the trigger and
+    * re-fire a full-table rewrite on the very next append — O(data)
+    * per append in steady state, defeating the O(batch) contract at
+    * precisely the scale the budget exists for. */
+  private def sizeFloor(bytes: Long): Int =
+    math.max(1L, math.min(Int.MaxValue.toLong,
+      (bytes + TargetFileBytes - 1) / TargetFileBytes)).toInt
+
+  /** True when `dir`'s part-file count exceeds its size-implied floor
+    * by more than [[maxFilesPerTable]] — the condition under which a
+    * rewrite buys ~budget appends of headroom. */
+  def needsCompaction(dir: Path): Boolean = {
     val nParts = partFileCount(dir)
-    if (nParts <= maxFilesPerTable) return false
-    val bytes = {
-      val l = Files.list(dir)
-      try { import scala.jdk.CollectionConverters._
-        l.iterator().asScala
-          .filter(f => Files.isRegularFile(f) &&
-            f.getFileName.toString.startsWith("part-"))
-          .map(Files.size).sum }
-      finally l.close()
-    }
-    val target = math.max(1L,
-      math.min(maxFilesPerTable.toLong, bytes / TargetFileBytes + 1)).toInt
-    val df = s.read.parquet(dir.toString)
-    val out =
-      if (sortCols.nonEmpty)
-        df.repartitionByRange(target, sortCols.map(col): _*)
-          .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
-      else df.repartition(target)
+    nParts > maxFilesPerTable &&
+      nParts > sizeFloor(dataBytes(dir)) + maxFilesPerTable
+  }
+
+  /** In-place compaction of one append-maintained parquet table when
+    * its part-file count crosses its size floor + [[maxFilesPerTable]]:
+    * rewrite into ceil(bytes / 128 MB) files (floor 1, UNCAPPED — a
+    * multi-GB table compacts to however many 128 MB files it needs),
+    * range-partitioned and sorted on `sortCols` so every file carries
+    * tight min/max stats on the table's pruning key — the freq `post/`
+    * probe (token isin) and the funnel's doc_b high-water delta PRUNE
+    * BETTER after compaction than against the carried batch files.
+    * Rows are untouched, so append == rebuild equality is unaffected
+    * (soak-spec-asserted). `slack` widens the trigger (floor +
+    * slack × budget) — the synchronous backstop behind the staged
+    * off-path compaction passes 2 so it fires only when staging has
+    * fallen pathologically behind.
+    *
+    * MUST run inside a build-in-progress `.tmp-` dir (enforced): the
+    * rewrite is rmTree-then-move, and a crash between the two loses
+    * the table — inside tmp that is absorbed by the artifact protocol
+    * (a failure litters tmp, never a completed key); against a
+    * completed artifact it would be data loss. The rewrite breaks
+    * hard-link sharing with the prior version on purpose — that is the
+    * amortized O(data/budget) per-append cost that buys back bounded
+    * file counts. Returns true when a rewrite happened. */
+  def compactIfNeeded(s: SparkSession, dir: Path,
+      sortCols: Seq[String] = Nil, slack: Int = 1): Boolean = {
+    val nParts = partFileCount(dir)
+    if (nParts <= slack * maxFilesPerTable) return false
+    val floor = sizeFloor(dataBytes(dir))
+    if (nParts <= floor + slack * maxFilesPerTable) return false
+    require(dir.toAbsolutePath.toString.contains(".tmp-"),
+      s"compactIfNeeded must target a table inside a .tmp- build dir " +
+        s"(got $dir): the rmTree+move rewrite is only crash-safe under " +
+        "the artifact completion protocol")
     // the staging name keeps ".tmp-"-style invisibility: prune/latest
     // skip anything containing ".compact-", and invalidate's
     // table@dataset match sweeps a crash's litter
     val staging = dir.resolveSibling(
       dir.getFileName.toString + s".compact-${System.nanoTime()}")
-    try writeParquet(out, staging.toString)
+    try writeParquet(compacted(s, dir, floor, sortCols), staging.toString)
     catch { case e: Throwable => rmTree(staging); throw e }
     rmTree(dir)
     Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
     true
+  }
+
+  /** The size-floor rewrite plan of a table — shared by the in-place
+    * and the staged compaction paths so both land identical layouts. */
+  private def compacted(s: SparkSession, dir: Path, target: Int,
+      sortCols: Seq[String]): DataFrame = {
+    val df = s.read.parquet(dir.toString)
+    if (sortCols.nonEmpty)
+      df.repartitionByRange(target, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+    else df.repartition(target)
   }
 
   /** [[compactIfNeeded]] over a PARTITIONED parquet tree (the IVF
@@ -414,6 +461,93 @@ object Warehouse {
         l.iterator().asScala.filter(Files.isDirectory(_)).toList }
       finally l.close()
     leaves.count(compactIfNeeded(s, _))
+  }
+
+  // ---------------------------------------------------- staged compaction
+  /** Single background stager: staged compactions are an optimization,
+    * not a throughput path — one daemon thread bounds their resource
+    * draw and serializes the (rare) rewrites. */
+  private lazy val stagePool = java.util.concurrent.Executors
+    .newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-compact-stager")
+      t.setDaemon(true)
+      t
+    })
+  private val stageInflight =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.Future[_]]()
+  /** Staging attempts that failed (source pruned mid-read, etc.) —
+    * lost OPTIMIZATION, never lost data; observable so a soak that
+    * somehow never adopts a staged copy is diagnosable. */
+  private[graft] val stageMisses = new java.util.concurrent.atomic.AtomicInteger
+
+  private def stagedRoot(artifactDir: Path): Path =
+    artifactDir.resolveSibling(
+      artifactDir.getFileName.toString + ".compact-staged")
+
+  /** The completed staged-compaction copy of `table` under a COMPLETED
+    * artifact, if the background stager has finished one. The staged
+    * dir appears atomically (work-dir rename), its source is immutable
+    * (completed artifacts never mutate), and its name contains
+    * ".compact-" so [[latest]]/[[prune]] never adopt it as an artifact. */
+  def stagedTable(artifactDir: String, table: String): Option[Path] = {
+    val t = stagedRoot(Paths.get(artifactDir)).resolve(table)
+    if (Files.isDirectory(t)) Some(t) else None
+  }
+
+  /** Carry one prior table into a build-in-progress dir, adopting the
+    * staged compacted copy when one is ready — the off-critical-path
+    * half of the compaction contract: the append that detected the
+    * over-budget count completed WITHOUT rewriting (it scheduled the
+    * stager instead), and the NEXT append pays only this O(files)
+    * hard-link adoption. Row sets are identical either way. */
+  def carryTable(prior: String, table: String, into: Path): Unit =
+    copyData(stagedTable(prior, table).map(_.toString)
+      .getOrElse(s"$prior/$table"), into)
+
+  /** Schedule a background compaction of `artifactDir/table` into the
+    * artifact's `.compact-staged` sibling. Idempotent per (artifact,
+    * table); a failure (e.g. the artifact was pruned mid-read because
+    * a newer version landed first) only counts a miss — the next
+    * append's synchronous backstop still bounds file counts. Crash
+    * litter (work dirs, staged dirs of pruned artifacts) is swept by
+    * [[prune]]/[[invalidate]]'s name match. */
+  def scheduleStagedCompaction(s: SparkSession, artifactDir: String,
+      table: String, sortCols: Seq[String]): Unit = {
+    if (stagedTable(artifactDir, table).isDefined) return
+    val key = s"$artifactDir#$table"
+    stageInflight.computeIfAbsent(key, _ => stagePool.submit(new Runnable {
+      def run(): Unit = {
+        try {
+          val src = Paths.get(artifactDir, table)
+          if (Files.isDirectory(src) && needsCompaction(src)) {
+            val work = Paths.get(
+              artifactDir + s".compact-work-${System.nanoTime()}")
+            val workTable = work.resolve(table)
+            try {
+              writeParquet(
+                compacted(s, src, sizeFloor(dataBytes(src)), sortCols),
+                workTable.toString)
+              val dst = stagedRoot(Paths.get(artifactDir)).resolve(table)
+              Files.createDirectories(dst.getParent)
+              Files.move(workTable, dst, StandardCopyOption.ATOMIC_MOVE)
+            } finally rmTree(work)
+          }
+        } catch { case scala.util.control.NonFatal(_) =>
+          stageMisses.incrementAndGet(); ()
+        } finally stageInflight.remove(key)
+        ()
+      }
+    }))
+    ()
+  }
+
+  /** Block until every scheduled staged compaction has settled — the
+    * determinism hook the soak specs (and a clean shutdown) use. */
+  private[graft] def awaitStagedCompactions(): Unit = {
+    import scala.jdk.CollectionConverters._
+    stageInflight.values.asScala.toList.foreach { f =>
+      try { f.get(); () } catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** Parquet write that stays READABLE when the relation is empty: a

@@ -326,8 +326,13 @@ class PlanShapeSpec extends SparkSpecBase {
     val r13 = SparkEntry.queries("r13_range_join")(spark, d)
     r13.collect()
     val p13 = r13.queryExecution.executedPlan.toString
-    assert("Join.*l_shipdate.*INTERVAL".r.findFirstIn(p13).isDefined ||
-      p13.contains("90"), s"r13 range bounds left the join condition:\n$p13")
+    // the interval predicate must sit INSIDE a Join node's condition —
+    // a bare contains() over the whole plan would match partition
+    // counts/stats and let the invariant silently rot
+    val joinLines = p13.split("\n").filter(_.contains("Join"))
+    assert(joinLines.exists(l => l.contains("l_shipdate") &&
+      (l.contains("INTERVAL") || l.contains("date_add"))),
+      s"r13 range bounds left the join condition:\n$p13")
   }
 
   test("whole-stage codegen covers the band-math expression block") {

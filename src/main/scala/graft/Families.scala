@@ -23,7 +23,8 @@ object Families {
   final case class Family(name: String,
       clearCaches: () => Unit,
       invalidateKeys: Seq[String],
-      build: (SparkSession, String) => Unit) {
+      build: (SparkSession, String) => Unit,
+      sweepExtra: String => Unit = _ => ()) {
     /** The artifact field / gate key (`<name>_build`). */
     def field: String = name + "_build"
     /** Reset to a true cold state for `dir`: drop in-JVM memos AND the
@@ -31,12 +32,22 @@ object Families {
     def cold(dir: String): Unit = {
       clearCaches()
       invalidateKeys.foreach(ops.Warehouse.invalidate(_, dir))
+      sweepExtra(dir)
     }
   }
 
   val all: Seq[Family] = Seq(
     Family("ivf", () => ops.SimOps.clearIvfCaches(), Seq("ivf", "kmeans"),
       (s, d) => ops.SimOps.buildIvf(s, d)),
+    // the v15 k ~ sqrt(n) family: cold-reset sweeps only the
+    // NON-DEFAULT ivf/kmeans params so a settle re-run never forces the
+    // sibling v05 serve through a default-family rebuild
+    Family("ivfauto", () => ops.SimOps.clearIvfCaches(), Seq.empty,
+      (s, d) => ops.SimOps.buildIvfAuto(s, d),
+      d => {
+        ops.Warehouse.invalidateNonDefault("ivf", d)
+        ops.Warehouse.invalidateNonDefault("kmeans", d)
+      }),
     Family("sig", () => ops.TextOps.clearSigCache(), Seq("sig"),
       (s, d) => ops.TextOps.buildSigIndex(s, d)),
     Family("textdup", () => ops.TextOps.clearTextDupCache(), Seq("textdup"),

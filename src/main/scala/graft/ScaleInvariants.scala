@@ -320,5 +320,40 @@ object ScaleInvariants {
       val nTexts = docs.select(md5(col("text"))).distinct().count()
       (nKept == nTexts, s"kept=$nKept distinct_texts=$nTexts")
     }
+
+    // ---- e03: the seeded threshold-crossing days classify into all
+    // three branches with their exact planned values (scalegen seeds
+    // six days after the source's last day under user 999983 — means
+    // 50,40,50,45,44.8,40 — so the event chain's oracle-shaped row is
+    // non-vacuous at every scalegen'd scale; replication preserves
+    // per-day means, so the expectation is scale-invariant). On an
+    // unseeded corpus (raw testdata) the check records a skip. -------
+    check("inv_e03_branches") {
+      val ev = Tables.events(spark, dir)
+      val seeded = ev.filter(col("user_id") === 999983L)
+      if (seeded.isEmpty) (true, "unseeded corpus - skipped")
+      else {
+        val base = seeded.agg(min(to_date(col("ts")))).head.getDate(0)
+          .toLocalDate
+        def day(off: Int): String =
+          base.plusDays(off.toLong).toString
+        val want = Map(
+          day(1) -> ("transient_anomaly", -10.0),
+          day(3) -> ("possible_fire_or_harvest", -5.0),
+          day(5) -> ("recent_event", -4.8))
+        val got = ops.Events.abruptDrops(spark, dir)
+          .filter(col("date") >= day(0) && col("date") <= day(5))
+          .select("date", "type", "drop")
+          .collect()
+          .map(r => r.getString(0) -> ((r.getString(1), r.getDouble(2))))
+          .toMap
+        val ok = got.size == want.size && want.forall { case (dt, (ty, dr)) =>
+          got.get(dt).exists { case (gty, gdr) =>
+            gty == ty && math.abs(gdr - dr) < 1e-9 }
+        }
+        (ok, s"seeded_window_rows=${got.size} want=3 " +
+          s"branches=${got.values.map(_._1).toSeq.sorted.mkString("+")}")
+      }
+    }
   }
 }

@@ -108,12 +108,15 @@ object ScaleProbe {
       "t06_dedup_minhash" -> q(ops.TextOps.dedupMinhash),
       "t08_ngram_jaccard" -> q(ops.TextOps.ngramJaccard),
       "t11_dedup_components" -> q(ops.TextOps.dedupComponents),
+      "t14_decontaminate" -> q(ops.TextOps.decontaminate),
+      "t15_sequence_pack" -> q(ops.TextOps.sequencePack),
       "t17_curation_funnel" -> q(ops.TextOps.curationFunnel),
       "t20_freq_bucket" -> q(ops.TextOps.freqBucket),
       "v01_sim_topk" -> q(ops.SimOps.simTopk),
       "v05_sim_ivf" -> q(ops.SimOps.simIvf),
       "v06_embed_neardup" -> q(ops.SimOps.embedNearDup),
-      "v14_embed_keep" -> q(ops.SimOps.embedKeep))
+      "v14_embed_keep" -> q(ops.SimOps.embedKeep),
+      "x07_media_dedup" -> q(ops.Multimodal.mediaDedup))
     // ---- append-cost probe (r10): a FIXED-size batch against corpora
     // of different sizes — the O(batch) incremental-maintenance claim
     // is "these numbers stay ~flat between 1x and 8x data". Runs on a
@@ -128,6 +131,7 @@ object ScaleProbe {
       dir: String, chain: String = "all"): Seq[(String, Double)] = {
     val text = chain == "all" || chain == "text"
     val vec = chain == "all" || chain == "vec"
+    ops.Prof.resetDegraded()
     import org.apache.spark.sql.functions._
     import scala.jdk.CollectionConverters._
     def timed(f: => Unit): Double = {
@@ -221,7 +225,13 @@ object ScaleProbe {
        else Seq.empty) ++
       (if (vec) Seq("neardup_append_pairs" -> (pairCount("neardup") - ndPre))
        else Seq.empty)
+    // let any staged (off-critical-path) compaction settle before the
+    // sweep — its wall time is deliberately NOT in any append step
+    ops.Warehouse.awaitStagedCompactions()
     ops.Warehouse.invalidateDataset(tmpDs)
-    out ++ outCounts
+    // degradation census (Prof): every safe fallback the appends took —
+    // a healthy probe reports 0; a nonzero count means the steady state
+    // pays a full-recompute path per batch
+    out ++ outCounts ++ Seq("degraded" -> ops.Prof.degradedTotal.toDouble)
   }
 }

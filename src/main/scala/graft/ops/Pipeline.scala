@@ -268,6 +268,12 @@ object Pipeline {
               .write.mode("append").parquet(s"$tmp/cube")
           } finally Checkpoints.release(gPin)
         }
+        // file-count hygiene (the same contract as the text/vector
+        // chains): the carry+append cube gains O(1) files per batch;
+        // past its size floor + budget it rewrites date-sorted, so the
+        // date min/max stats the serve-side range filters prune on stay
+        // tight across thousands of micro-batches
+        Warehouse.compactIfNeeded(s, tmp.resolve("cube"), Seq("date"))
         writeCubeMeta(s, tmp.toString, priorScenes + mrow.getLong(3),
           if (nGran > 0 && mrow.getString(2) > priorMaxDate) mrow.getString(2)
           else priorMaxDate)
@@ -375,6 +381,11 @@ object Pipeline {
               .select("tile_id", "time", "date", "y", "x", "ndvi_c", "evi_c"),
             s"$tmp/cache", mode=org.apache.spark.sql.SaveMode.Append)
         }
+        // per-tile file hygiene: appends land one file per touched tile
+        // per batch; over-budget leaves rewrite date-sorted at the
+        // sink's zstd codec so the carried tree keeps its layout
+        Warehouse.compactTreeIfNeeded(s, tmp.resolve("cache"),
+          Seq("date"), Some("zstd"))
         writeGcacheMeta(s, tmp.toString,
           if (nGran > 0 && mrow.getString(2) > priorMaxDate) mrow.getString(2)
           else priorMaxDate)

@@ -674,6 +674,16 @@ object SimOps {
     ()
   }
 
+  /** Explicit build step for the v15 auto-geometry family: trains and
+    * materializes the k ≈ √n index ([[autoK]]) under its own warehouse
+    * params. The default-k artifact is untouched — both families
+    * coexist, which is exactly the migration posture a production
+    * re-geometry needs. */
+  def buildIvfAuto(s: SparkSession, d: String): Unit = {
+    ivfIndexK(s, d, autoK(corpusCount(s, d)))
+    ()
+  }
+
   /** Growth bound of the frozen-centroid append contract: once the
     * corpus exceeds this multiple of the size the quantizer was trained
     * on, [[appendToIvf]] declines the incremental path and the full
@@ -808,7 +818,12 @@ object SimOps {
     * arithmetic spelled exactly as the Spark side computes it. Assumes
     * CTEs `f` and `n` are already defined. */
   private def kmeansCtes(iters: Int, k: Int = KmeansK,
-      seedLo: Int = KmeansSeedLo): String = {
+      seedLo: Int = KmeansSeedLo, seedHiSql: Option[String] = None): String = {
+    // the seed range's upper bound is the ONLY place k enters the CTE
+    // chain (every Lloyd round is data-driven over the seeded cells);
+    // `seedHiSql` lets the v15 auto-geometry oracle spell it as a
+    // corpus-derived scalar instead of a literal
+    val hi = seedHiSql.getOrElse((seedLo + k - 1).toString)
     // tm/ft/nt: the bounded modular training sample ([[trainStride]]) —
     // the Lloyd rounds below iterate over ft, not f, so the oracle's
     // training chain is sample-sized exactly like the engine's. Corpora
@@ -819,12 +834,12 @@ object SimOps {
          |  FROM embeddings
          |), ft AS (
          |  SELECT f.vec_id, f.i, f.v FROM f, tm
-         |  WHERE f.vec_id % tm.m = 0 OR f.vec_id BETWEEN $seedLo AND ${seedLo + k - 1}
+         |  WHERE f.vec_id % tm.m = 0 OR f.vec_id BETWEEN $seedLo AND $hi
          |), nt AS (
          |  SELECT n.vec_id, n.nrm FROM n, tm
-         |  WHERE n.vec_id % tm.m = 0 OR n.vec_id BETWEEN $seedLo AND ${seedLo + k - 1}
+         |  WHERE n.vec_id % tm.m = 0 OR n.vec_id BETWEEN $seedLo AND $hi
          |), c0 AS (
-         |  SELECT vec_id AS cell, i, v AS c FROM f WHERE vec_id BETWEEN $seedLo AND ${seedLo + k - 1}
+         |  SELECT vec_id AS cell, i, v AS c FROM f WHERE vec_id BETWEEN $seedLo AND $hi
          |)""".stripMargin)
     for (t <- 0 until iters) {
       sb.append(s""", cn$t AS (
@@ -967,11 +982,18 @@ object SimOps {
     * ranking (exact DECIMAL cosines, row_number with the cell
     * tie-break) and top-3. */
   private def simIvfNSql(nprobe: Int): String =
-    s"""WITH f AS (
+    simIvfServeSql(nprobe, "", kmeansCtes(KmeansIters))
+
+  /** The serve half of the IVF oracle over an arbitrary k-means CTE
+    * chain — shared by the literal-k v05/v07 oracles and the v15
+    * auto-geometry oracle (whose chain derives k from the corpus). */
+  private def simIvfServeSql(nprobe: Int, prefix: String,
+      kctes: String): String =
+    s"""WITH ${prefix}f AS (
        |$flatSql
        |), n AS (
        |$normsSql
-       |), ${kmeansCtes(KmeansIters)}, $assignRankCtes, assign AS (
+       |), $kctes, $assignRankCtes, assign AS (
        |  SELECT vec_id, cell FROM acr WHERE arn = 1
        |), qcells AS (
        |  SELECT vec_id AS qid, cell FROM acr WHERE vec_id < 20 AND arn <= $nprobe
@@ -999,6 +1021,35 @@ object SimOps {
 
   val simIvf: Q = simIvfN(1)
   val simIvfSql: String = simIvfNSql(1)
+
+  // ---------------------------------------------------------------- v15
+  /** k ≈ √n auto-geometry (the faiss IVF posture): the probed fraction
+    * of the corpus shrinks as it grows instead of staying n/k. Clamped
+    * below by the oracle-pinned default and above by a centroid-table
+    * sanity bound; round-to-nearest is exact on both engines (√n is
+    * never a .5 boundary for integer n). */
+  private[graft] def autoK(n: Long): Int =
+    math.max(KmeansK.toLong,
+      math.min(4096L, math.round(math.sqrt(n.toDouble)))).toInt
+
+  private val AutoKSql: String =
+    s"CAST(greatest($KmeansK, least(4096, round(sqrt(count(*)), 0))) AS BIGINT)"
+
+  /** v15 — the auto-geometry IVF serve as a DECLARED query: the same
+    * sample-trained quantizer, inverted file and two-stage probe-1
+    * serve as v05, at k = [[autoK]](corpus size) instead of the pinned
+    * default. The oracle derives k from the same corpus count in SQL
+    * (kk CTE → the seed range's upper bound), so the scale-right
+    * geometry — training, assignment, cell pruning — is hash-gated at
+    * every scale factor, not probe-measured only. The index builds
+    * under its own warehouse family (`ivf@k<k>-…`), so it coexists
+    * with the default-k artifact. */
+  val simIvfAuto: Q = (s, d) => simIvfK(s, d, autoK(corpusCount(s, d)))
+
+  val simIvfAutoSql: String = simIvfServeSql(1,
+    s"kk AS (SELECT $AutoKSql AS k FROM embeddings), ",
+    kmeansCtes(KmeansIters,
+      seedHiSql = Some(s"$KmeansSeedLo - 1 + (SELECT k FROM kk)")))
 
   // ---------------------------------------------------------------- v07
   /** IVF ANN with nprobe=2 — the recall knob of the inverted-file path:
@@ -1810,7 +1861,8 @@ object SimOps {
     "v11_quantize_error" -> quantizeError,
     "v12_embed_bucket_audit" -> embedBucketAudit,
     "v13_residual_error" -> residualError,
-    "v14_embed_keep" -> embedKeep)
+    "v14_embed_keep" -> embedKeep,
+    "v15_sim_ivf_auto" -> simIvfAuto)
 
   val oracle: Map[String, String] = Map(
     "v08_kmeans_model" -> kmeansModelSql,
@@ -1826,5 +1878,6 @@ object SimOps {
     "v11_quantize_error" -> quantizeErrorSql,
     "v12_embed_bucket_audit" -> embedBucketAuditSql,
     "v13_residual_error" -> residualErrorSql,
-    "v14_embed_keep" -> embedKeepSql)
+    "v14_embed_keep" -> embedKeepSql,
+    "v15_sim_ivf_auto" -> simIvfAutoSql)
 }

@@ -357,6 +357,69 @@ object TextOps {
         col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  // ------------------------------------------- exact-dup clique contraction
+  /** Sentinel for the md5 of a NULL text — never 32 hex chars, so it
+    * cannot collide with a real digest; NULL-text docs then group
+    * together exactly like the verify fast path's null-safe h_a <=> h_b. */
+  private val NullTextKey = "~null-text~"
+
+  /** Exact-duplicate group census: one row per distinct text —
+    * `(h, rep, gsize, trivial)` where `rep` is the group's minimum
+    * doc_id and `trivial` marks the <3-token degenerate (its single
+    * shingle is NULL; identical texts share the flag). Byte-identical
+    * documents share their shingle set, their MinHash signature and
+    * therefore every band bucket, so the ENTIRE near-dup mining problem
+    * factors through this census: mine over one representative per
+    * group and expand doc-level pairs back through the membership
+    * table. On a replica-dominated corpus (the realistic crawl shape —
+    * 500k docs / ~5k distinct texts at the 100× probe) that removes the
+    * quadratic replica pair mass from every mining stage; on an
+    * all-unique corpus it degrades to one extra corpus-keyed
+    * aggregation. */
+  private[graft] def groupCensus(doc: DataFrame): DataFrame =
+    doc.select(col("doc_id"),
+        coalesce(md5(col("text").cast("binary")), lit(NullTextKey)).as("h"),
+        coalesce(size(toks) < 3, lit(true)).as("trivial"))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("gsize"),
+        max(col("trivial")).as("trivial"))
+
+  /** Membership of REPLICATED groups only (gsize ≥ 2): `(doc_id, rep)`.
+    * Result-sized — the docs that actually have byte-identical siblings
+    * — so the doc-level pair expansion joins against this, never the
+    * whole corpus. */
+  private def memberOf(doc: DataFrame, groups: DataFrame): DataFrame =
+    doc.select(col("doc_id"),
+        coalesce(md5(col("text").cast("binary")), lit(NullTextKey)).as("h"))
+      .join(groups.filter(col("gsize") > 1).select("h", "rep")
+        .hint("shuffle_hash"), "h")
+      .select("doc_id", "rep")
+
+  /** Representative-level weighted bucket relation `(band, key, ms, w)`:
+    * [[sigBuckets]] over the group representatives' signatures, with
+    * `w` = the bucket's DOC-level population (sum of member group
+    * sizes — a group is in a bucket iff its representative is, since
+    * identical texts band identically). `w` is what the bucket cap and
+    * the `sizes/` census mean at doc granularity; `ms` is rep-level,
+    * so the in-row pair expansion is replica-free. */
+  private def repBuckets(sig: DataFrame, groups: DataFrame): DataFrame = {
+    val sigArr = array(Seeds.map(i => col(s"s$i")): _*)
+    sig.join(groups.select(col("rep").as("doc_id"), col("gsize"))
+        .hint("shuffle_hash"), "doc_id")
+      .select(col("doc_id"), sigArr.as("sg"), col("gsize"),
+        explode(bandStructs).as("bk"))
+      .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sg"))))
+        .as("ms"), sum(col("gsize")).as("w"))
+  }
+
+  /** [[pairExpansion]] over the weighted rep buckets: cross-group
+    * candidate pairs need ≥ 2 representatives in the bucket, and the
+    * cap applies to the DOC-level weight — exactly the buckets the
+    * uncontracted expansion would have mined. */
+  private def repPairExpansion(wb: DataFrame): DataFrame =
+    pairRows(wb.filter(size(col("ms")) > 1 && col("w") <= MaxBucketMembers))
+
   /** In-row pair expansion from the aggregated bucket relation,
     * KEEPING the bucket key on every emitted pair row — the build
     * persists (band, key, doc_a, doc_b) as the `pairbk/` side table so
@@ -364,8 +427,14 @@ object TextOps {
     * under-cap bucket?") is a pair-sized anti-join against the audit
     * census instead of a corpus-sized membership re-derivation. */
   private def pairExpansion(buckets: DataFrame): DataFrame =
+    pairRows(buckets
+      .filter(size(col("ms")) > 1 && size(col("ms")) <= MaxBucketMembers))
+
+  /** The shared in-row expansion projection over an already-filtered
+    * bucket relation — doc-level ([[pairExpansion]]) and rep-level
+    * ([[repPairExpansion]]) mining emit identical shapes. */
+  private def pairRows(buckets: DataFrame): DataFrame =
     buckets
-      .filter(size(col("ms")) > 1 && size(col("ms")) <= MaxBucketMembers)
       .select(col("band"), col("key"), explode(expr(
         // est_jaccard computes IN-ROW here instead of carrying both
         // 8-long signature arrays on every expanded pair: the pinned
@@ -439,90 +508,181 @@ object TextOps {
     *  - `audit/`  (band, key, n_members) — the over-cap band buckets
     *    dropped from mining.
     *
-    * Each downstream table derives from the tmp-materialized `pairs`
-    * parquet, not the live banding lineage, so the corpus-sized mining
-    * scan runs exactly once per build. At 100 TB every table here is
+    * Each downstream table derives from pinned result-sized relations,
+    * not the live banding lineage, so the corpus-sized scans run
+    * exactly once per build. At 100 TB every table here is
     * result-sized (pairs scale with the near-dup rate, labels with
-    * candidate docs, audit with degenerate keys — all ≪ corpus). */
+    * candidate docs, audit with degenerate keys — all ≪ corpus).
+    *
+    * The build MINES OVER EXACT-DUP CLIQUE REPRESENTATIVES
+    * ([[groupCensus]]): byte-identical documents share shingles,
+    * signatures and buckets, so banding/verify/components run on one
+    * doc per distinct text and the doc-level artifact rows expand back
+    * through the replicated-group membership at write time —
+    * within-group pairs carry est/jaccard 1.0 (0.0 for the <3-token
+    * degenerate) by definition, cross-group pairs replicate their rep
+    * pair's values. Row-identical to the uncontracted mining
+    * (oracle-hashed at sf0.01/sf1, invariant-checked at 100×, and the
+    * append path still mines uncontracted — IncrementalSpec's
+    * append == rebuild equality crosses the two spellings). On the
+    * replica-dominated 100× probe this removes the 28.7M-pair replica
+    * mass from every mining stage except the final artifact writes. */
   private[graft] def textDupIndex(s: SparkSession, d: String): String =
     textDupCache.get(s"$d@${BuildCache.version(d, "documents.parquet")}") {
       Warehouse.getOrBuild("textdup", d, "documents.parquet") { tmp =>
         def tt[A](name: String)(f: => A): A = Prof.tt("textdup")(name)(f)
         val sig = sigIndex(s, d)
-        // ONE banding scan feeds the audit, the FULL size census
-        // (`sizes/` — what makes the NEXT append O(batch): it merges
-        // batch-key counts into this table instead of re-exploding the
-        // grown signature table) and the mining: the bucket aggregation
-        // already carries every bucket's size (the member array), so
-        // all three split from a single pinned relation
-        val (buckets, bPin) = tt("pin-buckets")(Checkpoints.pin(sigBuckets(sig)))
+        val docs = Tables.documents(s, d)
+        val (groups, gPin) = tt("pin-groups")(Checkpoints.pin(groupCensus(docs)))
         try {
-          tt("sizes")(Warehouse.writeParquet(
-            buckets.select(col("band"), col("key"),
-              size(col("ms")).cast("long").as("n_members")),
-            s"$tmp/sizes"))
-          tt("audit")(Warehouse.writeParquet(
-            s.read.parquet(s"$tmp/sizes")
-              .filter(col("n_members") > MaxBucketMembers),
-            s"$tmp/audit"))
-          // pair expansion keeps its bucket key: `pairbk/` records every
-          // under-cap bucket each mined pair shares, so an append can
-          // settle pair death (every recorded bucket crossed the cap)
-          // without re-deriving corpus membership
-          val (exp, ePin) = tt("pin-exp")(Checkpoints.pin(pairExpansion(buckets)))
+          val (mem, mPin) = tt("pin-mem")(Checkpoints.pin(memberOf(docs, groups)))
           try {
-            tt("pairs")(Warehouse.writeParquet(pairsOfExpansion(exp), s"$tmp/pairs"))
-            tt("pairbk")(Warehouse.writeParquet(
-              exp.select("band", "key", "doc_a", "doc_b"), s"$tmp/pairbk"))
-          } finally Checkpoints.release(ePin)
-        } finally Checkpoints.release(bPin)
+            // ONE rep-level banding scan feeds the audit, the FULL
+            // doc-weighted size census (`sizes/` — what makes the NEXT
+            // append O(batch): it merges batch-key counts into this
+            // table instead of re-exploding the grown signature table)
+            // and the mining
+            val (wb, bPin) = tt("pin-buckets")(Checkpoints.pin(repBuckets(sig, groups)))
+            try {
+              tt("sizes")(Warehouse.writeParquet(
+                wb.select(col("band"), col("key"), col("w").as("n_members")),
+                s"$tmp/sizes"))
+              tt("audit")(Warehouse.writeParquet(
+                s.read.parquet(s"$tmp/sizes")
+                  .filter(col("n_members") > MaxBucketMembers),
+                s"$tmp/audit"))
+              // rep-level mining, KEEPING the bucket key: `pairbk/`
+              // records every under-cap bucket each mined pair shares,
+              // so an append can settle pair death (every recorded
+              // bucket crossed the cap) without re-deriving corpus
+              // membership
+              val (rexp, ePin) = tt("pin-exp")(Checkpoints.pin(
+                repPairExpansion(wb)
+                  .select(col("band"), col("key"), col("doc_a").as("rep_a"),
+                    col("doc_b").as("rep_b"), col("est_jaccard"))))
+              try {
+                val repPairs = rexp
+                  .select("rep_a", "rep_b", "est_jaccard").distinct()
+                // rep pairs connect DISTINCT texts by construction, so
+                // each pays the true shingle intersection exactly once —
+                // the old byte-identical fast path is now structural
+                // (replica pairs never reach the miner at all)
+                val rp = repPairs.select(col("rep_a").as("doc_a"),
+                  col("rep_b").as("doc_b"))
+                val repVer = jaccardOfShingles(rp, candShingles(docs, rp))
+                  .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"),
+                    col("jaccard"))
+                // groups qualifying for WITHIN-group pairs: ≥2 members
+                // sharing ≥1 under-cap bucket (a group is in a bucket
+                // iff its rep is)
+                val qb = wb.filter(col("w") <= MaxBucketMembers)
+                  .select(col("band"), col("key"),
+                    explode(col("ms.doc_id")).as("rep"))
+                val withinQ = groups.filter(col("gsize") > 1)
+                  .join(qb.select("rep").distinct().hint("shuffle_hash"),
+                    Seq("rep"), "left_semi")
+                  .select(col("rep"), col("trivial"))
+                val memQ = mem.join(withinQ.select("rep").hint("shuffle_hash"),
+                  Seq("rep"), "left_semi")
+                val (withinX, wPin) = tt("pin-within")(Checkpoints.pin(
+                  memQ.select(col("rep"), col("doc_id").as("doc_a"))
+                    .join(memQ.select(col("rep"), col("doc_id").as("doc_b"))
+                      .hint("shuffle_hash"), Seq("rep"))
+                    .filter(col("doc_a") < col("doc_b"))
+                    .join(withinQ.hint("shuffle_hash"), Seq("rep"))
+                    .select(col("rep"), col("doc_a"), col("doc_b"),
+                      when(col("trivial"), lit(0.0)).otherwise(lit(1.0))
+                        .as("est_jaccard"),
+                      when(col("trivial"), lit(0.0)).otherwise(lit(1.0))
+                        .as("jaccard"))))
+                try {
+                  // cross-group doc pairs: replicate each rep pair over
+                  // both groups' members (singleton groups pass through
+                  // as their rep); least/greatest restores doc_a < doc_b,
+                  // which group interleaving does not preserve
+                  val ma = mem.select(col("rep").as("rep_a"),
+                    col("doc_id").as("da"))
+                  val mb = mem.select(col("rep").as("rep_b"),
+                    col("doc_id").as("db"))
+                  val (crossX, xPin) = tt("pin-cross")(Checkpoints.pin(
+                    repPairs
+                      .join(repVer.hint("shuffle_hash"),
+                        Seq("rep_a", "rep_b"), "left")
+                      .join(ma.hint("shuffle_hash"), Seq("rep_a"), "left")
+                      .join(mb.hint("shuffle_hash"), Seq("rep_b"), "left")
+                      .select(
+                        least(coalesce(col("da"), col("rep_a")),
+                          coalesce(col("db"), col("rep_b"))).as("doc_a"),
+                        greatest(coalesce(col("da"), col("rep_a")),
+                          coalesce(col("db"), col("rep_b"))).as("doc_b"),
+                        col("rep_a"), col("rep_b"),
+                        col("est_jaccard"), col("jaccard"))))
+                  try {
+                    tt("pairs")(Warehouse.writeParquet(
+                      crossX.select("doc_a", "doc_b", "est_jaccard")
+                        .unionByName(
+                          withinX.select("doc_a", "doc_b", "est_jaccard")),
+                      s"$tmp/pairs"))
+                    // nearpairs/: exactly the cross-group (not
+                    // byte-identical) pairs — the funnel's stage-2 drop
+                    // join consumes THIS subset (a byte-identical pair
+                    // can never drop: its doc_b already lost exact
+                    // dedup — see [[nearPairs]])
+                    tt("nearpairs")(Warehouse.writeParquet(
+                      crossX.select("doc_a", "doc_b", "est_jaccard"),
+                      s"$tmp/nearpairs"))
+                    // a rep pair with no verify row (a shingle-less side
+                    // drops out of the packed-set inner join) stays
+                    // absent from verify/ exactly as it did uncontracted
+                    tt("verify")(Warehouse.writeParquet(
+                      crossX.filter(col("jaccard").isNotNull)
+                        .select("doc_a", "doc_b", "jaccard")
+                        .unionByName(
+                          withinX.select("doc_a", "doc_b", "jaccard")),
+                      s"$tmp/verify"))
+                    tt("pairbk")(Warehouse.writeParquet(
+                      rexp.select("band", "key", "rep_a", "rep_b")
+                        .join(crossX.select("rep_a", "rep_b",
+                            "doc_a", "doc_b").hint("shuffle_hash"),
+                          Seq("rep_a", "rep_b"))
+                        .select("band", "key", "doc_a", "doc_b")
+                        .unionByName(
+                          qb.join(withinX.hint("shuffle_hash"), Seq("rep"))
+                            .select("band", "key", "doc_a", "doc_b")),
+                      s"$tmp/pairbk"))
+                  } finally Checkpoints.release(xPin)
+                } finally Checkpoints.release(wPin)
+                // components at REP level (the contraction's second win:
+                // the CC edge set drops from doc pairs to distinct-text
+                // pairs), then expand: a qualifying non-degenerate
+                // replicated group is a clique — a self-edge keeps an
+                // isolated one in the vertex set — so its members adopt
+                // the rep's component; labels stay min member ids
+                // because each group's min IS its rep
+                val crossEdges = repPairs.filter(col("est_jaccard") >= 0.5)
+                  .select(col("rep_a").as("src"), col("rep_b").as("dst"))
+                val selfEdges = withinQ.filter(!col("trivial"))
+                  .select(col("rep").as("src"), col("rep").as("dst"))
+                tt("comp") {
+                  val ccRep = connectedComponents(
+                    crossEdges.unionByName(selfEdges))
+                  Warehouse.writeParquet(
+                    ccRep.join(mem.select(col("rep").as("id"), col("doc_id"))
+                        .hint("shuffle_hash"), Seq("id"), "left")
+                      .select(coalesce(col("doc_id"), col("id")).as("id"),
+                        col("comp")),
+                    s"$tmp/comp")
+                }
+              } finally Checkpoints.release(ePin)
+            } finally Checkpoints.release(bPin)
+          } finally Checkpoints.release(mPin)
+        } finally Checkpoints.release(gPin)
         // per-doc 16-bit SimHash (t07 serves from this table): a pure
         // per-document function, so appends extend it by file like the
         // signature table — the build pays the one token-explode pass
         tt("simhash")(Warehouse.writeParquet(
           simhashDoc(Par.widen(Tables.documents(s, d))),
           s"$tmp/simhash"))
-        val pairs = s.read.parquet(s"$tmp/pairs")
-        // pin the candidate shingles once: the Jaccard computation reads
-        // them three ways (sizes + both intersection sides), and the
-        // relation is candidate-sized — near-dup-rate × corpus, spilled
-        // to disk by the checkpoint if it outgrows memory — not
-        // corpus-sized
-        tt("verify") {
-          // exact-content fast path first (see [[fingerprintTagged]]):
-          // byte-identical pairs decide in-row; only the genuinely-near
-          // remainder shingles + intersects. The tag pins because both
-          // split sides consume it; the near shingles pin because the
-          // Jaccard reads them three ways (sizes + both intersection
-          // sides) — and they are now NEAR-pair-sized, not
-          // all-candidate-sized.
-          val docs = Tables.documents(s, d)
-          val (tagged, tPin) = Checkpoints.pin(
-            fingerprintTagged(docs, pairs))
-          try {
-            val near = nearOfTagged(tagged)
-            val (csh, sPin) = Checkpoints.pin(candShingles(docs, near))
-            try Warehouse.writeParquet(
-              jaccardOfShingles(near, csh).unionByName(exactOfTagged(tagged)),
-              s"$tmp/verify")
-            finally Checkpoints.release(sPin)
-            // nearpairs/: the same tag, kept as an artifact — the
-            // funnel's stage-2 drop join consumes THIS subset instead
-            // of the full pair table (a byte-identical pair can never
-            // drop: its doc_b shares doc_a's md5 group, so it already
-            // lost exact dedup — see [[nearPairPath]]); on a corpus
-            // where exact replicas dominate, that join's input shrinks
-            // by the replica pair mass (28.7M → near-only at the 100×
-            // probe)
-            Warehouse.writeParquet(
-              tagged.filter(!(col("h_a") <=> col("h_b")))
-                .select("doc_a", "doc_b", "est_jaccard"),
-              s"$tmp/nearpairs")
-          } finally Checkpoints.release(tPin)
-        }
-        val edges = pairs.filter(col("est_jaccard") >= 0.5)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        tt("comp")(Warehouse.writeParquet(connectedComponents(edges), s"$tmp/comp"))
         writeEpoch(s, tmp.toString, "epoch")
       }
     }
@@ -574,18 +734,22 @@ object TextOps {
   /** Test hook: drop the per-dataset near-dup manifest cache. */
   private[graft] def clearTextDupCache(): Unit = textDupCache.clear()
 
-  /** Plan-shape hook: the live mining lineage `textdup_build` executes
-    * (PlanShapeSpec locks it to the sig-artifact scan + in-row pair
-    * expansion). */
+  /** Plan-shape hook: the live REP-level mining lineage `textdup_build`
+    * executes (PlanShapeSpec locks it to the sig-artifact scan, the
+    * rep-keyed census join, and in-row pair expansion — never a banded
+    * self-join). */
   private[graft] def minhashPairsPlan(s: SparkSession, d: String): DataFrame =
-    minhashPairTable(sigIndex(s, d))
+    repPairExpansion(
+        repBuckets(sigIndex(s, d), groupCensus(Tables.documents(s, d))))
+      .select("doc_a", "doc_b", "est_jaccard").distinct()
 
-  /** Plan-shape hook: the live verify lineage `textdup_build` executes
-    * (PlanShapeSpec locks it broadcast-free — every relation in it is
-    * corpus-derived). */
-  private[graft] def jaccardVerifyPlan(s: SparkSession, d: String): DataFrame =
-    jaccardVerifyTable(Tables.documents(s, d),
-      minhashPairTable(sigIndex(s, d)).select("doc_a", "doc_b"))
+  /** Plan-shape hook: the live rep-level verify lineage `textdup_build`
+    * executes (PlanShapeSpec locks it broadcast-free — every relation
+    * in it is corpus-derived). */
+  private[graft] def jaccardVerifyPlan(s: SparkSession, d: String): DataFrame = {
+    val rp = minhashPairsPlan(s, d).select("doc_a", "doc_b")
+    jaccardOfShingles(rp, candShingles(Tables.documents(s, d), rp))
+  }
 
   /** INCREMENTAL text near-dup maintenance — the text analog of
     * SimOps.appendToNearDup, run after [[appendToSigIndex]] has landed
@@ -624,9 +788,22 @@ object TextOps {
     }
   }
 
+  /** Sort keys of the textdup artifact's append-maintained tables —
+    * doc_b carries the high-water min/max stats the funnel's epoch
+    * delta prunes on; shared by the carry, the synchronous backstop
+    * and the staged off-path compaction. */
+  private val TextDupTableKeys = Seq(
+    "pairs" -> Seq("doc_b"), "pairbk" -> Seq("doc_b"),
+    "verify" -> Seq("doc_b"), "nearpairs" -> Seq("doc_b"),
+    "simhash" -> Seq("doc_id"))
+
   private def appendToTextDupIncremental(s: SparkSession, d: String,
       appended: DataFrame, prior: String): Unit = {
-    Warehouse.getOrBuild("textdup", d, "documents.parquet") { tmp =>
+    // tables whose file count crossed the budget THIS append: they are
+    // staged for background compaction after the artifact completes,
+    // so the rewrite never rides the append's critical path
+    val toStage = scala.collection.mutable.ListBuffer.empty[(String, Seq[String])]
+    val dir = Warehouse.getOrBuild("textdup", d, "documents.parquet") { tmp =>
       // stage wall times print under -Dgraft.buildProfile (same hook as
       // the full build)
       def tt[A](name: String)(f: => A): A = Prof.tt("textdup+")(name)(f)
@@ -718,11 +895,11 @@ object TextOps {
           .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
         if (!anyCross) {
           tt("pairs") {
-            Warehouse.copyData(s"$prior/pairs", tmp.resolve("pairs"))
+            Warehouse.carryTable(prior, "pairs", tmp.resolve("pairs"))
             newPairs.write.mode("append").parquet(s"$tmp/pairs")
           }
           tt("pairbk") {
-            Warehouse.copyData(s"$prior/pairbk", tmp.resolve("pairbk"))
+            Warehouse.carryTable(prior, "pairbk", tmp.resolve("pairbk"))
             exp.select("band", "key", "doc_a", "doc_b")
               .dropDuplicates("band", "key", "doc_a", "doc_b")
               .write.mode("append").parquet(s"$tmp/pairbk")
@@ -755,14 +932,14 @@ object TextOps {
           newPairs)
         if (!anyCross) {
           tt("verify") {
-            Warehouse.copyData(s"$prior/verify", tmp.resolve("verify"))
+            Warehouse.carryTable(prior, "verify", tmp.resolve("verify"))
             newVerify.write.mode("append").parquet(s"$tmp/verify")
           }
           // nearpairs extends like pairs/verify: carried files top out
           // at the prior high-water doc_b, so the funnel's epoch-delta
           // min/max pruning keeps working across appends
           tt("nearpairs") {
-            Warehouse.copyData(s"$prior/nearpairs", tmp.resolve("nearpairs"))
+            Warehouse.carryTable(prior, "nearpairs", tmp.resolve("nearpairs"))
             newNear.write.mode("append").parquet(s"$tmp/nearpairs")
           }
         } else {
@@ -829,20 +1006,26 @@ object TextOps {
       } finally Checkpoints.release(mPin)
       // the per-doc simhash table extends exactly like the signature
       // artifact: carry the prior files, hash only the batch
-      tt("simhash")(Warehouse.copyData(s"$prior/simhash", tmp.resolve("simhash")))
+      tt("simhash")(Warehouse.carryTable(prior, "simhash", tmp.resolve("simhash")))
       tt("simhash-batch")(simhashDoc(appended).write.mode("append").parquet(s"$tmp/simhash"))
       // file-count hygiene: the carry+append tables gain O(1) files per
-      // micro-batch; past the budget they rewrite sorted on their
-      // pruning key (doc_b carries the high-water min/max stats the
-      // funnel's epoch delta prunes on)
+      // micro-batch. Over-budget tables are STAGED for background
+      // compaction (scheduled below, once the artifact completes) and
+      // the NEXT append adopts the compacted copy at carry time — the
+      // rewrite leaves the append's critical path. The synchronous
+      // compactIfNeeded here is only the 2×-slack backstop for a
+      // pathological run where staging never catches up (appends
+      // arriving faster than the stager rewrites): the file-count
+      // bound stays floor + 2×budget in the worst case.
       tt("compact") {
-        Warehouse.compactIfNeeded(s, tmp.resolve("pairs"), Seq("doc_b"))
-        Warehouse.compactIfNeeded(s, tmp.resolve("pairbk"), Seq("doc_b"))
-        Warehouse.compactIfNeeded(s, tmp.resolve("verify"), Seq("doc_b"))
-        Warehouse.compactIfNeeded(s, tmp.resolve("nearpairs"), Seq("doc_b"))
-        Warehouse.compactIfNeeded(s, tmp.resolve("simhash"), Seq("doc_id"))
+        for ((t, keys) <- TextDupTableKeys) {
+          Warehouse.compactIfNeeded(s, tmp.resolve(t), keys, slack = 2)
+          if (Warehouse.needsCompaction(tmp.resolve(t))) toStage += ((t, keys))
+        }
       }
     }
+    for ((t, keys) <- toStage)
+      Warehouse.scheduleStagedCompaction(s, dir, t, keys)
     ()
   }
 

@@ -306,6 +306,22 @@ object Warehouse {
     }
   }
 
+  /** Delete every NON-DEFAULT param family of `table@dataset` — the
+    * explicit-k index variants (the v15 auto-geometry family) without
+    * touching the default family a sibling query serves from; the
+    * bench's cold-reset for `ivfauto_build` must not force the next
+    * v05 serve through a rebuild. */
+  def invalidateNonDefault(table: String, d: String): Unit = {
+    val head = sanitize(s"$table@")
+    val tag = sanitize(s"@${dsTag(d)}@")
+    val default = prefix(table, "", d)
+    listRoot().foreach { f =>
+      val n = f.getFileName.toString
+      if (n.startsWith(head) && n.contains(tag) && !n.startsWith(default))
+        rmTree(f)
+    }
+  }
+
   /** Delete every artifact of every table for `dataset`. */
   def invalidateDataset(d: String): Unit = {
     val tag = sanitize(s"@${dsTag(d)}@")
@@ -415,7 +431,8 @@ object Warehouse {
     * amortized O(data/budget) per-append cost that buys back bounded
     * file counts. Returns true when a rewrite happened. */
   def compactIfNeeded(s: SparkSession, dir: Path,
-      sortCols: Seq[String] = Nil, slack: Int = 1): Boolean = {
+      sortCols: Seq[String] = Nil, slack: Int = 1,
+      codec: Option[String] = None): Boolean = {
     val nParts = partFileCount(dir)
     if (nParts <= slack * maxFilesPerTable) return false
     val floor = sizeFloor(dataBytes(dir))
@@ -429,7 +446,7 @@ object Warehouse {
     // table@dataset match sweeps a crash's litter
     val staging = dir.resolveSibling(
       dir.getFileName.toString + s".compact-${System.nanoTime()}")
-    try writeParquet(compacted(s, dir, floor, sortCols), staging.toString)
+    try writeParquet(compacted(s, dir, floor, sortCols), staging.toString, codec)
     catch { case e: Throwable => rmTree(staging); throw e }
     rmTree(dir)
     Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
@@ -453,14 +470,15 @@ object Warehouse {
     * touched cell per batch, so the per-cell count is the one that
     * grows). No sort key — a cell's rows are served whole. Returns the
     * number of leaf dirs rewritten. */
-  def compactTreeIfNeeded(s: SparkSession, root: Path): Int = {
+  def compactTreeIfNeeded(s: SparkSession, root: Path,
+      sortCols: Seq[String] = Nil, codec: Option[String] = None): Int = {
     if (!Files.isDirectory(root)) return 0
     val l = Files.list(root)
     val leaves =
       try { import scala.jdk.CollectionConverters._
         l.iterator().asScala.filter(Files.isDirectory(_)).toList }
       finally l.close()
-    leaves.count(compactIfNeeded(s, _))
+    leaves.count(compactIfNeeded(s, _, sortCols, 1, codec))
   }
 
   // ---------------------------------------------------- staged compaction
@@ -556,8 +574,11 @@ object Warehouse {
     * near-dup AUDIT table, empty by design until a bucket overflows. An
     * empty result rewrites as one empty task so the schema lands in a
     * footer. */
-  def writeParquet(df: DataFrame, dir: String): Unit = {
-    df.write.mode("overwrite").parquet(dir)
+  def writeParquet(df: DataFrame, dir: String,
+      codec: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
+    codec.foreach(c => w.option("compression", c))
+    w.parquet(dir)
     val s = Files.list(Paths.get(dir))
     val hasPart =
       try { import scala.jdk.CollectionConverters._

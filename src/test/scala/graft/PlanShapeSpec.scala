@@ -165,10 +165,16 @@ class PlanShapeSpec extends SparkSpecBase {
     // appear — that is the sig build's job
     assert(!p.contains("array_min"),
       s"pair mining re-derives signatures:\n$p")
-    // in-row bucket expansion: one Generate (the band explode + pair
-    // flatten), no self-join of the banded relation
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+    // in-row bucket expansion: the only joins in the contracted mining
+    // are rep-keyed (the exact-dup census against the sig artifact) —
+    // never a self-join of the banded relation on (band, key), which
+    // is the O(bucket²)-rows regression this pins against
+    assert(!p.contains("Join [band") && !p.contains("Join [key"),
       s"pair mining regressed to a banded self-join:\n$p")
+    // the census join must not broadcast either side: both are
+    // corpus-derived (distinct texts scale with the corpus)
+    assert(!p.contains("BroadcastHashJoin"),
+      s"pair mining broadcasts a corpus-derived relation:\n$p")
   }
 
   test("AOI clip broadcasts the one-row bounds, never the grid") {

@@ -514,19 +514,33 @@ object TextOps {
     * result-sized (pairs scale with the near-dup rate, labels with
     * candidate docs, audit with degenerate keys — all ≪ corpus).
     *
-    * The build MINES OVER EXACT-DUP CLIQUE REPRESENTATIVES
-    * ([[groupCensus]]): byte-identical documents share shingles,
-    * signatures and buckets, so banding/verify/components run on one
-    * doc per distinct text and the doc-level artifact rows expand back
-    * through the replicated-group membership at write time —
-    * within-group pairs carry est/jaccard 1.0 (0.0 for the <3-token
-    * degenerate) by definition, cross-group pairs replicate their rep
-    * pair's values. Row-identical to the uncontracted mining
-    * (oracle-hashed at sf0.01/sf1, invariant-checked at 100×, and the
-    * append path still mines uncontracted — IncrementalSpec's
-    * append == rebuild equality crosses the two spellings). On the
-    * replica-dominated 100× probe this removes the 28.7M-pair replica
-    * mass from every mining stage except the final artifact writes. */
+    * The build DISPATCHES ON THE EXACT-DUP GROUP CENSUS
+    * ([[groupCensus]], one md5 groupBy — paid by both paths since the
+    * census also decides within-group pair semantics):
+    *
+    *  - **Replica-dominated corpus** (distinct texts ≤
+    *    [[RepMineMaxFraction]] × docs — the crawl-with-mirrors shape):
+    *    mine over CLIQUE REPRESENTATIVES. Byte-identical documents
+    *    share shingles, signatures and buckets, so banding, the
+    *    Jaccard verification and connected components run on one doc
+    *    per distinct text, and the doc-level artifact rows expand back
+    *    through the replicated-group membership at write time —
+    *    within-group pairs carry est/jaccard 1.0 (0.0 for the <3-token
+    *    degenerate) by definition, cross-group pairs replicate their
+    *    rep pair's values. The quadratic replica pair mass never
+    *    reaches the miner.
+    *  - **Mostly-unique corpus** (distinct texts ≈ docs): mine at DOC
+    *    level with the byte-identical verify fast path. Here the
+    *    contraction buys nothing (reps ≈ docs) while its membership
+    *    expansions add ~3 pair-table-sized shuffle joins — measured 2×
+    *    slower (735 vs 377 s) on the 100× probe corpus, whose 500k
+    *    docs hold 499.2k distinct texts.
+    *
+    * Both spellings are row-identical (oracle-hashed at sf0.01/sf1,
+    * invariant-checked at 100×, spec-locked against each other on
+    * forced corpora of both shapes; the append path always mines
+    * uncontracted, so IncrementalSpec's append == rebuild equality
+    * crosses spellings whenever the build contracted). */
   private[graft] def textDupIndex(s: SparkSession, d: String): String =
     textDupCache.get(s"$d@${BuildCache.version(d, "documents.parquet")}") {
       Warehouse.getOrBuild("textdup", d, "documents.parquet") { tmp =>
@@ -535,147 +549,11 @@ object TextOps {
         val docs = Tables.documents(s, d)
         val (groups, gPin) = tt("pin-groups")(Checkpoints.pin(groupCensus(docs)))
         try {
-          val (mem, mPin) = tt("pin-mem")(Checkpoints.pin(memberOf(docs, groups)))
-          try {
-            // ONE rep-level banding scan feeds the audit, the FULL
-            // doc-weighted size census (`sizes/` — what makes the NEXT
-            // append O(batch): it merges batch-key counts into this
-            // table instead of re-exploding the grown signature table)
-            // and the mining
-            val (wb, bPin) = tt("pin-buckets")(Checkpoints.pin(repBuckets(sig, groups)))
-            try {
-              tt("sizes")(Warehouse.writeParquet(
-                wb.select(col("band"), col("key"), col("w").as("n_members")),
-                s"$tmp/sizes"))
-              tt("audit")(Warehouse.writeParquet(
-                s.read.parquet(s"$tmp/sizes")
-                  .filter(col("n_members") > MaxBucketMembers),
-                s"$tmp/audit"))
-              // rep-level mining, KEEPING the bucket key: `pairbk/`
-              // records every under-cap bucket each mined pair shares,
-              // so an append can settle pair death (every recorded
-              // bucket crossed the cap) without re-deriving corpus
-              // membership
-              val (rexp, ePin) = tt("pin-exp")(Checkpoints.pin(
-                repPairExpansion(wb)
-                  .select(col("band"), col("key"), col("doc_a").as("rep_a"),
-                    col("doc_b").as("rep_b"), col("est_jaccard"))))
-              try {
-                val repPairs = rexp
-                  .select("rep_a", "rep_b", "est_jaccard").distinct()
-                // rep pairs connect DISTINCT texts by construction, so
-                // each pays the true shingle intersection exactly once —
-                // the old byte-identical fast path is now structural
-                // (replica pairs never reach the miner at all)
-                val rp = repPairs.select(col("rep_a").as("doc_a"),
-                  col("rep_b").as("doc_b"))
-                val repVer = jaccardOfShingles(rp, candShingles(docs, rp))
-                  .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"),
-                    col("jaccard"))
-                // groups qualifying for WITHIN-group pairs: ≥2 members
-                // sharing ≥1 under-cap bucket (a group is in a bucket
-                // iff its rep is)
-                val qb = wb.filter(col("w") <= MaxBucketMembers)
-                  .select(col("band"), col("key"),
-                    explode(col("ms.doc_id")).as("rep"))
-                val withinQ = groups.filter(col("gsize") > 1)
-                  .join(qb.select("rep").distinct().hint("shuffle_hash"),
-                    Seq("rep"), "left_semi")
-                  .select(col("rep"), col("trivial"))
-                val memQ = mem.join(withinQ.select("rep").hint("shuffle_hash"),
-                  Seq("rep"), "left_semi")
-                val (withinX, wPin) = tt("pin-within")(Checkpoints.pin(
-                  memQ.select(col("rep"), col("doc_id").as("doc_a"))
-                    .join(memQ.select(col("rep"), col("doc_id").as("doc_b"))
-                      .hint("shuffle_hash"), Seq("rep"))
-                    .filter(col("doc_a") < col("doc_b"))
-                    .join(withinQ.hint("shuffle_hash"), Seq("rep"))
-                    .select(col("rep"), col("doc_a"), col("doc_b"),
-                      when(col("trivial"), lit(0.0)).otherwise(lit(1.0))
-                        .as("est_jaccard"),
-                      when(col("trivial"), lit(0.0)).otherwise(lit(1.0))
-                        .as("jaccard"))))
-                try {
-                  // cross-group doc pairs: replicate each rep pair over
-                  // both groups' members (singleton groups pass through
-                  // as their rep); least/greatest restores doc_a < doc_b,
-                  // which group interleaving does not preserve
-                  val ma = mem.select(col("rep").as("rep_a"),
-                    col("doc_id").as("da"))
-                  val mb = mem.select(col("rep").as("rep_b"),
-                    col("doc_id").as("db"))
-                  val (crossX, xPin) = tt("pin-cross")(Checkpoints.pin(
-                    repPairs
-                      .join(repVer.hint("shuffle_hash"),
-                        Seq("rep_a", "rep_b"), "left")
-                      .join(ma.hint("shuffle_hash"), Seq("rep_a"), "left")
-                      .join(mb.hint("shuffle_hash"), Seq("rep_b"), "left")
-                      .select(
-                        least(coalesce(col("da"), col("rep_a")),
-                          coalesce(col("db"), col("rep_b"))).as("doc_a"),
-                        greatest(coalesce(col("da"), col("rep_a")),
-                          coalesce(col("db"), col("rep_b"))).as("doc_b"),
-                        col("rep_a"), col("rep_b"),
-                        col("est_jaccard"), col("jaccard"))))
-                  try {
-                    tt("pairs")(Warehouse.writeParquet(
-                      crossX.select("doc_a", "doc_b", "est_jaccard")
-                        .unionByName(
-                          withinX.select("doc_a", "doc_b", "est_jaccard")),
-                      s"$tmp/pairs"))
-                    // nearpairs/: exactly the cross-group (not
-                    // byte-identical) pairs — the funnel's stage-2 drop
-                    // join consumes THIS subset (a byte-identical pair
-                    // can never drop: its doc_b already lost exact
-                    // dedup — see [[nearPairs]])
-                    tt("nearpairs")(Warehouse.writeParquet(
-                      crossX.select("doc_a", "doc_b", "est_jaccard"),
-                      s"$tmp/nearpairs"))
-                    // a rep pair with no verify row (a shingle-less side
-                    // drops out of the packed-set inner join) stays
-                    // absent from verify/ exactly as it did uncontracted
-                    tt("verify")(Warehouse.writeParquet(
-                      crossX.filter(col("jaccard").isNotNull)
-                        .select("doc_a", "doc_b", "jaccard")
-                        .unionByName(
-                          withinX.select("doc_a", "doc_b", "jaccard")),
-                      s"$tmp/verify"))
-                    tt("pairbk")(Warehouse.writeParquet(
-                      rexp.select("band", "key", "rep_a", "rep_b")
-                        .join(crossX.select("rep_a", "rep_b",
-                            "doc_a", "doc_b").hint("shuffle_hash"),
-                          Seq("rep_a", "rep_b"))
-                        .select("band", "key", "doc_a", "doc_b")
-                        .unionByName(
-                          qb.join(withinX.hint("shuffle_hash"), Seq("rep"))
-                            .select("band", "key", "doc_a", "doc_b")),
-                      s"$tmp/pairbk"))
-                  } finally Checkpoints.release(xPin)
-                } finally Checkpoints.release(wPin)
-                // components at REP level (the contraction's second win:
-                // the CC edge set drops from doc pairs to distinct-text
-                // pairs), then expand: a qualifying non-degenerate
-                // replicated group is a clique — a self-edge keeps an
-                // isolated one in the vertex set — so its members adopt
-                // the rep's component; labels stay min member ids
-                // because each group's min IS its rep
-                val crossEdges = repPairs.filter(col("est_jaccard") >= 0.5)
-                  .select(col("rep_a").as("src"), col("rep_b").as("dst"))
-                val selfEdges = withinQ.filter(!col("trivial"))
-                  .select(col("rep").as("src"), col("rep").as("dst"))
-                tt("comp") {
-                  val ccRep = connectedComponents(
-                    crossEdges.unionByName(selfEdges))
-                  Warehouse.writeParquet(
-                    ccRep.join(mem.select(col("rep").as("id"), col("doc_id"))
-                        .hint("shuffle_hash"), Seq("id"), "left")
-                      .select(coalesce(col("doc_id"), col("id")).as("id"),
-                        col("comp")),
-                    s"$tmp/comp")
-                }
-              } finally Checkpoints.release(ePin)
-            } finally Checkpoints.release(bPin)
-          } finally Checkpoints.release(mPin)
+          val cen = groups.agg(count(lit(1)).as("reps"),
+            sum("gsize").as("docs")).head()
+          if (cen.getLong(0) <= RepMineMaxFraction * cen.getLong(1))
+            mineRepLevel(s, tmp.toString, sig, docs, groups)
+          else mineDocLevel(s, tmp.toString, sig, docs)
         } finally Checkpoints.release(gPin)
         // per-doc 16-bit SimHash (t07 serves from this table): a pure
         // per-document function, so appends extend it by file like the
@@ -686,6 +564,232 @@ object TextOps {
         writeEpoch(s, tmp.toString, "epoch")
       }
     }
+
+  /** Dispatch threshold for [[mineRepLevel]]: contract only when at
+    * least half the corpus is absorbed into byte-identical groups.
+    * The contraction's fixed overhead is ~3 extra pair-table-sized
+    * shuffle joins (the membership expansions of pairs/verify/pairbk),
+    * so it needs the rep-level pair mass to shrink materially below
+    * the doc-level one to pay; at reps/docs = 0.5 clique-free pair
+    * mass already shrinks ~4× while the expansions stay output-sized.
+    * Measured endpoints on the 100× corpus shape: reps/docs ≈ 1.0 →
+    * contraction LOSES 2× (735 vs 377 s); replica-heavy test corpora →
+    * wins by the replica pair mass. */
+  private[graft] val RepMineMaxFraction = 0.5
+
+  /** Rep-level (contracted) mining — see [[textDupIndex]]. `groups` is
+    * the pinned exact-dup census; artifacts land row-identical to
+    * [[mineDocLevel]]. */
+  private[graft] def mineRepLevel(s: SparkSession, tmp: String, sig: DataFrame,
+      docs: DataFrame, groups: DataFrame): Unit = {
+    def tt[A](name: String)(f: => A): A = Prof.tt("textdup")(name)(f)
+    val (mem, mPin) = tt("pin-mem")(Checkpoints.pin(memberOf(docs, groups)))
+    try {
+      // ONE rep-level banding scan feeds the audit, the FULL
+      // doc-weighted size census (`sizes/` — what makes the NEXT
+      // append O(batch): it merges batch-key counts into this
+      // table instead of re-exploding the grown signature table)
+      // and the mining
+      val (wb, bPin) = tt("pin-buckets")(Checkpoints.pin(repBuckets(sig, groups)))
+      try {
+        tt("sizes")(Warehouse.writeParquet(
+          wb.select(col("band"), col("key"), col("w").as("n_members")),
+          s"$tmp/sizes"))
+        tt("audit")(Warehouse.writeParquet(
+          s.read.parquet(s"$tmp/sizes")
+            .filter(col("n_members") > MaxBucketMembers),
+          s"$tmp/audit"))
+        // rep-level mining, KEEPING the bucket key: `pairbk/`
+        // records every under-cap bucket each mined pair shares,
+        // so an append can settle pair death (every recorded
+        // bucket crossed the cap) without re-deriving corpus
+        // membership
+        val (rexp, ePin) = tt("pin-exp")(Checkpoints.pin(
+          repPairExpansion(wb)
+            .select(col("band"), col("key"), col("doc_a").as("rep_a"),
+              col("doc_b").as("rep_b"), col("est_jaccard"))))
+        try {
+          val repPairs = rexp
+            .select("rep_a", "rep_b", "est_jaccard").distinct()
+          // rep pairs connect DISTINCT texts by construction, so
+          // each pays the true shingle intersection exactly once —
+          // the old byte-identical fast path is now structural
+          // (replica pairs never reach the miner at all)
+          val rp = repPairs.select(col("rep_a").as("doc_a"),
+            col("rep_b").as("doc_b"))
+          val repVer = jaccardOfShingles(rp, candShingles(docs, rp))
+            .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"),
+              col("jaccard"))
+          // groups qualifying for WITHIN-group pairs: ≥2 members
+          // sharing ≥1 under-cap bucket (a group is in a bucket
+          // iff its rep is)
+          val qb = wb.filter(col("w") <= MaxBucketMembers)
+            .select(col("band"), col("key"),
+              explode(col("ms.doc_id")).as("rep"))
+          val withinQ = groups.filter(col("gsize") > 1)
+            .join(qb.select("rep").distinct().hint("shuffle_hash"),
+              Seq("rep"), "left_semi")
+            .select(col("rep"), col("trivial"))
+          val memQ = mem.join(withinQ.select("rep").hint("shuffle_hash"),
+            Seq("rep"), "left_semi")
+          val (withinX, wPin) = tt("pin-within")(Checkpoints.pin(
+            memQ.select(col("rep"), col("doc_id").as("doc_a"))
+              .join(memQ.select(col("rep"), col("doc_id").as("doc_b"))
+                .hint("shuffle_hash"), Seq("rep"))
+              .filter(col("doc_a") < col("doc_b"))
+              .join(withinQ.hint("shuffle_hash"), Seq("rep"))
+              .select(col("rep"), col("doc_a"), col("doc_b"),
+                when(col("trivial"), lit(0.0)).otherwise(lit(1.0))
+                  .as("est_jaccard"),
+                when(col("trivial"), lit(0.0)).otherwise(lit(1.0))
+                  .as("jaccard"))))
+          try {
+            // cross-group doc pairs: replicate each rep pair over
+            // both groups' members (singleton groups pass through
+            // as their rep); least/greatest restores doc_a < doc_b,
+            // which group interleaving does not preserve
+            val ma = mem.select(col("rep").as("rep_a"),
+              col("doc_id").as("da"))
+            val mb = mem.select(col("rep").as("rep_b"),
+              col("doc_id").as("db"))
+            val (crossX, xPin) = tt("pin-cross")(Checkpoints.pin(
+              repPairs
+                .join(repVer.hint("shuffle_hash"),
+                  Seq("rep_a", "rep_b"), "left")
+                .join(ma.hint("shuffle_hash"), Seq("rep_a"), "left")
+                .join(mb.hint("shuffle_hash"), Seq("rep_b"), "left")
+                .select(
+                  least(coalesce(col("da"), col("rep_a")),
+                    coalesce(col("db"), col("rep_b"))).as("doc_a"),
+                  greatest(coalesce(col("da"), col("rep_a")),
+                    coalesce(col("db"), col("rep_b"))).as("doc_b"),
+                  col("rep_a"), col("rep_b"),
+                  col("est_jaccard"), col("jaccard"))))
+            try {
+              tt("pairs")(Warehouse.writeParquet(
+                crossX.select("doc_a", "doc_b", "est_jaccard")
+                  .unionByName(
+                    withinX.select("doc_a", "doc_b", "est_jaccard")),
+                s"$tmp/pairs"))
+              // nearpairs/: exactly the cross-group (not
+              // byte-identical) pairs — the funnel's stage-2 drop
+              // join consumes THIS subset (a byte-identical pair
+              // can never drop: its doc_b already lost exact
+              // dedup — see [[nearPairs]])
+              tt("nearpairs")(Warehouse.writeParquet(
+                crossX.select("doc_a", "doc_b", "est_jaccard"),
+                s"$tmp/nearpairs"))
+              // a rep pair with no verify row (a shingle-less side
+              // drops out of the packed-set inner join) stays
+              // absent from verify/ exactly as it did uncontracted
+              tt("verify")(Warehouse.writeParquet(
+                crossX.filter(col("jaccard").isNotNull)
+                  .select("doc_a", "doc_b", "jaccard")
+                  .unionByName(
+                    withinX.select("doc_a", "doc_b", "jaccard")),
+                s"$tmp/verify"))
+              tt("pairbk")(Warehouse.writeParquet(
+                rexp.select("band", "key", "rep_a", "rep_b")
+                  .join(crossX.select("rep_a", "rep_b",
+                      "doc_a", "doc_b").hint("shuffle_hash"),
+                    Seq("rep_a", "rep_b"))
+                  .select("band", "key", "doc_a", "doc_b")
+                  .unionByName(
+                    qb.join(withinX.hint("shuffle_hash"), Seq("rep"))
+                      .select("band", "key", "doc_a", "doc_b")),
+                s"$tmp/pairbk"))
+            } finally Checkpoints.release(xPin)
+          } finally Checkpoints.release(wPin)
+          // components at REP level (the contraction's second win:
+          // the CC edge set drops from doc pairs to distinct-text
+          // pairs), then expand: a qualifying non-degenerate
+          // replicated group is a clique — a self-edge keeps an
+          // isolated one in the vertex set — so its members adopt
+          // the rep's component; labels stay min member ids
+          // because each group's min IS its rep
+          val crossEdges = repPairs.filter(col("est_jaccard") >= 0.5)
+            .select(col("rep_a").as("src"), col("rep_b").as("dst"))
+          val selfEdges = withinQ.filter(!col("trivial"))
+            .select(col("rep").as("src"), col("rep").as("dst"))
+          tt("comp") {
+            val ccRep = connectedComponents(
+              crossEdges.unionByName(selfEdges))
+            Warehouse.writeParquet(
+              ccRep.join(mem.select(col("rep").as("id"), col("doc_id"))
+                  .hint("shuffle_hash"), Seq("id"), "left")
+                .select(coalesce(col("doc_id"), col("id")).as("id"),
+                  col("comp")),
+              s"$tmp/comp")
+          }
+        } finally Checkpoints.release(ePin)
+      } finally Checkpoints.release(bPin)
+    } finally Checkpoints.release(mPin)
+  }
+
+  /** Doc-level (uncontracted) mining with the byte-identical verify
+    * fast path — see [[textDupIndex]]. One banding scan feeds the
+    * audit, the FULL size census (`sizes/` — what makes the NEXT
+    * append O(batch): it merges batch-key counts into this table
+    * instead of re-exploding the grown signature table) and the
+    * mining; every downstream table derives from the tmp-materialized
+    * `pairs` parquet, not the live banding lineage, so the corpus-sized
+    * mining scan runs exactly once per build. */
+  private[graft] def mineDocLevel(s: SparkSession, tmp: String, sig: DataFrame,
+      docs: DataFrame): Unit = {
+    def tt[A](name: String)(f: => A): A = Prof.tt("textdup")(name)(f)
+    val (buckets, bPin) = tt("pin-buckets")(Checkpoints.pin(sigBuckets(sig)))
+    try {
+      tt("sizes")(Warehouse.writeParquet(
+        buckets.select(col("band"), col("key"),
+          size(col("ms")).cast("long").as("n_members")),
+        s"$tmp/sizes"))
+      tt("audit")(Warehouse.writeParquet(
+        s.read.parquet(s"$tmp/sizes")
+          .filter(col("n_members") > MaxBucketMembers),
+        s"$tmp/audit"))
+      // pair expansion keeps its bucket key: `pairbk/` records every
+      // under-cap bucket each mined pair shares, so an append can
+      // settle pair death (every recorded bucket crossed the cap)
+      // without re-deriving corpus membership
+      val (exp, ePin) = tt("pin-exp")(Checkpoints.pin(pairExpansion(buckets)))
+      try {
+        tt("pairs")(Warehouse.writeParquet(pairsOfExpansion(exp), s"$tmp/pairs"))
+        tt("pairbk")(Warehouse.writeParquet(
+          exp.select("band", "key", "doc_a", "doc_b"), s"$tmp/pairbk"))
+      } finally Checkpoints.release(ePin)
+    } finally Checkpoints.release(bPin)
+    val pairs = s.read.parquet(s"$tmp/pairs")
+    tt("verify") {
+      // exact-content fast path first (see [[fingerprintTagged]]):
+      // byte-identical pairs decide in-row; only the genuinely-near
+      // remainder shingles + intersects. The tag pins because both
+      // split sides consume it; the near shingles pin because the
+      // Jaccard reads them three ways (sizes + both intersection
+      // sides) — and they are NEAR-pair-sized, not
+      // all-candidate-sized.
+      val (tagged, tPin) = Checkpoints.pin(fingerprintTagged(docs, pairs))
+      try {
+        val near = nearOfTagged(tagged)
+        val (csh, sPin) = Checkpoints.pin(candShingles(docs, near))
+        try Warehouse.writeParquet(
+          jaccardOfShingles(near, csh).unionByName(exactOfTagged(tagged)),
+          s"$tmp/verify")
+        finally Checkpoints.release(sPin)
+        // nearpairs/: the same tag, kept as an artifact — the funnel's
+        // stage-2 drop join consumes THIS subset instead of the full
+        // pair table (a byte-identical pair can never drop: its doc_b
+        // shares doc_a's md5 group, so it already lost exact dedup —
+        // see [[nearPairs]])
+        Warehouse.writeParquet(
+          tagged.filter(!(col("h_a") <=> col("h_b")))
+            .select("doc_a", "doc_b", "est_jaccard"),
+          s"$tmp/nearpairs")
+      } finally Checkpoints.release(tPin)
+    }
+    val edges = pairs.filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    tt("comp")(Warehouse.writeParquet(connectedComponents(edges), s"$tmp/comp"))
+  }
 
   /** Pair-state watermark of the textdup artifact: a fresh unique value
     * on every FULL build and on every append that KILLED a prior pair
@@ -2208,6 +2312,14 @@ object TextOps {
     * 8-permutation signature, the t06/t11 edge rule). */
   val FunnelJaccard = 0.5
 
+  /** Driver budget for broadcasting a funnel-stage survivor id set into
+    * the stage-3/4/5 semi-joins (doc_id-only rows, ~8 bytes each — 4M
+    * ids ≈ 32 MB, the MaxSuperEdges/MaxBatchKeys budget class). Under
+    * it the corpus streams map-side through the semi-join and its text
+    * payload never shuffles; over it the join falls back to
+    * shuffle-hash, which stays correct at any survivor cardinality. */
+  private[graft] val FunnelSemiBroadcastMaxIds = 4L << 20
+
   /** The complete curation funnel as one declared relation — the
     * LLM-data analog of p05's pipeline summary: per-stage survivor
     * counts for exact dedup (keep lowest doc_id per md5), near-dup drop
@@ -2248,10 +2360,59 @@ object TextOps {
       .join(k1.select(col("doc_id").as("doc_a")), "doc_a")
       .select(col("doc_b").as("doc_id")).distinct()
     val k2 = tp("k2-near")(k1.join(drop2, Seq("doc_id"), "left_anti"))
-    val k3 = tp("k3-quality")(k2.join(qualityFlags(doc).filter(col("keep")).select("doc_id"), "doc_id"))
-    val k4 = tp("k4-repetition")(k3.join(repetitionStats(doc).filter(col("repetitive")).select("doc_id"),
+    // stages 3-5 evaluate their per-doc flags over SURVIVORS ONLY —
+    // k3 inner-joins the quality gate and k4/k5 anti-join repetitive /
+    // contaminated sets, so docs already dropped can never re-enter
+    // and restricting each flag relation's input to the prior stage is
+    // membership-identical (the incremental updater at k3new/k4new/
+    // k5new has always evaluated batch-only docs the same way). The
+    // win is the per-doc flag work: the repetition trigram/bigram and
+    // decontamination 4-gram explodes multiply rows by tokens-per-doc,
+    // and after near-dedup most of a duplicate-heavy corpus is gone
+    // (500k docs → 17.8k stage-2 survivors at the 100× probe).
+    //
+    // The restriction must go through a PIN, not a bare semi-join:
+    // declaratively, `qualityFlags(doc ⋈ k2).filter(keep)` lets
+    // Catalyst push the flag predicate through the join back onto the
+    // corpus scan (filter pushdown has no expression-cost model, and
+    // the regex/explode flags are exactly the expensive-predicate ×
+    // selective-join case where pushdown HURTS — measured: the joined
+    // spelling still paid the full 500k-doc regex pass, k3 ≈ 27 s).
+    // The eager checkpoint is the optimization barrier: survivor docs
+    // materialize ONCE (one corpus scan — broadcast semi-join under
+    // [[FunnelSemiBroadcastMaxIds]] ids so the text payload never
+    // shuffles, shuffle-hash fallback above it), and every later
+    // stage's flag relation derives from the pinned survivor rows,
+    // paying zero further corpus scans.
+    // survivor id sets are pinned (tp), so the count is a local-block
+    // pass and an under-budget set broadcasts — doc_id-only rows,
+    // driver-budgeted like MaxBatchKeys; over it, shuffle-hash stays
+    // correct at any cardinality
+    def restrictTo(base: DataFrame, survivors: DataFrame): DataFrame =
+      if (survivors.count() <= FunnelSemiBroadcastMaxIds)
+        base.join(broadcast(survivors), Seq("doc_id"), "left_semi")
+      else base.join(survivors.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+    val docsK2 = tp("k2-docs")(restrictTo(doc, k2))
+    val k3 = tp("k3-quality")(
+      qualityFlags(docsK2).filter(col("keep")).select("doc_id"))
+    // survivor-sized ⋈ survivor-sized: derive later stages' doc views
+    // from the pinned k2 docs, never the corpus
+    val docsK3 = restrictTo(docsK2, k3)
+    val k4 = tp("k4-repetition")(k3.join(
+      repetitionStats(docsK3).filter(col("repetitive")).select("doc_id"),
       Seq("doc_id"), "left_anti"))
-    val k5 = tp("k5-decontam")(k4.join(decontaminate(s, d).select("doc_id"), Seq("doc_id"), "left_anti"))
+    // the eval n-gram set stays FULL-corpus-head (doc_id < EvalDocs is
+    // the eval suite whether or not those docs survive curation — and
+    // its scan prunes to the head row groups by the pushed id filter);
+    // the training side restricts to k4 and mirrors the >= EvalDocs
+    // filter exactly like [[decontaminate]] and the incremental
+    // updater do
+    val ev = ngrams(doc.filter(col("doc_id") < EvalDocs), DecontamN)
+      .select("s").distinct()
+    val contaminated = ngrams(
+        restrictTo(docsK2, k4).filter(col("doc_id") >= EvalDocs), DecontamN)
+      .join(broadcast(ev), "s").select("doc_id").distinct()
+    val k5 = tp("k5-decontam")(k4.join(contaminated, Seq("doc_id"), "left_anti"))
     FunnelStageNames.zip(Seq(doc.select("doc_id"), k1, k2, k3, k4, k5))
   }
 

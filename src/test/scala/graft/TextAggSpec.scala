@@ -539,4 +539,63 @@ class TextAggSpec extends SparkSpecBase {
     assert(sigs(1L).forall(_ != null)) // the non-null shingle fills all windows
     assert(sigs(1L).length == MinHashAgg.K)
   }
+
+  test("rep-level and doc-level mining land identical artifacts on both corpus shapes") {
+    // the textdup build dispatches between the two spellings on the
+    // exact-dup census (RepMineMaxFraction); this pins them
+    // row-identical on BOTH shapes — including the degenerate groups
+    // the dispatch can hand either spelling: null texts (one md5-less
+    // clique) and <3-token twins (trivial group, Jaccard 0 by
+    // NULL-shingle join semantics)
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+    val degenerates = Seq(
+      (90001L, null.asInstanceOf[String], "en", "web", 0L),
+      (90002L, null.asInstanceOf[String], "en", "web", 0L),
+      (90003L, "tiny doc", "en", "web", 8L),
+      (90004L, "tiny doc", "en", "web", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val replicaHeavy = (0 until 4).map(k =>
+        base.select((col("doc_id") + lit(k * 10000L)).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars")))
+      .reduce(_ unionByName _).unionByName(degenerates)
+    val mostlyUnique = base.unionByName(degenerates)
+    for ((label, corpus) <- Seq("replica-heavy" -> replicaHeavy,
+        "mostly-unique" -> mostlyUnique)) {
+      val ds = java.nio.file.Files
+        .createTempDirectory(s"graft-mine-$label").toString
+      corpus.write.mode("overwrite").parquet(s"$ds/documents.parquet")
+      try {
+        TextOps.buildSigIndex(spark, ds)
+        val sig = TextOps.sigIndex(spark, ds)
+        val docs = Tables.documents(spark, ds)
+        val rep = java.nio.file.Files
+          .createTempDirectory("graft-mine-rep").toString
+        val doc = java.nio.file.Files
+          .createTempDirectory("graft-mine-doc").toString
+        TextOps.mineRepLevel(spark, rep, sig, docs,
+          TextOps.groupCensus(docs))
+        TextOps.mineDocLevel(spark, doc, sig, docs)
+        for (t <- Seq("pairs", "verify", "nearpairs", "pairbk", "sizes",
+            "audit", "comp")) {
+          val ra = spark.read.parquet(s"$rep/$t").collect()
+            .map(_.toString).sorted.toSeq
+          val rb = spark.read.parquet(s"$doc/$t").collect()
+            .map(_.toString).sorted.toSeq
+          assert(ra == rb,
+            s"$label/$t drifted: rep=${ra.size} doc=${rb.size} rows; " +
+              s"extra=${(ra.toSet -- rb.toSet).take(3)} " +
+              s"missing=${(rb.toSet -- ra.toSet).take(3)}")
+        }
+        // the replica-heavy shape must actually yield replica pairs, or
+        // the equality above is vacuous for the contraction's hard part
+        if (label == "replica-heavy")
+          assert(spark.read.parquet(s"$rep/pairs").count() >
+            spark.read.parquet(s"$rep/nearpairs").count(),
+            "no byte-identical pairs were mined on the replica-heavy corpus")
+      } finally {
+        ops.Warehouse.invalidateDataset(ds)
+        TextOps.clearTextDupCache()
+      }
+    }
+  }
 }

@@ -551,7 +551,7 @@ object TextOps {
         try {
           val cen = groups.agg(count(lit(1)).as("reps"),
             sum("gsize").as("docs")).head()
-          if (cen.getLong(0) <= RepMineMaxFraction * cen.getLong(1))
+          if (contractionPays(cen.getLong(0), cen.getLong(1)))
             mineRepLevel(s, tmp.toString, sig, docs, groups)
           else mineDocLevel(s, tmp.toString, sig, docs)
         } finally Checkpoints.release(gPin)
@@ -576,6 +576,13 @@ object TextOps {
     * contraction LOSES 2× (735 vs 377 s); replica-heavy test corpora →
     * wins by the replica pair mass. */
   private[graft] val RepMineMaxFraction = 0.5
+
+  /** The dispatch predicate behind [[textDupIndex]]'s mining choice,
+    * extracted so the threshold semantics are spec-pinned: contract
+    * iff at least half the corpus is absorbed into byte-identical
+    * groups. */
+  private[graft] def contractionPays(distinctTexts: Long, docs: Long): Boolean =
+    distinctTexts <= RepMineMaxFraction * docs
 
   /** Rep-level (contracted) mining — see [[textDupIndex]]. `groups` is
     * the pinned exact-dup census; artifacts land row-identical to

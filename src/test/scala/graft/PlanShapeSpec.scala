@@ -349,4 +349,45 @@ class PlanShapeSpec extends SparkSpecBase {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*(1) Project"), s"band math fell out of codegen:\n$p")
   }
+
+  test("funnel stages 3-5 evaluate flags behind the pin barrier, never on the corpus scan") {
+    // the survivor restriction is load-bearing only if Catalyst cannot
+    // push the flag predicates back onto the documents scan: a bare
+    // semi-join spelling gets undone (pushdown has no expression-cost
+    // model — measured at 100×: full 500k-doc regex pass either way),
+    // so stages 3-5 must derive from the PINNED survivor rows. The pin
+    // hook sees each stage's pre-checkpoint plan; k3/k4 may contain no
+    // documents file scan at all, and k5's single one is the eval-head
+    // scan with the doc_id < EvalDocs filter pushed down.
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val pins = scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    try {
+      graft.ops.TextOps.funnelStages(spark, d, pin = { df =>
+        plans += df.queryExecution.sparkPlan.toString
+        val (out, p) = graft.ops.Checkpoints.pin(df)
+        pins += p
+        out
+      })
+      // pin arrival order: k1-exact, k2-near, k2-docs, k3-quality,
+      // k4-repetition, k5-decontam
+      assert(plans.size == 6, s"expected 6 pinned stages, saw ${plans.size}")
+      val Seq(k3, k4, k5) = plans.slice(3, 6).toSeq
+      for ((p, name) <- Seq(k3 -> "k3-quality", k4 -> "k4-repetition"))
+        assert(!p.contains("FileScan") && !p.contains("documents"),
+          s"$name stage re-reads the corpus below the pin barrier:\n$p")
+      val k5Scans = "FileScan".r.findAllIn(k5).length
+      assert(k5Scans == 1 && k5.contains("LessThan(doc_id,20)"),
+        s"k5-decontam must scan documents once, pruned to the eval head:\n$k5")
+    } finally pins.foreach(graft.ops.Checkpoints.release)
+  }
+
+  test("textdup mining dispatch: contract only when replicas absorb half the corpus") {
+    import graft.ops.TextOps.contractionPays
+    assert(!contractionPays(499200L, 500000L),
+      "the 100× probe shape (499.2k distinct texts) must mine doc-level")
+    assert(contractionPays(5000L, 500000L),
+      "a replica-dominated corpus must mine rep-level")
+    assert(contractionPays(250000L, 500000L) && !contractionPays(250001L, 500000L),
+      "threshold must sit at RepMineMaxFraction × docs inclusive")
+  }
 }

@@ -104,12 +104,25 @@ object Bench {
     // gated below like any query (with build-sized bounds). The
     // [[Families]] registry owns the build order (dependencies: sig →
     // textdup → funnel) and each family's cold-reset for the re-runs.
+    // Dev bisection knobs (never set by the driver): skip named build
+    // families / query names to attribute session-global drift — a
+    // slowdown that vanishes when one build is skipped is that build's
+    // JVM/session residue, not the measured queries' plans.
+    val skipFams = sys.env.get("SPARK_GRAFT_BENCH_SKIP_FAMILIES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val skipQs = sys.env.get("SPARK_GRAFT_BENCH_SKIP_QUERIES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val fams = Families.all.filterNot(f => skipFams(f.name))
+
     val buildTimes = scala.collection.mutable.LinkedHashMap(
-      Families.all.map { fam =>
+      fams.map { fam =>
         fam.field -> timed(fam.field)(fam.build(spark, sfDir))
       }: _*)
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => skipQs(n) }
     val times = scala.collection.mutable.LinkedHashMap(
       ordered.map { case (name, fn) => name -> runQuery(name, fn) }: _*)
 
@@ -146,7 +159,7 @@ object Bench {
       times(name) = best
       if (n > 0) reruns(name) = n
     }
-    for (fam <- Families.all) {
+    for (fam <- fams) {
       val (best, n) = BenchGate.settle(buildTimes(fam.field),
         bFlagged(fam.field, _),
         () => { fam.cold(sfDir)

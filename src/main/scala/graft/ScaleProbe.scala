@@ -232,6 +232,11 @@ object ScaleProbe {
     // degradation census (Prof): every safe fallback the appends took —
     // a healthy probe reports 0; a nonzero count means the steady state
     // pays a full-recompute path per batch
-    out ++ outCounts ++ Seq("degraded" -> ops.Prof.degradedTotal.toDouble)
+    // …and beside it the staged-compaction miss counter: a soak where
+    // staging persistently fails would otherwise only show as backstop
+    // latency (the synchronous slack-2 rewrite riding an append)
+    out ++ outCounts ++ Seq(
+      "degraded" -> ops.Prof.degradedTotal.toDouble,
+      "stage_misses" -> ops.Warehouse.stageMisses.get().toDouble)
   }
 }

@@ -549,10 +549,22 @@ object TextOps {
         val docs = Tables.documents(s, d)
         val (groups, gPin) = tt("pin-groups")(Checkpoints.pin(groupCensus(docs)))
         try {
+          // coalesce: sum() over an EMPTY census is SQL-null, and an
+          // empty corpus must degrade to the (trivially empty)
+          // doc-level mine, not NPE on getLong
           val cen = groups.agg(count(lit(1)).as("reps"),
-            sum("gsize").as("docs")).head()
-          if (contractionPays(cen.getLong(0), cen.getLong(1)))
-            mineRepLevel(s, tmp.toString, sig, docs, groups)
+            coalesce(sum("gsize"), lit(0L)).as("docs")).head()
+          // `graft.textdup.mine` = rep|doc pins one arm (operational /
+          // measurement override — how the dispatch's two sides are
+          // priced against each other on one corpus); default `auto`
+          // dispatches on the census. Both arms are row-identical
+          // (spec-locked), so the knob can never change results.
+          val contract = sys.props.getOrElse("graft.textdup.mine", "auto") match {
+            case "rep" => true
+            case "doc" => false
+            case _ => contractionPays(cen.getLong(0), cen.getLong(1))
+          }
+          if (contract) mineRepLevel(s, tmp.toString, sig, docs, groups)
           else mineDocLevel(s, tmp.toString, sig, docs)
         } finally Checkpoints.release(gPin)
         // per-doc 16-bit SimHash (t07 serves from this table): a pure
@@ -766,33 +778,34 @@ object TextOps {
       } finally Checkpoints.release(ePin)
     } finally Checkpoints.release(bPin)
     val pairs = s.read.parquet(s"$tmp/pairs")
-    tt("verify") {
-      // exact-content fast path first (see [[fingerprintTagged]]):
-      // byte-identical pairs decide in-row; only the genuinely-near
-      // remainder shingles + intersects. The tag pins because both
-      // split sides consume it; the near shingles pin because the
-      // Jaccard reads them three ways (sizes + both intersection
-      // sides) — and they are NEAR-pair-sized, not
-      // all-candidate-sized.
-      val (tagged, tPin) = Checkpoints.pin(fingerprintTagged(docs, pairs))
-      try {
+    // exact-content fast path first (see [[fingerprintTagged]]):
+    // byte-identical pairs decide in-row; only the genuinely-near
+    // remainder shingles + intersects. The tag pins because both
+    // split sides consume it; the near shingles pin because the
+    // Jaccard reads them three ways (sizes + both intersection
+    // sides) — and they are NEAR-pair-sized, not
+    // all-candidate-sized.
+    val (tagged, tPin) = tt("pin-tag")(Checkpoints.pin(fingerprintTagged(docs, pairs)))
+    try {
+      tt("verify") {
         val near = nearOfTagged(tagged)
         val (csh, sPin) = Checkpoints.pin(candShingles(docs, near))
         try Warehouse.writeParquet(
           jaccardOfShingles(near, csh).unionByName(exactOfTagged(tagged)),
           s"$tmp/verify")
         finally Checkpoints.release(sPin)
-        // nearpairs/: the same tag, kept as an artifact — the funnel's
-        // stage-2 drop join consumes THIS subset instead of the full
-        // pair table (a byte-identical pair can never drop: its doc_b
-        // shares doc_a's md5 group, so it already lost exact dedup —
-        // see [[nearPairs]])
-        Warehouse.writeParquet(
-          tagged.filter(!(col("h_a") <=> col("h_b")))
-            .select("doc_a", "doc_b", "est_jaccard"),
-          s"$tmp/nearpairs")
-      } finally Checkpoints.release(tPin)
-    }
+      }
+      // nearpairs/: the same tag, kept as an artifact — the funnel's
+      // stage-2 drop join consumes THIS subset instead of the full
+      // pair table (a byte-identical pair can never drop: its doc_b
+      // shares doc_a's md5 group, so it already lost exact dedup —
+      // see [[nearPairs]]). Its own profile label so the per-stage
+      // rows stay comparable with mineRepLevel and the append path.
+      tt("nearpairs")(Warehouse.writeParquet(
+        tagged.filter(!(col("h_a") <=> col("h_b")))
+          .select("doc_a", "doc_b", "est_jaccard"),
+        s"$tmp/nearpairs"))
+    } finally Checkpoints.release(tPin)
     val edges = pairs.filter(col("est_jaccard") >= 0.5)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     tt("comp")(Warehouse.writeParquet(connectedComponents(edges), s"$tmp/comp"))
@@ -1209,11 +1222,18 @@ object TextOps {
       // batch keys is a map-side-pruned scan whose result is
       // batch-bounded, and the anti-join against that result broadcasts
       // too.
+      // NULL-SAFE hash equality (<=>): md5(NULL text) is NULL, and the
+      // build's window/groupBy semantics put all null-hash docs in ONE
+      // group — a plain-equality join would never match them, so a
+      // batch null-text doc would silently re-enter stage 1 even when
+      // the prior corpus already holds the null group's keeper
       val seenH = priorHashes.select("h")
-        .join(broadcast(batchHashes.select("h")), Seq("h"), "left_semi")
+        .join(broadcast(batchHashes.select(col("h").as("bh"))),
+          col("h") <=> col("bh"), "left_semi")
         .distinct()
       val k1new = batchHashes
-        .join(broadcast(seenH), Seq("h"), "left_anti")
+        .join(broadcast(seenH.select(col("h").as("ph"))),
+          col("h") <=> col("ph"), "left_anti")
         .withColumn("m", min("doc_id").over(Window.partitionBy("h")))
         .filter(col("doc_id") === col("m")).select("doc_id")
       val k1 = stage("01_exact_dedup").unionByName(k1new)
@@ -2342,13 +2362,35 @@ object TextOps {
     * joins against per-doc flags that are themselves map-side-combined
     * aggregates or pure projections — no stage joins two corpus-sized
     * relations on a non-key, and the stage census is a six-row union. */
-  /** `pin` wraps each refined stage relation: identity for the lazy
-    * form; the index build passes an eager-checkpoint hook so stage
-    * k+1 derives from k's MATERIALIZED rows and the six-way union
-    * write reads each stage once instead of re-deriving its chain per
-    * branch. */
+  /** Dispatch threshold for the pinned-survivor funnel spelling:
+    * evaluate stages 3-5 over materialized stage-2 survivors only when
+    * near-dedup absorbed at least half the corpus. The pin
+    * localCheckpoints full survivor doc rows INCLUDING the text
+    * payload, so on a low-duplicate corpus (k2 ≈ docs) it would
+    * materialize a corpus-sized text table in the BlockManager for
+    * zero flag-work saved — the same corpus-shape failure mode the
+    * mining dispatch ([[RepMineMaxFraction]]) guards against. Above
+    * the threshold the build falls back to full-scan flag evaluation
+    * (one corpus pass per flag relation, nothing survivor-pinned),
+    * which is membership-identical because every flag is per-doc. */
+  private[graft] val FunnelPinMaxFraction = 0.5
+
+  /** The dispatch predicate behind [[funnelStages]]'s stage-3-5 route,
+    * extracted so the threshold semantics are spec-pinned. */
+  private[graft] def funnelPinPays(survivors: Long, docs: Long): Boolean =
+    survivors <= FunnelPinMaxFraction * docs
+
+  /** `pin` wraps each refined stage relation with an eager checkpoint
+    * (both callers pass one): stage k+1 derives from k's MATERIALIZED
+    * rows and the six-way union write reads each stage once instead of
+    * re-deriving its chain per branch. No identity default — the
+    * pinned-survivor arm's broadcast decision and shape dispatch
+    * COUNT the pinned stages (a local-block pass), which on a lazy
+    * relation would silently recompute the whole stage chain per
+    * count and, without the checkpoint barrier, regress stages 3-5 to
+    * the measured-bad pushed-down plan. */
   private[graft] def funnelStages(s: SparkSession, d: String,
-      pin: DataFrame => DataFrame = identity): Seq[(String, DataFrame)] = {
+      pin: DataFrame => DataFrame): Seq[(String, DataFrame)] = {
     import org.apache.spark.sql.expressions.Window
     // pins are EAGER (localCheckpoint), so timing each one attributes
     // the build's `stages` step to the stage that actually computed
@@ -2367,59 +2409,91 @@ object TextOps {
       .join(k1.select(col("doc_id").as("doc_a")), "doc_a")
       .select(col("doc_b").as("doc_id")).distinct()
     val k2 = tp("k2-near")(k1.join(drop2, Seq("doc_id"), "left_anti"))
-    // stages 3-5 evaluate their per-doc flags over SURVIVORS ONLY —
-    // k3 inner-joins the quality gate and k4/k5 anti-join repetitive /
-    // contaminated sets, so docs already dropped can never re-enter
-    // and restricting each flag relation's input to the prior stage is
-    // membership-identical (the incremental updater at k3new/k4new/
-    // k5new has always evaluated batch-only docs the same way). The
-    // win is the per-doc flag work: the repetition trigram/bigram and
-    // decontamination 4-gram explodes multiply rows by tokens-per-doc,
-    // and after near-dedup most of a duplicate-heavy corpus is gone
-    // (500k docs → 17.8k stage-2 survivors at the 100× probe).
-    //
-    // The restriction must go through a PIN, not a bare semi-join:
-    // declaratively, `qualityFlags(doc ⋈ k2).filter(keep)` lets
-    // Catalyst push the flag predicate through the join back onto the
-    // corpus scan (filter pushdown has no expression-cost model, and
-    // the regex/explode flags are exactly the expensive-predicate ×
-    // selective-join case where pushdown HURTS — measured: the joined
-    // spelling still paid the full 500k-doc regex pass, k3 ≈ 27 s).
-    // The eager checkpoint is the optimization barrier: survivor docs
-    // materialize ONCE (one corpus scan — broadcast semi-join under
-    // [[FunnelSemiBroadcastMaxIds]] ids so the text payload never
-    // shuffles, shuffle-hash fallback above it), and every later
-    // stage's flag relation derives from the pinned survivor rows,
-    // paying zero further corpus scans.
-    // survivor id sets are pinned (tp), so the count is a local-block
-    // pass and an under-budget set broadcasts — doc_id-only rows,
-    // driver-budgeted like MaxBatchKeys; over it, shuffle-hash stays
-    // correct at any cardinality
-    def restrictTo(base: DataFrame, survivors: DataFrame): DataFrame =
-      if (survivors.count() <= FunnelSemiBroadcastMaxIds)
-        base.join(broadcast(survivors), Seq("doc_id"), "left_semi")
-      else base.join(survivors.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
-    val docsK2 = tp("k2-docs")(restrictTo(doc, k2))
-    val k3 = tp("k3-quality")(
-      qualityFlags(docsK2).filter(col("keep")).select("doc_id"))
-    // survivor-sized ⋈ survivor-sized: derive later stages' doc views
-    // from the pinned k2 docs, never the corpus
-    val docsK3 = restrictTo(docsK2, k3)
-    val k4 = tp("k4-repetition")(k3.join(
-      repetitionStats(docsK3).filter(col("repetitive")).select("doc_id"),
-      Seq("doc_id"), "left_anti"))
-    // the eval n-gram set stays FULL-corpus-head (doc_id < EvalDocs is
-    // the eval suite whether or not those docs survive curation — and
-    // its scan prunes to the head row groups by the pushed id filter);
-    // the training side restricts to k4 and mirrors the >= EvalDocs
-    // filter exactly like [[decontaminate]] and the incremental
-    // updater do
-    val ev = ngrams(doc.filter(col("doc_id") < EvalDocs), DecontamN)
-      .select("s").distinct()
-    val contaminated = ngrams(
-        restrictTo(docsK2, k4).filter(col("doc_id") >= EvalDocs), DecontamN)
-      .join(broadcast(ev), "s").select("doc_id").distinct()
-    val k5 = tp("k5-decontam")(k4.join(contaminated, Seq("doc_id"), "left_anti"))
+    // Stage-3-5 route is SHAPE-DISPATCHED ([[funnelPinPays]]): the
+    // pinned-survivor arm only pays when near-dedup actually shrank
+    // the corpus. Both counts are cheap — k2 is pinned (local-block
+    // pass) and the corpus count is a column-pruned metadata scan.
+    val nDocs = doc.select("doc_id").count()
+    val k2n = k2.count()
+    // `graft.funnel.pin` = on|off pins one arm (measurement/spec
+    // override, like graft.textdup.mine); default `auto` dispatches on
+    // the survivor census. Both arms are membership-identical
+    // (spec-locked), so the knob can never change results.
+    val usePin = sys.props.getOrElse("graft.funnel.pin", "auto") match {
+      case "on" => true
+      case "off" => false
+      case _ => funnelPinPays(k2n, nDocs)
+    }
+    val (k3, k4, k5) = if (usePin) {
+      // Stages 3-5 evaluate their per-doc flags over SURVIVORS ONLY —
+      // k3 inner-joins the quality gate and k4/k5 anti-join repetitive /
+      // contaminated sets, so docs already dropped can never re-enter
+      // and restricting each flag relation's input to the prior stage is
+      // membership-identical (the incremental updater at k3new/k4new/
+      // k5new has always evaluated batch-only docs the same way). The
+      // win is the per-doc flag work: the repetition trigram/bigram and
+      // decontamination 4-gram explodes multiply rows by tokens-per-doc,
+      // and after near-dedup most of a duplicate-heavy corpus is gone
+      // (500k docs → 17.8k stage-2 survivors at the 100× probe).
+      //
+      // The restriction must go through a PIN, not a bare semi-join:
+      // declaratively, `qualityFlags(doc ⋈ k2).filter(keep)` lets
+      // Catalyst push the flag predicate through the join back onto the
+      // corpus scan (filter pushdown has no expression-cost model, and
+      // the regex/explode flags are exactly the expensive-predicate ×
+      // selective-join case where pushdown HURTS — measured: the joined
+      // spelling still paid the full 500k-doc regex pass, k3 ≈ 27 s).
+      // The eager checkpoint is the optimization barrier: survivor docs
+      // materialize ONCE (one corpus scan — broadcast semi-join under
+      // [[FunnelSemiBroadcastMaxIds]] ids so the text payload never
+      // shuffles, shuffle-hash fallback above it), and every later
+      // stage's flag relation derives from the pinned survivor rows,
+      // paying zero further corpus scans.
+      // survivor id sets are pinned (tp), so their counts are
+      // local-block passes and an under-budget set broadcasts —
+      // doc_id-only rows, driver-budgeted like MaxBatchKeys; over it,
+      // shuffle-hash stays correct at any cardinality
+      def restrictTo(base: DataFrame, survivors: DataFrame, n: Long): DataFrame =
+        if (n <= FunnelSemiBroadcastMaxIds)
+          base.join(broadcast(survivors), Seq("doc_id"), "left_semi")
+        else base.join(survivors.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      val docsK2 = tp("k2-docs")(restrictTo(doc, k2, k2n))
+      val k3 = tp("k3-quality")(
+        qualityFlags(docsK2).filter(col("keep")).select("doc_id"))
+      // survivor-sized ⋈ survivor-sized: derive later stages' doc views
+      // from the pinned k2 docs, never the corpus
+      val docsK3 = restrictTo(docsK2, k3, k3.count())
+      val k4 = tp("k4-repetition")(k3.join(
+        repetitionStats(docsK3).filter(col("repetitive")).select("doc_id"),
+        Seq("doc_id"), "left_anti"))
+      // the eval n-gram set stays FULL-corpus-head (doc_id < EvalDocs is
+      // the eval suite whether or not those docs survive curation — and
+      // its scan prunes to the head row groups by the pushed id filter);
+      // the training side restricts to k4 and mirrors the >= EvalDocs
+      // filter exactly like [[decontaminate]] and the incremental
+      // updater do
+      val ev = ngrams(doc.filter(col("doc_id") < EvalDocs), DecontamN)
+        .select("s").distinct()
+      val contaminated = ngrams(
+          restrictTo(docsK2, k4, k4.count()).filter(col("doc_id") >= EvalDocs),
+          DecontamN)
+        .join(broadcast(ev), "s").select("doc_id").distinct()
+      val k5 = tp("k5-decontam")(k4.join(contaminated, Seq("doc_id"), "left_anti"))
+      (k3, k4, k5)
+    } else {
+      // Low-duplicate corpus: survivors ≈ corpus, so pinning them would
+      // double-store the text payload for no flag work saved. Evaluate
+      // each per-doc flag over the corpus scan directly (the pre-pin
+      // spelling) and refine the id sets by semi/anti joins.
+      val k3 = tp("k3-quality")(k2.join(
+        qualityFlags(doc).filter(col("keep")).select("doc_id"), "doc_id"))
+      val k4 = tp("k4-repetition")(k3.join(
+        repetitionStats(doc).filter(col("repetitive")).select("doc_id"),
+        Seq("doc_id"), "left_anti"))
+      val k5 = tp("k5-decontam")(k4.join(
+        decontaminate(s, d).select("doc_id"), Seq("doc_id"), "left_anti"))
+      (k3, k4, k5)
+    }
     FunnelStageNames.zip(Seq(doc.select("doc_id"), k1, k2, k3, k4, k5))
   }
 

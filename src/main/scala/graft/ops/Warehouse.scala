@@ -362,7 +362,7 @@ object Warehouse {
 
   /** Compacted-file size target — at 100 TB the rewrite should land
     * HDFS-block-sized files, not one giant row group. */
-  private val TargetFileBytes = 128L << 20
+  private[graft] val TargetFileBytes = 128L << 20
 
   /** Count of data part files directly under `dir` (manifest/_SUCCESS
     * excluded) — the quantity the compaction budget bounds. */
@@ -395,18 +395,28 @@ object Warehouse {
     * re-fire a full-table rewrite on the very next append — O(data)
     * per append in steady state, defeating the O(batch) contract at
     * precisely the scale the budget exists for. */
-  private def sizeFloor(bytes: Long): Int =
+  private[graft] def sizeFloor(bytes: Long): Int =
     math.max(1L, math.min(Int.MaxValue.toLong,
       (bytes + TargetFileBytes - 1) / TargetFileBytes)).toInt
+
+  /** The pure arithmetic behind [[needsCompaction]]/[[compactIfNeeded]],
+    * extracted so the steady-state contract is spec-pinned on synthetic
+    * sizes (WarehouseSpec exercises floors ≫ 1 without writing GBs):
+    * trigger only when the part count exceeds the size-implied floor by
+    * more than slack × budget, so a rewrite (which lands AT the floor)
+    * buys ~budget appends of headroom at ANY table size — triggering at
+    * the bare budget would re-fire a full-table rewrite on every append
+    * once the table outgrows budget × 128 MB. */
+  private[graft] def needsCompactionAt(nParts: Long, bytes: Long,
+      slack: Int = 1): Boolean =
+    nParts > slack.toLong * maxFilesPerTable &&
+      nParts > sizeFloor(bytes).toLong + slack.toLong * maxFilesPerTable
 
   /** True when `dir`'s part-file count exceeds its size-implied floor
     * by more than [[maxFilesPerTable]] — the condition under which a
     * rewrite buys ~budget appends of headroom. */
-  def needsCompaction(dir: Path): Boolean = {
-    val nParts = partFileCount(dir)
-    nParts > maxFilesPerTable &&
-      nParts > sizeFloor(dataBytes(dir)) + maxFilesPerTable
-  }
+  def needsCompaction(dir: Path): Boolean =
+    needsCompactionAt(partFileCount(dir), dataBytes(dir))
 
   /** In-place compaction of one append-maintained parquet table when
     * its part-file count crosses its size floor + [[maxFilesPerTable]]:
@@ -435,8 +445,9 @@ object Warehouse {
       codec: Option[String] = None): Boolean = {
     val nParts = partFileCount(dir)
     if (nParts <= slack * maxFilesPerTable) return false
-    val floor = sizeFloor(dataBytes(dir))
-    if (nParts <= floor + slack * maxFilesPerTable) return false
+    val bytes = dataBytes(dir)
+    if (!needsCompactionAt(nParts, bytes, slack)) return false
+    val floor = sizeFloor(bytes)
     require(dir.toAbsolutePath.toString.contains(".tmp-"),
       s"compactIfNeeded must target a table inside a .tmp- build dir " +
         s"(got $dir): the rmTree+move rewrite is only crash-safe under " +

@@ -173,6 +173,59 @@ class IncrementalSpec extends SparkSpecBase {
     Warehouse.invalidateDataset(ds)
   }
 
+  test("funnel append == rebuild on degenerate shapes: null texts and sub-shingle twins") {
+    // the pinned-survivor build and the incremental updater
+    // (k3new/k4new/k5new) take different evaluation routes; the
+    // degenerate docs from the mining-dispatch spec (null texts never
+    // shingle, <3-token twins dedup at stage 1) must not let the
+    // routes diverge at the edges — in the BASE corpus and the batch
+    import spark.implicits._
+    val ds = tmpDs("graft-inc-degen")
+    val base0 = seedDocs(ds)
+    val degenBase = Seq(
+      (2001L, null.asInstanceOf[String], "en", "web", 0L),
+      (2002L, "tiny doc", "en", "web", 8L),
+      (2003L, "tiny doc", "en", "web", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val base = base0.unionByName(degenBase)
+    base.write.mode("overwrite").parquet(s"$ds/documents.parquet")
+    resetTextCaches()
+    TextOps.buildSigIndex(spark, ds)
+    TextOps.buildTextDup(spark, ds)
+    TextOps.buildFunnel(spark, ds)
+    // batch: a fresh null text, a THIRD tiny twin (cross-batch exact
+    // dup of a degenerate group), and an exact copy of a normal doc
+    val batch = Seq(
+      (3001L, null.asInstanceOf[String], "en", "web", 0L),
+      (3002L, "tiny doc", "en", "web", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(base0.filter(col("doc_id") === 7L)
+        .select(lit(3003L).as("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars")))
+    base.unionByName(batch).write.mode("overwrite")
+      .parquet(s"$ds/documents.parquet")
+    TextOps.appendToSigIndex(spark, ds, batch)
+    TextOps.appendToTextDup(spark, ds, batch)
+    TextOps.appendToFunnel(spark, ds, batch)
+    val f1 = TextOps.funnelIndex(spark, ds).orderBy("stage", "doc_id").collect()
+    // the degenerate batch docs actually flowed: the twin and the null
+    // text both die at stage 1 (exact dedup), never re-entering
+    val k1 = f1.filter(_.getString(0) == "01_exact_dedup").map(_.getLong(1)).toSet
+    assert(!k1.contains(3002L), "third tiny twin survived exact dedup")
+    assert(!k1.contains(3003L), "cross-batch exact copy survived exact dedup")
+    resetTextCaches()
+    Warehouse.invalidate("sig", ds)
+    Warehouse.invalidate("textdup", ds)
+    Warehouse.invalidate("funnel", ds)
+    val f2 = TextOps.funnelIndex(spark, ds).orderBy("stage", "doc_id").collect()
+    assert(f1.sameElements(f2),
+      s"degenerate-shape funnel append drifted from rebuild: " +
+        s"${f1.length} vs ${f2.length}; " +
+        s"extra=${(f1.map(_.toString).toSet -- f2.map(_.toString)).take(5)} " +
+        s"missing=${(f2.map(_.toString).toSet -- f1.map(_.toString)).take(5)}")
+    Warehouse.invalidateDataset(ds)
+  }
+
   test("appendToTextDup fast path: no cap crossing carries pairs/pairbk/verify by file") {
     val ds = tmpDs("graft-inc-textfast")
     val base = seedDocs(ds)

@@ -350,7 +350,7 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("*(1) Project"), s"band math fell out of codegen:\n$p")
   }
 
-  test("funnel stages 3-5 evaluate flags behind the pin barrier, never on the corpus scan") {
+  test("funnel stages 3-5 evaluate flags behind the pin barrier on a duplicate-heavy corpus") {
     // the survivor restriction is load-bearing only if Catalyst cannot
     // push the flag predicates back onto the documents scan: a bare
     // semi-join spelling gets undone (pushdown has no expression-cost
@@ -359,10 +359,28 @@ class PlanShapeSpec extends SparkSpecBase {
     // hook sees each stage's pre-checkpoint plan; k3/k4 may contain no
     // documents file scan at all, and k5's single one is the eval-head
     // scan with the doc_id < EvalDocs filter pushed down.
+    //
+    // The pinned-survivor arm is SHAPE-DISPATCHED (funnelPinPays):
+    // force it with a corpus where exact dedup absorbs 90% of the
+    // docs — the 100× probe shape (500k docs → 17.8k survivors).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel-pin").toString
+    val base = Seq(
+      "alpha bravo charlie delta echo foxtrot golf hotel",
+      "india juliet kilo lima mike november oscar papa",
+      "quebec romeo sierra tango uniform victor whiskey xray",
+      "yankee zulu apple banana cherry damson elder fig",
+      "grape honeydew iris jasmine kiwi lemon mango nectar",
+      "olive peach quince raspberry strawberry tomato ugli vanilla",
+      "walnut xigua yam zucchini acorn barley clover dill",
+      "endive fennel garlic hyssop inula jicama kale leek")
+    (0L until 80L).map(i => (i, base((i % 8).toInt), "en", "srcP", 48L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val plans = scala.collection.mutable.ArrayBuffer.empty[String]
     val pins = scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
     try {
-      graft.ops.TextOps.funnelStages(spark, d, pin = { df =>
+      graft.ops.TextOps.funnelStages(spark, dir, pin = { df =>
         plans += df.queryExecution.sparkPlan.toString
         val (out, p) = graft.ops.Checkpoints.pin(df)
         pins += p
@@ -376,9 +394,47 @@ class PlanShapeSpec extends SparkSpecBase {
         assert(!p.contains("FileScan") && !p.contains("documents"),
           s"$name stage re-reads the corpus below the pin barrier:\n$p")
       val k5Scans = "FileScan".r.findAllIn(k5).length
-      assert(k5Scans == 1 && k5.contains("LessThan(doc_id,20)"),
+      assert(k5Scans == 1 &&
+        k5.contains(s"LessThan(doc_id,${graft.ops.TextOps.EvalDocs})"),
         s"k5-decontam must scan documents once, pruned to the eval head:\n$k5")
+    } finally {
+      pins.foreach(graft.ops.Checkpoints.release)
+      graft.ops.Warehouse.invalidateDataset(dir)
+    }
+  }
+
+  test("funnel falls back to full-scan flag evaluation on a low-duplicate corpus") {
+    // survivors ≈ corpus here (sf0.001 is dup-free), so pinning them
+    // would double-store the text payload for no flag work saved: the
+    // dispatch must take the full-scan arm — no k2-docs pin (5 pinned
+    // stages, not 6) and the k3/k4 flag relations read the documents
+    // scan directly.
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val pins = scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    try {
+      graft.ops.TextOps.funnelStages(spark, d, pin = { df =>
+        plans += df.queryExecution.sparkPlan.toString
+        val (out, p) = graft.ops.Checkpoints.pin(df)
+        pins += p
+        out
+      })
+      assert(plans.size == 5,
+        s"expected 5 pinned stages (no k2-docs pin), saw ${plans.size}")
+      val Seq(k3, k4) = plans.slice(2, 4).toSeq
+      for ((p, name) <- Seq(k3 -> "k3-quality", k4 -> "k4-repetition"))
+        assert(p.contains("FileScan"),
+          s"$name must evaluate its flag over the corpus scan here:\n$p")
     } finally pins.foreach(graft.ops.Checkpoints.release)
+  }
+
+  test("funnel pin dispatch: pin survivors only when near-dedup halves the corpus") {
+    import graft.ops.TextOps.funnelPinPays
+    assert(funnelPinPays(17800L, 500000L),
+      "the 100× probe shape (17.8k stage-2 survivors) must pin")
+    assert(!funnelPinPays(499200L, 500000L),
+      "a low-duplicate corpus must evaluate flags full-scan, unpinned")
+    assert(funnelPinPays(250000L, 500000L) && !funnelPinPays(250001L, 500000L),
+      "threshold must sit at FunnelPinMaxFraction × docs inclusive")
   }
 
   test("textdup mining dispatch: contract only when replicas absorb half the corpus") {

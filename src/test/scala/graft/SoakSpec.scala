@@ -112,6 +112,12 @@ class SoakSpec extends SparkSpecBase {
       // all healthy) — the census the probes also print
       assert(graft.ops.Prof.degradedTotal == 0,
         s"appends degraded: ${graft.ops.Prof.degraded}")
+      // …and every staged (off-path) compaction attempt succeeded: a
+      // persistent staging failure would silently demote the soak to
+      // the synchronous backstop (correct, but the spike the staging
+      // path exists to keep off appends)
+      assert(Warehouse.stageMisses.get() == 0,
+        s"staged compactions missed ${Warehouse.stageMisses.get()} times")
       // at least one table must have actually compacted (soak is long
       // enough that the budget was crossed, not merely approached)
       assert(counts.exists(_._2 < 5),

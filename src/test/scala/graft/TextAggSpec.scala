@@ -346,6 +346,68 @@ class TextAggSpec extends SparkSpecBase {
       "a contaminated document survived curation")
   }
 
+  test("pinned-survivor and full-scan funnel arms land identical stage memberships") {
+    // funnelStages dispatches stages 3-5 between the pinned-survivor
+    // and the full-scan spellings on the k2 census (FunnelPinMaxFraction);
+    // this pins them membership-identical on BOTH corpus shapes,
+    // including the degenerate docs either arm can receive (null texts
+    // never shingle; sub-shingle twins dedup at stage 1)
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+    val degenerates = Seq(
+      (90001L, null.asInstanceOf[String], "en", "web", 0L),
+      (90002L, null.asInstanceOf[String], "en", "web", 0L),
+      (90003L, "tiny doc", "en", "web", 8L),
+      (90004L, "tiny doc", "en", "web", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val replicaHeavy = (0 until 4).map(k =>
+        base.select((col("doc_id") + lit(k * 10000L)).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars")))
+      .reduce(_ unionByName _).unionByName(degenerates)
+    val mostlyUnique = base.unionByName(degenerates)
+    for ((label, corpus) <- Seq("replica-heavy" -> replicaHeavy,
+        "mostly-unique" -> mostlyUnique)) {
+      val ds = java.nio.file.Files
+        .createTempDirectory(s"graft-funnelarm-$label").toString
+      corpus.write.mode("overwrite").parquet(s"$ds/documents.parquet")
+      try {
+        val arms = Seq("on", "off").map { arm =>
+          sys.props("graft.funnel.pin") = arm
+          try {
+            TextOps.clearFunnelCache()
+            ops.Warehouse.invalidate("funnel", ds)
+            arm -> TextOps.funnelIndex(spark, ds)
+              .collect().map(_.toString).sorted.toSeq
+          } finally sys.props -= "graft.funnel.pin"
+        }
+        assert(arms(0)._2 == arms(1)._2,
+          s"$label funnel arms drifted: pinned=${arms(0)._2.size} " +
+            s"full-scan=${arms(1)._2.size} rows; " +
+            s"extra=${(arms(0)._2.toSet -- arms(1)._2.toSet).take(3)} " +
+            s"missing=${(arms(1)._2.toSet -- arms(0)._2.toSet).take(3)}")
+      } finally {
+        ops.Warehouse.invalidateDataset(ds)
+        TextOps.clearFunnelCache()
+        TextOps.clearTextDupCache()
+        TextOps.clearSigCache()
+      }
+    }
+  }
+
+  test("textdup build degrades gracefully on an empty corpus") {
+    // the mining dispatch's census agg sums over ZERO groups (SQL null):
+    // it must coalesce to the (trivially empty) doc-level mine, not NPE
+    val dir = java.nio.file.Files.createTempDirectory("graft-textdup-empty").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    TextOps.clearTextDupCache()
+    TextOps.clearSigCache()
+    TextOps.buildTextDup(spark, dir)
+    assert(TextOps.dedupMinhash(spark, dir).count() == 0,
+      "empty corpus must yield an empty near-dup table")
+    ops.Warehouse.invalidateDataset(dir)
+  }
+
   test("funnel census emits all six stages even when a stage empties") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-funnel-empty").toString

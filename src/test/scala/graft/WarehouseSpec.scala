@@ -282,4 +282,36 @@ class WarehouseSpec extends SparkSpecBase {
     val kept = keep.select("vec_id").as[Long].collect().toSet
     assert(kept.intersect(dups).isEmpty, "a dropped vector survived v14")
   }
+
+  test("compaction trigger arithmetic holds at size floors far above 1") {
+    // the steady-state contract on synthetic sizes (soaks only exercise
+    // floor = 1): a table of N × budget × 128 MB has floor N × budget;
+    // it triggers only when parts exceed floor + budget (so a rewrite —
+    // which lands AT the floor — buys ~budget appends of headroom), and
+    // a just-rewritten table (parts == floor) never re-triggers.
+    val budget = Warehouse.maxFilesPerTable
+    val blk = Warehouse.TargetFileBytes
+    for (n <- Seq(1, 3, 17)) {
+      val bytes = n.toLong * budget * blk
+      val floor = Warehouse.sizeFloor(bytes)
+      assert(floor == n * budget, s"floor($n×budget×128MB) = $floor")
+      assert(!Warehouse.needsCompactionAt(floor.toLong, bytes),
+        s"a freshly rewritten table (parts == floor $floor) re-triggered")
+      assert(!Warehouse.needsCompactionAt(floor.toLong + budget, bytes),
+        s"parts == floor + budget must NOT trigger (boundary exclusive)")
+      assert(Warehouse.needsCompactionAt(floor.toLong + budget + 1, bytes),
+        s"parts == floor + budget + 1 must trigger at floor $floor")
+    }
+    // small-table regime: the floor clamps to 1 and the bare-budget
+    // guard still applies (the soak plateau's measured behavior)
+    assert(Warehouse.sizeFloor(0L) == 1 && Warehouse.sizeFloor(1L) == 1)
+    assert(!Warehouse.needsCompactionAt(budget.toLong, 1L))
+    assert(Warehouse.needsCompactionAt(budget.toLong + 2, 1L))
+    // slack widens the trigger multiplicatively on the budget term —
+    // the synchronous backstop behind staged compaction (slack = 2)
+    assert(!Warehouse.needsCompactionAt(budget.toLong + 2, 1L, slack = 2))
+    assert(Warehouse.needsCompactionAt(2L * budget + 2, 1L, slack = 2))
+    // partial last block rounds the floor UP, never down
+    assert(Warehouse.sizeFloor(blk + 1) == 2)
+  }
 }

@@ -54,10 +54,17 @@ run_arm () {  # $1 = rep|doc
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -Xmx96g -cp "$CP" graft.BuildTool "$CORPUS" -cold sig textdup \
     2>"$WORK/build_$1.log" | tee "$WORK/time_$1.txt"
-  python3 - "$WORK/sums_$1.txt" <<'EOF'
-import sys, glob, duckdb
-out = sys.argv[1]
-art = sorted(glob.glob('spark-warehouse/graft/textdup@*'))[-1]
+  python3 - "$WORK/sums_$1.txt" "$CORPUS" <<'EOF'
+import sys, glob, duckdb, hashlib
+out, corpus = sys.argv[1], sys.argv[2]
+# the warehouse keys artifacts by dataset tag: basename + 8-hex MD5 of
+# the dataset path (Warehouse.dsTag) — match OUR corpus, not whatever
+# other dataset's textdup sorts last, and skip in-flight/staged dirs
+tag = f"{corpus.rstrip('/').split('/')[-1]}-{hashlib.md5(corpus.encode()).hexdigest()[:8]}"
+arts = [a for a in glob.glob(f'spark-warehouse/graft/textdup@default@{tag}@*')
+        if '.tmp-' not in a and '.compact-' not in a]
+assert len(arts) == 1, f"expected one completed textdup artifact for {tag}: {arts}"
+art = arts[0]
 lines = []
 for t in ['pairs', 'verify', 'comp', 'nearpairs', 'sizes', 'pairbk', 'audit']:
     files = glob.glob(f'{art}/{t}/*.parquet')

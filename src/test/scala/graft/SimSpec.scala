@@ -367,4 +367,76 @@ class SimSpec extends SparkSpecBase {
         s"cell $cell: max err $maxErr exceeds half-step ${scale(cell) / 254.0}")
     }
   }
+
+  test("auto-geometry IVF re-derives k at rebuild after corpus growth; serves stay green") {
+    // the auto family's warehouse key EMBEDS k = autoK(n), so a corpus
+    // that grows past a geometry boundary cannot keep serving the stale
+    // cell count: the next build derives the new k and retrains, and
+    // the old-k artifact coexists untouched (the migration posture)
+    val ds = java.nio.file.Files.createTempDirectory("graft-ivfauto-grow").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    emb.write.mode("overwrite").parquet(s"$ds/embeddings.parquet")
+    try {
+      val n0 = emb.count()
+      val k0 = SimOps.autoK(n0)
+      SimOps.clearIvfCaches()
+      SimOps.buildIvfAuto(spark, ds)
+      assert(graft.ops.Warehouse.latest("ivf", ds,
+          s"k$k0-s${SimOps.KmeansSeedLo}").isDefined,
+        s"auto build at n=$n0 did not land under the k$k0 family")
+      // grow the corpus 4x (high-id replicas keep the vec_id<20 query
+      // side fixed); autoK(4n) = 2*autoK(n) crosses a geometry boundary
+      (1 to 3).map(j => emb.withColumn("vec_id", col("vec_id") + lit(j * 100000L)))
+        .reduce(_ unionByName _)
+        .write.mode("append").parquet(s"$ds/embeddings.parquet")
+      val n1 = spark.read.parquet(s"$ds/embeddings.parquet").count()
+      val k1 = SimOps.autoK(n1)
+      assert(k1 > k0, s"4x growth must flip the geometry ($k0 -> $k1)")
+      SimOps.clearIvfCaches()
+      SimOps.buildIvfAuto(spark, ds)
+      // the post-growth artifact trained k1 centroids on k1 seeds and
+      // partitioned the grown corpus across them
+      val km = spark.read.parquet(graft.ops.Warehouse.latest("kmeans", ds,
+        s"k$k1-s${SimOps.KmeansSeedLo}").getOrElse(
+          fail(s"no k$k1 kmeans artifact after the growth rebuild")).toString)
+      val kmCells = km.select("cell").distinct().count()
+      assert(kmCells == k1, s"post-growth model holds $kmCells centroids, want $k1")
+      val inv = SimOps.ivfIndexK(spark, ds, k1)
+      assert(inv.count() == n1, "post-growth inverted file lost rows")
+      val cells = inv.select("cell").distinct().as[Long].collect().toSet
+      val seedRange = (SimOps.KmeansSeedLo.toLong until
+        (SimOps.KmeansSeedLo + k1).toLong).toSet
+      assert(cells.subsetOf(seedRange) && cells.size > k0,
+        s"post-growth cells are not the k1 seed ids: ${cells.size} cells")
+      // the stale-k artifact coexists — a deployment can re-point
+      // serves without a flag day
+      assert(graft.ops.Warehouse.latest("ivf", ds,
+          s"k$k0-s${SimOps.KmeansSeedLo}").isDefined,
+        "growth rebuild destroyed the prior-geometry artifact")
+      // v15 serve on the grown corpus: 20 query ids, dense ranks, and
+      // served cosines match an independently spelled double recompute
+      val served = SimOps.simIvfAuto(spark, ds).collect()
+      assert(served.map(_.getLong(0)).distinct.length == 20,
+        s"expected 20 query ids, got ${served.map(_.getLong(0)).distinct.length}")
+      served.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+        assert(rows.map(_.getInt(1)).sorted.sameElements(1 to rows.length) &&
+          rows.length <= 3, s"qid $q ranks malformed after re-geometry")
+      }
+      val pairs = served.map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
+        .toDF("qid", "cid", "served")
+      val grown = spark.read.parquet(s"$ds/embeddings.parquet")
+      val gap = pairs
+        .join(grown.select(col("vec_id").as("qid"), col("embedding").as("ea")), "qid")
+        .join(grown.select(col("vec_id").as("cid"), col("embedding").as("eb")), "cid")
+        .selectExpr("""abs(served -
+          aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, v) -> a + v)
+          / (sqrt(aggregate(transform(ea, x -> CAST(x AS DOUBLE) * x), 0D, (a, v) -> a + v))
+           * sqrt(aggregate(transform(eb, x -> CAST(x AS DOUBLE) * x), 0D, (a, v) -> a + v)))) AS g""")
+        .agg(org.apache.spark.sql.functions.max("g")).head.getDouble(0)
+      assert(gap < 5e-7, s"post-growth served cosine drifted from exact: $gap")
+    } finally {
+      graft.ops.Warehouse.invalidateDataset(ds)
+      SimOps.clearIvfCaches()
+    }
+  }
 }

@@ -38,8 +38,13 @@ skip = {'t06_dedup_minhash','t07_dedup_simhash','t08_ngram_jaccard',
         't11_dedup_components','t12_bucket_audit','t13_component_audit',
         't14_decontaminate','t15_sequence_pack','t17_curation_funnel',
         't19_curated_docs'}
-import json
-names = sorted(json.load(open('CORRECTNESS_r14.json')))
+import glob, json
+# the newest round's correctness artifact is the declared-query universe;
+# round-15 additions not yet in any artifact are unioned in explicitly
+latest = sorted(glob.glob('CORRECTNESS_r*.json'))[-1]
+names = sorted(set(json.load(open(latest))) |
+               {'t22_chunk_windows', 't23_doc_keywords',
+                't24_mixture_rebalance'})
 print(' '.join(n for n in names
                if n not in skip and not n.startswith(skip_prefix)))
 EOF

@@ -1858,7 +1858,85 @@ object SimOps {
        |HAVING count(*) > 4096
        |ORDER BY band, key""".stripMargin
 
+  // ---------------------------------------------------------------- v16
+  /** ADC results per query. */
+  val AdcTopK = 3
+
+  /** SQ8 asymmetric-distance (ADC) top-k serve — the memory-bound ANN
+    * path a 100 TB serving tier actually runs: every vector unit-
+    * normalizes and int8-quantizes at the FIXED scale 127 (unit coords
+    * live in [-1,1], so no per-vector scale enters the score), and the
+    * scan ranks candidates by the pure-INTEGER code dot product
+    * (≈ cosine·127²) — a 4× smaller corpus resident set than float32
+    * and exact cross-engine ranking (no float enters the ORDER BY; ties
+    * break by cid). The exact DECIMAL cosine of each surviving pair is
+    * annotated by the v01 rerank machinery, so the output shows both
+    * what the compressed scan chose and what those choices truly score.
+    * Complements v10: that measures IVF pruning recall, this exercises
+    * the compressed-code scoring kernel itself.
+    *
+    * Determinism: the code formula round(v·127/nrm) is v11's (one fixed
+    * IEEE-double expression, half-up ties in both engines) with the
+    * norm DECIMAL-accumulated like every norm in this family; from the
+    * codes on, everything is integer until the exact rerank. Zero
+    * vectors are excluded identically on both sides (nrm > 0).
+    *
+    * Scale posture: norms are one map-side-combined keyed aggregate,
+    * the 20-query code set broadcasts, and the scan is one in-row
+    * zip_with/aggregate projection over the corpus — no corpus shuffle;
+    * only the ≤ k·queries survivor pairs explode for the DECIMAL
+    * rerank. */
+  val adcTopk: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Par.widen(Tables.embeddings(s, d))
+    val codes = emb.join(norms(flat(emb)), "vec_id").filter(col("nrm") > 0)
+      .select(col("vec_id"), col("embedding"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / nrm, 0) AS BIGINT))")
+        .as("code"))
+    val q = codes.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("ea"),
+        col("code").as("qcode"))
+    val w = Window.partitionBy("qid").orderBy(col("adc_dot").desc, col("cid").asc)
+    val top = codes
+      .select(col("vec_id").as("cid"), col("embedding").as("eb"), col("code"))
+      .crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("adc_dot", expr(
+        "aggregate(zip_with(code, qcode, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= AdcTopK)
+    exactCosine(top.select("qid", "rk", "cid", "adc_dot", "ea", "eb"),
+        Seq("qid", "rk", "cid", "adc_dot"))
+      .select(col("qid"), col("rk"), col("cid"), col("adc_dot"),
+        r6(col("cosine")).as("cosine"))
+      .orderBy("qid", "rk")
+  }
+
+  val adcTopkSql: String =
+    s"""WITH ${cosinesSql(20)},
+       |c AS (
+       |  SELECT f.vec_id, f.i,
+       |    CAST(round(f.v * 127.0 / n.nrm) AS BIGINT) AS q
+       |  FROM f JOIN n ON f.vec_id = n.vec_id WHERE n.nrm > 0
+       |), qc AS (
+       |  SELECT vec_id AS qid, i, q AS qq FROM c WHERE vec_id < 20
+       |), adc AS (
+       |  SELECT qc.qid, c.vec_id AS cid, CAST(sum(qc.qq * c.q) AS BIGINT) AS adc_dot
+       |  FROM c JOIN qc ON c.i = qc.i AND c.vec_id <> qc.qid
+       |  GROUP BY qc.qid, c.vec_id
+       |), top AS (
+       |  SELECT qid, cid, adc_dot,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc_dot DESC, cid ASC) AS rk
+       |  FROM adc
+       |)
+       |SELECT t.qid, CAST(t.rk AS INT) AS rk, t.cid, t.adc_dot,
+       |  0.0 + round(cos.cosine, 6) AS cosine
+       |FROM top t JOIN cos ON cos.qid = t.qid AND cos.cid = t.cid
+       |WHERE t.rk <= $AdcTopK
+       |ORDER BY t.qid, t.rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "v16_adc_topk" -> adcTopk,
     "v06_embed_neardup" -> embedNearDup,
     "v01_sim_topk" -> simTopk,
     "v02_sim_lsh" -> simLsh,
@@ -1876,6 +1954,7 @@ object SimOps {
     "v15_sim_ivf_auto" -> simIvfAuto)
 
   val oracle: Map[String, String] = Map(
+    "v16_adc_topk" -> adcTopkSql,
     "v08_kmeans_model" -> kmeansModelSql,
     "v06_embed_neardup" -> embedNearDupSql,
     "v01_sim_topk" -> simTopkSql,

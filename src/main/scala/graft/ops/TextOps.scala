@@ -3081,7 +3081,187 @@ object TextOps {
       |FROM scores
       |ORDER BY n_docs""".stripMargin
 
+  // ---------------------------------------------------------------- t22
+  /** Context-window chunking geometry: [[ChunkTokens]]-token windows
+    * every [[ChunkStride]] tokens (8-token overlap), the shape a
+    * fixed-context trainer slices documents into. */
+  val ChunkTokens = 32
+  val ChunkStride = 24
+
+  /** Overlapping token-window chunking — split each document into
+    * sliding [[ChunkTokens]]-token windows advancing by [[ChunkStride]]
+    * (the context-length preprocessing step between curation and
+    * sequence packing; t15 packs whole docs into shard budgets, this
+    * splits docs that exceed the context into overlapping training
+    * windows). The tail window is shorter by construction and kept —
+    * dropping remainder tokens would silently lose corpus mass.
+    *
+    * Scale posture: the whole computation is per-row array work
+    * (sequence → slice inside one transform, then posexplode), so the
+    * only exchange is the output ORDER BY — chunking 100 TB is an
+    * embarrassingly parallel map with output ~(corpus tokens / stride)
+    * rows, and the explode multiplies rows only by docs' window counts,
+    * never tokens. */
+  val chunkWindows: Q = (s, d) => {
+    val doc = Par.widen(Tables.documents(s, d))
+    doc.select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(t), $ChunkStride), st -> struct(
+           |  st AS chunk_start,
+           |  size(slice(t, st, $ChunkTokens)) AS n_chunk_tokens,
+           |  array_join(slice(t, st, $ChunkTokens), ' ') AS chunk_text))"""
+          .stripMargin)))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+        col("col.chunk_start"), col("col.n_chunk_tokens"),
+        col("col.chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val chunkWindowsSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), win AS (
+       |  SELECT doc_id, t,
+       |    unnest(generate_series(1, len(t), $ChunkStride)) AS st
+       |  FROM tok
+       |)
+       |SELECT doc_id, CAST((st - 1) // $ChunkStride AS INT) AS chunk_idx,
+       |  CAST(st AS INT) AS chunk_start,
+       |  CAST(len(t[st:st + ${ChunkTokens - 1}]) AS INT) AS n_chunk_tokens,
+       |  array_to_string(t[st:st + ${ChunkTokens - 1}], ' ') AS chunk_text
+       |FROM win
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------- t23
+  /** Keywords kept per document. */
+  val KeywordTopK = 3
+
+  /** Per-document salient terms — the top-[[KeywordTopK]] terms by
+    * in-doc burst (term frequency), rarest-corpus-wide on ties, term
+    * text as the final tiebreak, annotated with the smoothed tf-idf
+    * score tf·ln((N+1)/(df+1)). The RANKING key is deliberately the
+    * integer triple (tf desc, df asc, term asc), not the float tf-idf
+    * product: a cross-engine ORDER BY on a transcendental (ln differs
+    * by ulps between libm and the JVM) is exactly the t20 lesson — rank
+    * on integers, report the float. (Consequence: a rank-1 term can
+    * carry a lower tf-idf than rank-2 when a rarer term appears less
+    * often; the triple is the documented contract.)
+    *
+    * Scale posture: ONE corpus explode feeds one map-side-combined
+    * (doc_id, term) aggregate; df is a window count over term on that
+    * token-distinct relation (the separate `tf.groupBy(term)` spelling
+    * reads cleaner but re-scans and re-explodes the whole corpus — the
+    * pruned df-side aggregate doesn't canonically match the tf side,
+    * so Catalyst's exchange reuse never kicks in; measured as a second
+    * full Generate chain in the plan). The doc-term relation shuffles
+    * twice (term, then doc_id for the rank — where WindowGroupLimit
+    * caps each group at top-k before the sort); the corpus is read
+    * once. */
+  val docKeywords: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val doc = Par.widen(Tables.documents(s, d))
+    // column-pruned metadata count, the N in the idf annotation
+    val n = Tables.documents(s, d).count()
+    val tf = doc.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= KeywordTopK)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+        r6(col("tf").cast("double") *
+          log(lit((n + 1).toDouble) / (col("df") + 1).cast("double")))
+          .as("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  val docKeywordsSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |        FROM documents)
+       |  GROUP BY doc_id, term
+       |), df AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term
+       |), n AS (SELECT count(*) AS n FROM documents),
+       |ranked AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    0.0 + round(CAST(tf.tf AS DOUBLE)
+       |      * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS tfidf,
+       |    row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk
+       |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+       |)
+       |SELECT doc_id, CAST(rnk AS INT) AS rnk, term, tf, df, tfidf
+       |FROM ranked WHERE rnk <= $KeywordTopK
+       |ORDER BY doc_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- t24
+  /** Mixture rebalance — APPLY t18's equalizing weights as a
+    * deterministic document sampler (the step between the mixture
+    * census and shard writing): per source, keep-probability
+    * min(1, equal-share/actual-share) of documents, decided by a salted
+    * md5 16-bit uniform per doc (the x06 split spelling widened to four
+    * hex digits). Downsample-only: over-budget sources shed documents,
+    * under-budget sources keep everything (upsampling is a repeat
+    * factor at shard-write time, t18's mix_weight). The keep predicate
+    * is INTEGER-exact — u16·nsrc·src_tokens < 2¹⁶·total_tokens — so
+    * both engines decide every document identically; no float
+    * probability ever compares against the hash.
+    *
+    * Scale posture: one map-side-combined groupBy(source) census, the
+    * source-count-sized weight tables broadcast onto the corpus scan,
+    * and the kept verdict is a per-row projection — sampling 100 TB is
+    * one map pass, like x06. */
+  val mixtureRebalance: Q = (s, d) => {
+    val doc = Par.widen(Tables.documents(s, d))
+    val per = doc.groupBy("source")
+      .agg(sum(size(toks).cast("long")).as("src_tokens"))
+    val tot = per.agg(sum("src_tokens").as("tot"), count(lit(1)).as("nsrc"))
+    doc.select(col("doc_id"), col("source"),
+        expr("CAST(conv(substring(md5(CAST(concat(CAST(doc_id AS STRING), " +
+          "':mix-v1') AS BINARY)), 1, 4), 16, 10) AS BIGINT)").as("u16"))
+      .join(broadcast(per), "source")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("source"), col("u16").cast("int").as("u16"),
+        r6(col("tot").cast("double") / (col("nsrc") * col("src_tokens")))
+          .as("mix_weight"),
+        (col("u16") * col("nsrc") * col("src_tokens")
+          < lit(65536L) * col("tot")).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  val mixtureRebalanceSql: String = {
+    def hexd(i: Int) =
+      "(instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR) " +
+        s"|| ':mix-v1'), $i, 1)) - 1)"
+    val u16 =
+      s"(((${hexd(1)} * 16 + ${hexd(2)}) * 16 + ${hexd(3)}) * 16 + ${hexd(4)})"
+    s"""WITH per AS (
+       |  SELECT source,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+       |  FROM documents GROUP BY source
+       |), tot AS (
+       |  SELECT CAST(sum(src_tokens) AS BIGINT) AS tot, count(*) AS nsrc
+       |  FROM per
+       |), tagged AS (
+       |  SELECT d.doc_id, d.source, CAST($u16 AS BIGINT) AS u16,
+       |    per.src_tokens, tot.tot, tot.nsrc
+       |  FROM documents d JOIN per ON d.source = per.source CROSS JOIN tot
+       |)
+       |SELECT doc_id, source, CAST(u16 AS INT) AS u16,
+       |  0.0 + round(CAST(tot AS DOUBLE) / (nsrc * src_tokens), 6)
+       |    AS mix_weight,
+       |  (u16 * nsrc * src_tokens < 65536 * tot) AS kept
+       |FROM tagged
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "t22_chunk_windows" -> chunkWindows,
+    "t23_doc_keywords" -> docKeywords,
+    "t24_mixture_rebalance" -> mixtureRebalance,
     "t21_freq_bucket_approx" -> freqBucketApprox,
     "t20_freq_bucket" -> freqBucket,
     "t19_curated_docs" -> curatedDocs,
@@ -3105,6 +3285,9 @@ object TextOps {
     "t08_ngram_jaccard" -> ngramJaccard)
 
   val oracle: Map[String, String] = Map(
+    "t22_chunk_windows" -> chunkWindowsSql,
+    "t23_doc_keywords" -> docKeywordsSql,
+    "t24_mixture_rebalance" -> mixtureRebalanceSql,
     "t21_freq_bucket_approx" -> freqBucketApproxSql,
     "t20_freq_bucket" -> freqBucketSql,
     "t19_curated_docs" -> curatedDocsSql,

@@ -439,4 +439,55 @@ class SimSpec extends SparkSpecBase {
       SimOps.clearIvfCaches()
     }
   }
+
+  test("ADC top-k: int8-representable codes, integer ranking matches a hand scorer, zero vectors excluded") {
+    // forged corpus: 3 query-range vectors (ids < 20), 2 candidates
+    // past the query range, one zero vector that must vanish entirely
+    val vecs: Seq[(Long, Array[Float], Int)] = Seq(
+      (0L, Array(1.0f, 0.2f, -0.4f, 0.0f), 0),
+      (1L, Array(-0.3f, 0.9f, 0.1f, 0.5f), 0),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f), 0), // zero vector
+      (30L, Array(0.9f, 0.3f, -0.3f, 0.1f), 1),
+      (31L, Array(-0.2f, 1.0f, 0.2f, 0.4f), 1))
+    val dir = java.nio.file.Files.createTempDirectory("graft-adc").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // the contract, re-derived outside Spark: unit-normalize (norm via
+    // exact DECIMAL accumulation of the float->double squares), code =
+    // round-half-up(v * 127 / nrm) — int8-representable since nrm >= |v|
+    def codes(v: Array[Float]): Array[Long] = {
+      val nsq = v.map(x => BigDecimal(x.toDouble).pow(2)).sum
+      val nrm = math.sqrt(nsq.toDouble)
+      v.map(x => BigDecimal(x.toDouble * 127.0 / nrm)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    val byId = vecs.map(v => v._1 -> v._2).toMap
+    def adc(q: Long, c: Long): Long =
+      codes(byId(q)).zip(codes(byId(c))).map { case (a, b) => a * b }.sum
+
+    val out = SimOps.adcTopk(spark, dir)
+      .as[(Long, Int, Long, Long, Double)].collect().toSeq
+    // the zero vector is neither a query nor a candidate
+    assert(!out.exists(r => r._1 == 2L || r._3 == 2L),
+      "zero vector leaked into the ADC serve")
+    // queries 0 and 1 rank candidates {the other query, 30, 31}
+    assert(out.map(_._1).distinct.sorted == Seq(0L, 1L))
+    out.foreach { case (qid, _, cid, dot, cos) =>
+      assert(dot == adc(qid, cid),
+        s"($qid,$cid) integer dot $dot != hand-derived ${adc(qid, cid)}")
+      assert(codes(byId(cid)).forall(c => c >= -127 && c <= 127),
+        s"candidate $cid codes exceed int8 range")
+      assert(cos >= -1.000001 && cos <= 1.000001)
+    }
+    // per-query ranking follows (dot desc, cid asc) over ALL non-self
+    // nonzero candidates — the top-3 the scan serves is the true top-3
+    for (qid <- Seq(0L, 1L)) {
+      val cands = Seq(0L, 1L, 30L, 31L).filter(_ != qid)
+      val want = cands.map(c => (c, adc(qid, c)))
+        .sortBy { case (c, dot) => (-dot, c) }.take(3).map(_._1)
+      val got = out.filter(_._1 == qid).sortBy(_._2).map(_._3)
+      assert(got == want, s"qid $qid served $got, hand ranking $want")
+    }
+  }
 }

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextOps
+
+/** Contract pins for the round-15 text-pipeline additions: t22's
+  * chunking geometry (window starts/sizes, tail handling, null/empty
+  * degenerates), t23's integer ranking key, and t24's integer-exact
+  * keep predicate (re-derived from md5 outside Spark, so the test
+  * catches either engine drifting from the salted-hash contract). */
+class TextQuerySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def writeDocs(rows: Seq[(Long, String, String, String, Long)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-textq").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("t22 chunk windows: stride geometry, short tail kept, degenerates") {
+    val words80 = (1 to 80).map(i => s"w$i").mkString(" ")
+    val words5 = (1 to 5).map(i => s"w$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      (0L, words80, "en", "s", 80L),
+      (1L, words5, "en", "s", 5L),
+      (2L, "", "en", "s", 0L),
+      (3L, null, "en", "s", 0L)))
+    val out = TextOps.chunkWindows(spark, dir)
+      .select("doc_id", "chunk_idx", "chunk_start", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Int, Int, Int, String)].collect().toSeq
+
+    // 80 tokens at stride 24: starts 1,25,49,73; full windows except
+    // the 8-token tail (which must be KEPT, not dropped)
+    val d0 = out.filter(_._1 == 0L).sortBy(_._2)
+    assert(d0.map(_._3) == Seq(1, 25, 49, 73), s"wrong starts: $d0")
+    assert(d0.map(_._4) == Seq(32, 32, 32, 8), s"wrong sizes: $d0")
+    // consecutive windows overlap by ChunkTokens - ChunkStride tokens
+    val (a, b) = (d0(0)._5.split(" "), d0(1)._5.split(" "))
+    assert(a.takeRight(TextOps.ChunkTokens - TextOps.ChunkStride).toSeq ==
+      b.take(TextOps.ChunkTokens - TextOps.ChunkStride).toSeq,
+      "overlap tokens differ between consecutive chunks")
+    // chunks cover every token exactly: new tokens per chunk sum to n
+    assert(d0.head._4 + d0.tail.map(c =>
+      c._4 - (TextOps.ChunkTokens - TextOps.ChunkStride)).sum == 80)
+
+    // a doc shorter than one window is one (short) chunk
+    assert(out.filter(_._1 == 1L) == Seq((1L, 0, 1, 5, words5)))
+    // empty text splits to one empty token — one 1-token chunk
+    assert(out.filter(_._1 == 2L) == Seq((2L, 0, 1, 1, "")))
+    // null text emits no chunks (matches the oracle's unnest-of-null)
+    assert(!out.exists(_._1 == 3L), "null-text doc must emit no chunks")
+  }
+
+  test("t23 keywords: integer ranking key (tf desc, df asc, term asc)") {
+    // d0's terms all tf=1 with distinct corpus df: rank must follow
+    // rarity then term text, never the float tfidf
+    val dir = writeDocs(Seq(
+      (0L, "common mid rare", "en", "s", 15L),
+      (1L, "common mid", "en", "s", 10L),
+      (2L, "common common zz zz zz", "en", "s", 22L)))
+    val out = TextOps.docKeywords(spark, dir)
+      .as[(Long, Int, String, Long, Long, Double)].collect().toSeq
+    // df: common=3, mid=2, rare=1, zz=1
+    val d0 = out.filter(_._1 == 0L).sortBy(_._2)
+    assert(d0.map(_._3) == Seq("rare", "mid", "common"),
+      s"rarity tie-break violated: $d0")
+    // d2: zz bursts (tf=3) above common (tf=2) regardless of df
+    val d2 = out.filter(_._1 == 2L).sortBy(_._2)
+    assert(d2.map(t => (t._3, t._4)) == Seq(("zz", 3L), ("common", 2L)),
+      s"tf must dominate the ranking: $d2")
+    // annotation matches the smoothed formula at N=3 docs
+    val rare = d0.head
+    val want = BigDecimal(1.0 * math.log(4.0 / 2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rare._6 == want, s"tfidf annotation ${rare._6} != $want")
+    // never more than TopK rows per doc, ranks contiguous from 1
+    out.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.size <= TextOps.KeywordTopK)
+      assert(rows.map(_._2).sorted == (1 to rows.size), s"ranks broken for $id")
+    }
+  }
+
+  test("t24 mixture rebalance: integer-exact keep predicate, under-budget keeps all") {
+    // source A: 10 docs x 100 tokens (over equal share -> downsample);
+    // source B: 10 docs x 10 tokens (under share -> keep everything)
+    val tokA = (1 to 100).map(i => s"a$i").mkString(" ")
+    val tokB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val rows = (0L until 10L).map(i => (i, tokA, "en", "A", 500L)) ++
+      (10L until 20L).map(i => (i, tokB, "en", "B", 50L))
+    val dir = writeDocs(rows)
+    val out = TextOps.mixtureRebalance(spark, dir)
+      .as[(Long, String, Int, Double, Boolean)].collect().toSeq
+    assert(out.size == 20)
+
+    // re-derive the contract outside Spark: u16 = first 4 hex digits of
+    // md5("<doc_id>:mix-v1"); kept iff u16*nsrc*src_tokens < 65536*tot
+    def u16(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:mix-v1".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hex.take(4), 16)
+    }
+    val (tot, nsrc) = (1100L, 2L)
+    out.foreach { case (id, src, u, w, kept) =>
+      assert(u == u16(id), s"doc $id hash mismatch: $u != ${u16(id)}")
+      val srcTokens = if (src == "A") 1000L else 100L
+      assert(kept == (u.toLong * nsrc * srcTokens < 65536L * tot),
+        s"doc $id keep verdict drifted from the integer contract")
+      val wantW = BigDecimal(tot.toDouble / (nsrc * srcTokens))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(w == wantW, s"doc $id mix_weight $w != $wantW")
+    }
+    // the under-budget source must keep every document
+    assert(out.filter(_._2 == "B").forall(_._5),
+      "under-budget source lost documents")
+    // the over-budget source sheds at least one on this fixed hash set
+    assert(out.filter(_._2 == "A").exists(!_._5),
+      "over-budget source kept everything — threshold dead")
+  }
+}

@@ -321,6 +321,101 @@ object ScaleInvariants {
       (nKept == nTexts, s"kept=$nKept distinct_texts=$nTexts")
     }
 
+    // ---- t22: chunk geometry accounts for every token ---------------
+    // Integer-exact re-derivation from the raw text: per doc the window
+    // COUNT must match the stride arithmetic (1 + ⌊(n−1)/stride⌋ — so
+    // the last start is ≤ n and the tail is never dropped), and per
+    // CHUNK the slice length must be exactly min(ChunkTokens,
+    // n − start + 1) — which also proves the final window reaches token
+    // n, i.e. full coverage. (Note the penultimate window can be SHORT
+    // too when the tail is shallow, so no per-doc token-mass constant
+    // exists; the per-chunk identity is the invariant.)
+    check("inv_t22_chunk_accounting") {
+      val want = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      val perChunk = ops.TextOps.chunkWindows(spark, dir)
+        .join(want, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (col("n").isNull || col("chunk_start").isNull ||
+            col("chunk_start") =!= lit(1) +
+              col("chunk_idx") * ops.TextOps.ChunkStride ||
+            col("n_chunk_tokens") =!= least(lit(ops.TextOps.ChunkTokens),
+              col("n") - col("chunk_start") + 1)).as("bad_chunk"),
+          col("chunk_idx"), col("n"))
+      val perDoc = perChunk.groupBy("doc_id", "n").agg(
+        count(lit(1)).as("chunks"),
+        sum(col("bad_chunk").cast("long")).as("bad_chunks"))
+        .select((col("bad_chunks") > 0 ||
+          col("chunks") =!= lit(1) + floor(
+            (col("n") - 1).cast("long") / ops.TextOps.ChunkStride))
+          .as("bad"))
+      val agg = perDoc.agg(count(lit(1)).as("n"),
+        sum(col("bad").cast("long")).as("bad")).head()
+      (agg.getLong(1) == 0 && agg.getLong(0) > 0,
+        s"docs=${agg.getLong(0)} geometry_mismatches=${agg.getLong(1)}")
+    }
+
+    // ---- t24: keep verdicts re-derive from a fresh census ------------
+    // The source census (src_tokens, nsrc, tot) recomputes here from
+    // the raw documents and every doc's verdict is re-decided by the
+    // integer predicate against the OUTPUT's own u16 — plus the
+    // downsample-only contract: a source at or under its equal share
+    // keeps every document.
+    check("inv_t24_rebalance_exact") {
+      val out = ops.TextOps.mixtureRebalance(spark, dir)
+      val per = docs.groupBy("source")
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("st"))
+      val census = per.agg(sum("st").as("tot"), count(lit(1)).as("nsrc")).head()
+      val (tot, nsrc) = (census.getLong(0), census.getLong(1))
+      val joined = out.join(broadcast(per), "source")
+        .select(col("source"), col("kept"),
+          (col("kept") =!= (col("u16").cast("long") * nsrc * col("st")
+            < lit(65536L) * tot)).as("bad"),
+          (col("st") * nsrc <= tot).as("under_budget"))
+      val agg = joined.agg(count(lit(1)).as("n"),
+        sum(col("bad").cast("long")).as("bad"),
+        sum((col("under_budget") && !col("kept")).cast("long")).as("lost"))
+        .head()
+      (agg.getLong(1) == 0 && agg.getLong(2) == 0 && agg.getLong(0) > 0,
+        s"docs=${agg.getLong(0)} verdict_mismatches=${agg.getLong(1)} " +
+          s"under_budget_losses=${agg.getLong(2)}")
+    }
+
+    // ---- v16: served ADC dots re-derive bit-exactly; cosines fresh ---
+    // Codes rebuild here through a separate lineage (flatten → DECIMAL
+    // norms → per-element round) for JUST the served pairs' vectors,
+    // the integer dot must match EXACTLY (codes are integers — any
+    // drift in norm accumulation or rounding flips a whole unit), and
+    // the exact-cosine annotation is checked against a fresh double
+    // recomputation like inv_v05.
+    check("inv_v16_adc_exact") {
+      val served = ops.SimOps.adcTopk(spark, dir)
+      val codes = emb.join(
+          ops.SimOps.norms(ops.SimOps.flat(emb)), "vec_id")
+        .filter(col("nrm") > 0)
+        .select(col("vec_id"), col("embedding"), expr(
+          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / nrm, 0) AS BIGINT))")
+          .as("code"))
+      val fresh = served
+        .join(codes.select(col("vec_id").as("qid"), col("code").as("qc"),
+          col("embedding").as("ea")), "qid")
+        .join(codes.select(col("vec_id").as("cid"), col("code").as("cc"),
+          col("embedding").as("eb")), "cid")
+        .withColumn("fresh_dot", expr(
+          "aggregate(zip_with(cc, qc, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        .withColumn("fresh_cos", expr(
+          """aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, v) -> a + v)
+            | / (sqrt(aggregate(transform(ea, x -> CAST(x AS DOUBLE) * x), 0D, (a, v) -> a + v))
+            |  * sqrt(aggregate(transform(eb, x -> CAST(x AS DOUBLE) * x), 0D, (a, v) -> a + v)))"""
+            .stripMargin))
+      val agg = fresh.agg(count(lit(1)).as("n"),
+        sum((col("adc_dot") =!= col("fresh_dot")).cast("long")).as("bad"),
+        max(abs(col("cosine") - col("fresh_cos"))).as("gap")).head()
+      (agg.getLong(0) > 0 && agg.getLong(1) == 0 && agg.getDouble(2) <= 1e-5,
+        f"served=${agg.getLong(0)} dot_mismatches=${agg.getLong(1)} " +
+          f"cos_gap=${agg.getDouble(2)}%.2e")
+    }
+
     // ---- e03: the seeded threshold-crossing days classify into all
     // three branches with their exact planned values (scalegen seeds
     // six days after the source's last day under user 999983 — means

@@ -1881,15 +1881,29 @@ object SimOps {
     * codes on, everything is integer until the exact rerank. Zero
     * vectors are excluded identically on both sides (nrm > 0).
     *
-    * Scale posture: norms are one map-side-combined keyed aggregate,
-    * the 20-query code set broadcasts, and the scan is one in-row
-    * zip_with/aggregate projection over the corpus — no corpus shuffle;
-    * only the ≤ k·queries survivor pairs explode for the DECIMAL
-    * rerank. */
+    * Scale posture: the norm accumulates IN ROW (exact DECIMAL
+    * addition is order-free, so the in-row HOF is bit-identical to the
+    * flatten-and-aggregate spelling — which would explode the corpus
+    * dim× and join it back corpus-wide just to annotate a norm), the
+    * 20-query code set broadcasts, and the scan is one in-row
+    * zip_with/aggregate projection over the corpus — ZERO corpus
+    * shuffle or explode; only the ≤ k·queries survivor pairs explode
+    * for the DECIMAL rerank. PlanShapeSpec locks the shape. */
   val adcTopk: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val emb = Par.widen(Tables.embeddings(s, d))
-    val codes = emb.join(norms(flat(emb)), "vec_id").filter(col("nrm") > 0)
+    val codes = emb
+      // DECIMAL(32,18) accumulator with an exact cast-back each step:
+      // scale-18 addition never rounds (the cast only re-bounds
+      // precision, and the sum of 64 squares < 10^14 always fits), so
+      // this equals the oracle's DECIMAL(38,18) column sum bit for bit.
+      // A (38,18) accumulator would not round-trip — Spark widens
+      // (38,18)+(38,18) to (38,17), rejecting the lambda.
+      .withColumn("nrm", sqrt(expr(
+        """CAST(aggregate(embedding, CAST(0 AS DECIMAL(32,18)),
+          |  (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+          |    AS DECIMAL(32,18)) AS DECIMAL(32,18))) AS DOUBLE)""".stripMargin)))
+      .filter(col("nrm") > 0)
       .select(col("vec_id"), col("embedding"), expr(
         "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / nrm, 0) AS BIGINT))")
         .as("code"))

@@ -3210,20 +3210,26 @@ object TextOps {
     * both engines decide every document identically; no float
     * probability ever compares against the hash.
     *
-    * Scale posture: one map-side-combined groupBy(source) census, the
-    * source-count-sized weight tables broadcast onto the corpus scan,
-    * and the kept verdict is a per-row projection — sampling 100 TB is
-    * one map pass, like x06. */
+    * Scale posture: ONE map-side-combined groupBy(source) census whose
+    * totals ride an unpartitioned window over the source-count-sized
+    * relation (the t18 pattern — a separate `per.agg(sum)` spelling
+    * recomputes the census lineage, i.e. a third corpus scan, because
+    * nothing reuses the exchange), the weight table broadcasts onto the
+    * corpus scan, and the kept verdict is a per-row projection —
+    * sampling 100 TB is one map pass over the corpus plus the census
+    * pass, like x06. */
   val mixtureRebalance: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
     val doc = Par.widen(Tables.documents(s, d))
+    val all = Window.partitionBy()
     val per = doc.groupBy("source")
       .agg(sum(size(toks).cast("long")).as("src_tokens"))
-    val tot = per.agg(sum("src_tokens").as("tot"), count(lit(1)).as("nsrc"))
+      .withColumn("tot", sum("src_tokens").over(all))
+      .withColumn("nsrc", count(lit(1)).over(all))
     doc.select(col("doc_id"), col("source"),
         expr("CAST(conv(substring(md5(CAST(concat(CAST(doc_id AS STRING), " +
           "':mix-v1') AS BINARY)), 1, 4), 16, 10) AS BIGINT)").as("u16"))
       .join(broadcast(per), "source")
-      .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("source"), col("u16").cast("int").as("u16"),
         r6(col("tot").cast("double") / (col("nsrc") * col("src_tokens")))
           .as("mix_weight"),

@@ -446,4 +446,52 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(contractionPays(250000L, 500000L) && !contractionPays(250001L, 500000L),
       "threshold must sit at RepMineMaxFraction × docs inclusive")
   }
+
+  test("chunk windows: one corpus scan, one explode, no keyed shuffle") {
+    // the 100 TB claim is 'embarrassingly parallel map': the only
+    // exchanges allowed are Par.widen's round-robin and the output sort
+    val p = plan("t22_chunk_windows")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).length == 1, s"extra corpus scan:\n$p")
+    assert("\\(\\d+\\) Generate".r.findAllIn(p).length >= 1, s"explode missing:\n$p")
+    assert(!p.contains("hashpartitioning"), s"chunking shuffled on a key:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in a per-row map:\n$p")
+  }
+
+  test("doc keywords: ONE corpus scan feeds tf, df and the ranking") {
+    // the groupBy(term) df spelling re-scanned and re-exploded the
+    // corpus (its pruned aggregate defeats ReuseExchange) — this pins
+    // the window-df plan that reads the corpus once
+    val p = plan("t23_doc_keywords")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).length == 1,
+      s"df recomputation re-scanned the corpus:\n$p")
+    assert("\\(\\d+\\) Generate".r.findAllIn(p).length == 1, s"extra explode:\n$p")
+    // the rank window must cap groups before the sort (top-k pushdown)
+    assert(p.contains("WindowGroupLimit"), s"rank top-k not pushed:\n$p")
+  }
+
+  test("mixture rebalance: census broadcasts, corpus never shuffles on source") {
+    val p = plan("t24_mixture_rebalance")
+    // two corpus scans: the census pass and the doc projection — the
+    // agg+crossJoin total spelling cost a third
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).length == 2,
+      s"census totals recomputed the corpus scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"census join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the census join:\n$p")
+  }
+
+  test("ADC top-k: zero corpus shuffle below the ranking window, survivors-only explode") {
+    val p = plan("v16_adc_topk")
+    // norms accumulate IN ROW: the corpus must not explode (the one
+    // Generate is the ≤ k·queries survivor rerank) and the only keyed
+    // exchange is the per-qid ranking window
+    assert("\\(\\d+\\) Generate".r.findAllIn(p).length == 1,
+      s"corpus-side explode crept into the ADC scan:\n$p")
+    assert("Arguments: hashpartitioning".r.findAllIn(p).length == 1,
+      s"extra keyed exchange beyond the qid window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query codes not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus-sized join strategy in the ADC serve:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"integer top-k not pushed:\n$p")
+  }
 }

@@ -192,9 +192,11 @@ object Bench {
     val errs = errors.toSeq.map { case (k, v) =>
       Json.str(k) + ":" + Json.str(v)
     }.mkString("{", ",", "}")
-    val bs = buildTimes.toSeq.map { case (k, v) => Json.str(k) + ":" + v }
-      .mkString(",")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$bs,"errors":$errs,"sf":"$sfDir","gate":$gate}"""
+    // trailing comma carried here: with every build family skipped (the
+    // drift-bisection knob) an empty builds block must not emit `,,`
+    val bs = buildTimes.toSeq.map { case (k, v) => Json.str(k) + ":" + v + "," }
+      .mkString
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$bs"errors":$errs,"sf":"$sfDir","gate":$gate}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -382,20 +382,25 @@ object ScaleInvariants {
     }
 
     // ---- v16: served ADC dots re-derive bit-exactly; cosines fresh ---
-    // Codes rebuild here through a separate lineage (flatten → DECIMAL
-    // norms → per-element round) for JUST the served pairs' vectors,
-    // the integer dot must match EXACTLY (codes are integers — any
-    // drift in norm accumulation or rounding flips a whole unit), and
-    // the exact-cosine annotation is checked against a fresh double
+    // Codes rebuild here through the IN-ROW spelling (a DECIMAL(32,18)
+    // HOF accumulator with the norm bound once as a lambda variable) —
+    // deliberately NOT the serve's flatten-aggregate lineage, so the
+    // two bit-identical derivations check each other: the integer dot
+    // must match EXACTLY (codes are integers — any drift in norm
+    // accumulation or rounding flips a whole unit), and the
+    // exact-cosine annotation is checked against a fresh double
     // recomputation like inv_v05.
     check("inv_v16_adc_exact") {
       val served = ops.SimOps.adcTopk(spark, dir)
-      val codes = emb.join(
-          ops.SimOps.norms(ops.SimOps.flat(emb)), "vec_id")
-        .filter(col("nrm") > 0)
-        .select(col("vec_id"), col("embedding"), expr(
-          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / nrm, 0) AS BIGINT))")
-          .as("code"))
+      val codes = emb
+        .select(col("vec_id"), col("embedding"), element_at(expr(
+          """transform(array(sqrt(CAST(aggregate(embedding, CAST(0 AS DECIMAL(32,18)),
+            |    (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+            |      AS DECIMAL(32,18)) AS DECIMAL(32,18))) AS DOUBLE))),
+            |  nrm -> CASE WHEN nrm > 0D THEN
+            |    transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / nrm, 0) AS BIGINT))
+            |  END)""".stripMargin), 1).as("code"))
+        .filter(col("code").isNotNull)
       val fresh = served
         .join(codes.select(col("vec_id").as("qid"), col("code").as("qc"),
           col("embedding").as("ea")), "qid")

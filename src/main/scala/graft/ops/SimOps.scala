@@ -1881,29 +1881,26 @@ object SimOps {
     * codes on, everything is integer until the exact rerank. Zero
     * vectors are excluded identically on both sides (nrm > 0).
     *
-    * Scale posture: the norm accumulates IN ROW (exact DECIMAL
-    * addition is order-free, so the in-row HOF is bit-identical to the
-    * flatten-and-aggregate spelling — which would explode the corpus
-    * dim× and join it back corpus-wide just to annotate a norm), the
-    * 20-query code set broadcasts, and the scan is one in-row
-    * zip_with/aggregate projection over the corpus — ZERO corpus
-    * shuffle or explode; only the ≤ k·queries survivor pairs explode
-    * for the DECIMAL rerank. PlanShapeSpec locks the shape. */
+    * Scale posture: norms flatten the corpus through the codegen'd
+    * keyed aggregate and join back on vec_id — MEASURED against the
+    * zero-shuffle in-row alternative and kept (the t16 boundary again):
+    * an in-row DECIMAL(32,18) HOF norm is bit-identical (exact decimal
+    * addition is order-free; note a (38,18) accumulator would not
+    * round-trip — Spark widens the addition to (38,17) — and the norm
+    * must bind as a HOF lambda variable, or CollapseProject inlines the
+    * aggregate dim× into the code lambda, measured 1.3 → 5.2 s at sf1),
+    * but HOFs are CodegenFallback, and interpreted per-element decimal
+    * arithmetic over the corpus loses to the codegen'd explode:
+    * 13.5 s in-row vs 5.1 s flatten at the 100× corpus (2.6×). The
+    * 20-query code set broadcasts, the integer top-k caps locally
+    * (WindowGroupLimit) before the one qid exchange, and only the
+    * ≤ k·queries survivor pairs explode for the DECIMAL rerank.
+    * inv_v16 re-derives the codes through the in-row spelling, so the
+    * two bit-identical lineages now check each other at scale. */
   val adcTopk: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val emb = Par.widen(Tables.embeddings(s, d))
-    val codes = emb
-      // DECIMAL(32,18) accumulator with an exact cast-back each step:
-      // scale-18 addition never rounds (the cast only re-bounds
-      // precision, and the sum of 64 squares < 10^14 always fits), so
-      // this equals the oracle's DECIMAL(38,18) column sum bit for bit.
-      // A (38,18) accumulator would not round-trip — Spark widens
-      // (38,18)+(38,18) to (38,17), rejecting the lambda.
-      .withColumn("nrm", sqrt(expr(
-        """CAST(aggregate(embedding, CAST(0 AS DECIMAL(32,18)),
-          |  (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-          |    AS DECIMAL(32,18)) AS DECIMAL(32,18))) AS DOUBLE)""".stripMargin)))
-      .filter(col("nrm") > 0)
+    val codes = emb.join(norms(flat(emb)), "vec_id").filter(col("nrm") > 0)
       .select(col("vec_id"), col("embedding"), expr(
         "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / nrm, 0) AS BIGINT))")
         .as("code"))

@@ -479,19 +479,24 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the census join:\n$p")
   }
 
-  test("ADC top-k: zero corpus shuffle below the ranking window, survivors-only explode") {
+  test("ADC top-k: broadcast query codes, local integer top-k, survivors-only rerank explode") {
+    // the norm flatten (one corpus posexplode through the codegen'd
+    // keyed aggregate) is the MEASURED choice over the zero-shuffle
+    // in-row decimal HOF — 5.1 vs 13.5 s at 100× (see adcTopk's
+    // scaladoc); the lock pins what must hold either way: the query
+    // side broadcasts, the integer ranking caps locally before its one
+    // window exchange, no cartesian/corpus-broadcast strategy appears,
+    // and exactly three Generates exist: the corpus norm flatten, the
+    // query side's own flatten (20 rows — its vec_id < 20 filter is
+    // pushed to the scan), and the ≤ k·queries survivor rerank — a
+    // fourth would mean the corpus explodes per query
     val p = plan("v16_adc_topk")
-    // norms accumulate IN ROW: the corpus must not explode (the one
-    // Generate is the ≤ k·queries survivor rerank) and the only keyed
-    // exchange is the per-qid ranking window
-    assert("\\(\\d+\\) Generate".r.findAllIn(p).length == 1,
-      s"corpus-side explode crept into the ADC scan:\n$p")
-    assert("Arguments: hashpartitioning".r.findAllIn(p).length == 1,
-      s"extra keyed exchange beyond the qid window:\n$p")
+    assert("\\(\\d+\\) Generate".r.findAllIn(p).length == 3,
+      s"unexpected explode count in the ADC serve:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"query codes not broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
-      s"corpus-sized join strategy in the ADC serve:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian strategy in the ADC serve:\n$p")
     assert(p.contains("WindowGroupLimit"), s"integer top-k not pushed:\n$p")
   }
 }

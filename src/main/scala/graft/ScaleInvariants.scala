@@ -363,14 +363,19 @@ object ScaleInvariants {
     // keeps every document.
     check("inv_t24_rebalance_exact") {
       val out = ops.TextOps.mixtureRebalance(spark, dir)
+      // non-null-text guard + DECIMAL(38,0) product: the t24 census and
+      // keep-predicate spellings (legacy sizeOfNull would shift a
+      // null-text source by -1; the triple BIGINT product can exceed
+      // Int64 at extreme postures and must not wrap here either)
       val per = docs.groupBy("source")
-        .agg(sum(size(split(col("text"), " ")).cast("long")).as("st"))
+        .agg(sum(when(col("text").isNotNull,
+          size(split(col("text"), " ")).cast("long"))).as("st"))
       val census = per.agg(sum("st").as("tot"), count(lit(1)).as("nsrc")).head()
       val (tot, nsrc) = (census.getLong(0), census.getLong(1))
       val joined = out.join(broadcast(per), "source")
         .select(col("source"), col("kept"),
-          (col("kept") =!= (col("u16").cast("long") * nsrc * col("st")
-            < lit(65536L) * tot)).as("bad"),
+          (col("kept") =!= (col("u16").cast("decimal(38,0)") * nsrc *
+            col("st") < lit(65536L).cast("decimal(38,0)") * tot)).as("bad"),
           (col("st") * nsrc <= tot).as("under_budget"))
       val agg = joined.agg(count(lit(1)).as("n"),
         sum(col("bad").cast("long")).as("bad"),

@@ -2682,9 +2682,13 @@ object TextOps {
     * source-count-sized relation (the p05 pattern), never the corpus. */
   val sourceMixture: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
+    // NULL-text guard: SQL sum skips NULLs, Spark's legacy sizeOfNull
+    // yields -1 for size(split(NULL)) — the census must count non-null
+    // texts only so both engines agree on any corpus (the t24 rule)
     val per = Tables.documents(s, d).groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(toks).cast("long")).as("n_tokens"))
+        sum(when(col("text").isNotNull, size(toks).cast("long")))
+          .as("n_tokens"))
     val all = Window.partitionBy()
     per
       .withColumn("tot", sum("n_tokens").over(all))
@@ -3208,7 +3212,16 @@ object TextOps {
     * factor at shard-write time, t18's mix_weight). The keep predicate
     * is INTEGER-exact — u16·nsrc·src_tokens < 2¹⁶·total_tokens — so
     * both engines decide every document identically; no float
-    * probability ever compares against the hash.
+    * probability ever compares against the hash. The triple product is
+    * evaluated in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): three
+    * BIGINTs can exceed Int64 at extreme corpus postures (u16 < 2¹⁶ is
+    * fixed, so overflow needs nsrc·src_tokens ≥ ~1.4e14 — real at
+    * 100 TB), and Spark's non-ANSI Int64 would wrap silently where
+    * DuckDB raises; the widened form is exact to 10³⁸ on both engines.
+    * The census sums token counts over NON-NULL texts only (explicit
+    * guard): Spark's legacy sizeOfNull makes size(split(NULL)) = -1,
+    * while SQL `sum` skips NULLs — without the guard a null-text doc
+    * would silently shift src_tokens by -1 on one engine only.
     *
     * Scale posture: ONE map-side-combined groupBy(source) census whose
     * totals ride an unpartitioned window over the source-count-sized
@@ -3223,7 +3236,8 @@ object TextOps {
     val doc = Par.widen(Tables.documents(s, d))
     val all = Window.partitionBy()
     val per = doc.groupBy("source")
-      .agg(sum(size(toks).cast("long")).as("src_tokens"))
+      .agg(sum(when(col("text").isNotNull, size(toks).cast("long")))
+        .as("src_tokens"))
       .withColumn("tot", sum("src_tokens").over(all))
       .withColumn("nsrc", count(lit(1)).over(all))
     doc.select(col("doc_id"), col("source"),
@@ -3233,8 +3247,8 @@ object TextOps {
       .select(col("doc_id"), col("source"), col("u16").cast("int").as("u16"),
         r6(col("tot").cast("double") / (col("nsrc") * col("src_tokens")))
           .as("mix_weight"),
-        (col("u16") * col("nsrc") * col("src_tokens")
-          < lit(65536L) * col("tot")).as("kept"))
+        (col("u16").cast("decimal(38,0)") * col("nsrc") * col("src_tokens")
+          < lit(65536L).cast("decimal(38,0)") * col("tot")).as("kept"))
       .orderBy("doc_id")
   }
 
@@ -3259,7 +3273,8 @@ object TextOps {
        |SELECT doc_id, source, CAST(u16 AS INT) AS u16,
        |  0.0 + round(CAST(tot AS DOUBLE) / (nsrc * src_tokens), 6)
        |    AS mix_weight,
-       |  (u16 * nsrc * src_tokens < 65536 * tot) AS kept
+       |  (CAST(u16 AS HUGEINT) * nsrc * src_tokens
+       |     < CAST(65536 AS HUGEINT) * tot) AS kept
        |FROM tagged
        |ORDER BY doc_id""".stripMargin
   }

@@ -118,4 +118,29 @@ class TextQuerySpec extends SparkSpecBase {
     assert(out.filter(_._2 == "A").exists(!_._5),
       "over-budget source kept everything — threshold dead")
   }
+
+  test("t18/t24 census skips null texts like SQL sum (legacy sizeOfNull guard)") {
+    // one null-text doc per source: without the isNotNull guard Spark's
+    // size(split(NULL)) = -1 would subtract one token per null doc from
+    // the census while DuckDB's sum skips the NULL row entirely
+    val tok4 = "a b c d"
+    val dir = writeDocs(Seq(
+      (0L, tok4, "en", "A", 7L), (1L, tok4, "en", "A", 7L),
+      (2L, null, "en", "A", 0L),
+      (3L, "x y", "en", "B", 3L), (4L, null, "en", "B", 0L)))
+    val mix = TextOps.sourceMixture(spark, dir)
+      .select("source", "n_docs", "n_tokens")
+      .as[(String, Long, Long)].collect()
+      .map { case (s, nd, nt) => s -> ((nd, nt)) }.toMap
+    assert(mix("A") == ((3L, 8L)), s"source A census drifted: $mix")
+    assert(mix("B") == ((2L, 2L)), s"source B census drifted: $mix")
+    val out = TextOps.mixtureRebalance(spark, dir)
+      .as[(Long, String, Int, Double, Boolean)].collect().toSeq
+    // every doc (null texts included) gets a verdict row, and the
+    // mix_weight derives from the NULL-skipping census: tot=10, nsrc=2,
+    // A=8 tokens, B=2 tokens
+    assert(out.size == 5, s"null-text docs dropped from the verdict: $out")
+    assert(out.filter(_._2 == "A").forall(_._4 == 0.625), s"A weight: $out")
+    assert(out.filter(_._2 == "B").forall(_._4 == 2.5), s"B weight: $out")
+  }
 }

@@ -56,6 +56,8 @@ object Families {
       (s, d) => ops.TextOps.buildFunnel(s, d)),
     Family("freq", () => ops.TextOps.clearFreqCache(), Seq("freq"),
       (s, d) => ops.TextOps.buildFreq(s, d)),
+    Family("keywords", () => ops.TextOps.clearKeywordsCache(), Seq("keywords"),
+      (s, d) => ops.TextOps.buildKeywords(s, d)),
     Family("neardup", () => ops.SimOps.clearNearDupCache(), Seq("neardup"),
       (s, d) => ops.SimOps.buildNearDup(s, d)),
     Family("cube", () => ops.Pipeline.clearCubeCache(), Seq("cube"),

@@ -355,6 +355,52 @@ object ScaleInvariants {
         s"docs=${agg.getLong(0)} geometry_mismatches=${agg.getLong(1)}")
     }
 
+    // ---- t23: served keyword ranks re-derive from raw text -----------
+    // For a hashed sample of documents, recompute the integer ranking
+    // triple (tf desc, df asc, term asc) from the raw corpus — tf from
+    // the sampled docs' text, df from a full corpus pass restricted to
+    // the sampled vocabulary, N from a fresh count — and assert the
+    // served artifact rows (term, tf, df AND the rounded tfidf
+    // annotation) agree exactly at every rank. A carried tf/ file that
+    // drifted from the text, a df merge that lost an increment, or a
+    // stale meta N all fail here.
+    check("inv_t23_keyword_ranks") {
+      import org.apache.spark.sql.expressions.Window
+      val served = ops.TextOps.docKeywords(spark, dir)
+      val ids = served.select("doc_id").distinct()
+        .orderBy(abs(hash(col("doc_id"))), col("doc_id"))
+        .limit(SamplePairs)
+      val tfF = docs.join(broadcast(ids), "doc_id")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("ftf"))
+      val vocab = tfF.select("term").distinct()
+      val dfF = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .join(broadcast(vocab), "term")
+        .distinct()
+        .groupBy("term").agg(count(lit(1)).as("fdf"))
+      val n = docs.count()
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("ftf").desc, col("fdf").asc, col("term").asc)
+      val freshR = tfF.join(dfF, "term")
+        .withColumn("rnk", row_number().over(w).cast("int"))
+        .filter(col("rnk") <= ops.TextOps.KeywordTopK)
+        .select(col("doc_id"), col("rnk"), col("term").as("fterm"),
+          col("ftf"), col("fdf"),
+          round(col("ftf").cast("double") *
+            log(lit((n + 1).toDouble) / (col("fdf") + 1).cast("double")), 6)
+            .as("ftfidf"))
+      val sj = served.join(broadcast(ids), "doc_id")
+        .join(freshR, Seq("doc_id", "rnk"), "full_outer")
+      val agg = sj.agg(count(lit(1)).as("n"),
+        sum((col("term").isNull || col("fterm").isNull ||
+          col("term") =!= col("fterm") || col("tf") =!= col("ftf") ||
+          col("df") =!= col("fdf") ||
+          col("tfidf") =!= col("ftfidf")).cast("long")).as("bad")).head()
+      (agg.getLong(0) > 0 && agg.getLong(1) == 0,
+        s"sampled_rows=${agg.getLong(0)} rank_mismatches=${agg.getLong(1)}")
+    }
+
     // ---- t24: keep verdicts re-derive from a fresh census ------------
     // The source census (src_tokens, nsrc, tot) recomputes here from
     // the raw documents and every doc's verdict is re-decided by the

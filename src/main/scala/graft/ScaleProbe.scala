@@ -41,6 +41,7 @@ object ScaleProbe {
       "sig" -> (() => ops.TextOps.buildSigIndex(spark, dir)),
       "textdup" -> (() => ops.TextOps.buildTextDup(spark, dir)),
       "freq" -> (() => ops.TextOps.buildFreq(spark, dir)),
+      "keywords" -> (() => ops.TextOps.buildKeywords(spark, dir)),
       "neardup" -> (() => ops.SimOps.buildNearDup(spark, dir)),
       "funnel" -> (() => ops.TextOps.buildFunnel(spark, dir)),
       "ivf" -> (() => ops.SimOps.buildIvf(spark, dir)))
@@ -95,6 +96,7 @@ object ScaleProbe {
       "sig_build" -> timed(ops.TextOps.buildSigIndex(spark, dir)),
       "textdup_build" -> timed(ops.TextOps.buildTextDup(spark, dir)),
       "freq_build" -> timed(ops.TextOps.buildFreq(spark, dir)),
+      "keywords_build" -> timed(ops.TextOps.buildKeywords(spark, dir)),
       "neardup_build" -> timed(ops.SimOps.buildNearDup(spark, dir)),
       "funnel_build" -> timed(ops.TextOps.buildFunnel(spark, dir)),
       "ivf_build" -> timed(ops.SimOps.buildIvf(spark, dir)))
@@ -112,6 +114,7 @@ object ScaleProbe {
       "t15_sequence_pack" -> q(ops.TextOps.sequencePack),
       "t17_curation_funnel" -> q(ops.TextOps.curationFunnel),
       "t20_freq_bucket" -> q(ops.TextOps.freqBucket),
+      "t23_doc_keywords" -> q(ops.TextOps.docKeywords),
       "v01_sim_topk" -> q(ops.SimOps.simTopk),
       "v05_sim_ivf" -> q(ops.SimOps.simIvf),
       "v06_embed_neardup" -> q(ops.SimOps.embedNearDup),
@@ -168,6 +171,7 @@ object ScaleProbe {
       ops.TextOps.buildTextDup(spark, tmpDs)
       ops.TextOps.buildFunnel(spark, tmpDs)
       ops.TextOps.buildFreq(spark, tmpDs)
+      ops.TextOps.buildKeywords(spark, tmpDs)
     }
     if (vec) {
       ops.SimOps.buildNearDup(spark, tmpDs)
@@ -214,7 +218,8 @@ object ScaleProbe {
         "sig_append" -> timed(ops.TextOps.appendToSigIndex(spark, tmpDs, batchDocs)),
         "textdup_append" -> timed(ops.TextOps.appendToTextDup(spark, tmpDs, batchDocs)),
         "funnel_append" -> timed(ops.TextOps.appendToFunnel(spark, tmpDs, batchDocs)),
-        "freq_append" -> timed(ops.TextOps.appendToFreq(spark, tmpDs, batchDocs)))
+        "freq_append" -> timed(ops.TextOps.appendToFreq(spark, tmpDs, batchDocs)),
+        "keywords_append" -> timed(ops.TextOps.appendToKeywords(spark, tmpDs, batchDocs)))
       else Seq.empty) ++
       (if (vec) Seq(
         "neardup_append" -> timed(ops.SimOps.appendToNearDup(spark, tmpDs, batchVec)),

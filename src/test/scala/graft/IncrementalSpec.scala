@@ -523,6 +523,61 @@ class IncrementalSpec extends SparkSpecBase {
     Warehouse.invalidateDataset(ds)
   }
 
+  test("appendToKeywords: O(batch) tf carry + additive df merge == full rebuild") {
+    import spark.implicits._
+    val ds = tmpDs("graft-inc-kw")
+    val base = seedDocs(ds)
+    TextOps.clearKeywordsCache()
+    TextOps.buildKeywords(spark, ds)
+    val prior = Warehouse.latest("keywords", ds).get
+    val carried = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(prior, "tf"))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("part-")).toSeq.head
+      } finally st.close()
+    }
+    // batch shapes: a copy of a prior doc (every one of its terms' df
+    // grows by 1), a fresh doc with batch-unique terms (fresh df rows),
+    // and a null-text doc (N grows with zero census rows — the
+    // explode_outer contract)
+    val copy = base.filter(col("doc_id") === 7L)
+      .select(lit(2000L).as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+    val extra = Seq(
+      (2001L, "zqx zqx unique marker", "en", "srcK", 21L),
+      (2002L, null.asInstanceOf[String], "en", "srcK", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batch = copy.unionByName(extra)
+    base.unionByName(batch).write.mode("overwrite")
+      .parquet(s"$ds/documents.parquet")
+    TextOps.clearKeywordsCache()
+    TextOps.appendToKeywords(spark, ds, batch)
+    val incDir = Warehouse.latest("keywords", ds).get
+    assert(incDir != prior, "append produced no new keywords version")
+    assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(incDir, "tf", carried)),
+      "append did not carry the prior tf census by file")
+    // df and N are GLOBAL: the appended copy must reprice the prior
+    // doc's served rows through the merged census, and the whole serve
+    // must equal a from-scratch rebuild bit-for-bit
+    val inc = TextOps.docKeywords(spark, ds).collect()
+    assert(inc.exists(_.getLong(0) == 2001L), "appended doc missing from t23")
+    assert(!inc.exists(_.getLong(0) == 2002L),
+      "null-text doc must carry no keyword rows")
+    TextOps.clearKeywordsCache()
+    Warehouse.invalidate("keywords", ds)
+    val full = TextOps.docKeywords(spark, ds).collect()
+    assert(inc.sameElements(full),
+      "incremental keywords drifted from full rebuild")
+    val n = spark.read.parquet(
+      s"${Warehouse.latest("keywords", ds).get}/meta").head().getLong(0)
+    assert(n == base.count() + 3,
+      s"meta N must count the null-text appended doc: $n")
+    Warehouse.invalidateDataset(ds)
+  }
+
   test("appendToFreq reprices a class crossing in O(affected) via corr/, still == full rebuild") {
     import spark.implicits._
     val ds = tmpDs("graft-inc-freqx")

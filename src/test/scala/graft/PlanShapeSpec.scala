@@ -457,16 +457,39 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Join"), s"unexpected join in a per-row map:\n$p")
   }
 
-  test("doc keywords: ONE corpus scan feeds tf, df and the ranking") {
-    // the groupBy(term) df spelling re-scanned and re-exploded the
-    // corpus (its pruned aggregate defeats ReuseExchange) — this pins
-    // the window-df plan that reads the corpus once
+  test("doc keywords: artifact serve — no corpus text, shuffled df join, doc-keyed rank") {
+    // serving reads the keywords@ artifact; the corpus token pass ran
+    // at build time (census lock below). The df join is pinned
+    // shuffle-hash on term — vocabulary scales with the corpus, never
+    // broadcast, and a JOIN on the Zipfian term key is
+    // AQE-skew-splittable where the r15 term-partitioned Window (the
+    // r15 verdict's one `weak`) physically forced every row of the
+    // hottest term into one task. The only window partitions by doc_id
+    // with its top-k capped before the sort.
     val p = plan("t23_doc_keywords")
-    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).length == 1,
-      s"df recomputation re-scanned the corpus:\n$p")
-    assert("\\(\\d+\\) Generate".r.findAllIn(p).length == 1, s"extra explode:\n$p")
-    // the rank window must cap groups before the sort (top-k pushdown)
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).length == 2,
+      s"expected exactly the tf/ and df/ artifact scans:\n$p")
+    assert("\\btext#\\d".r.findFirstIn(p).isEmpty,
+      s"serve touches the corpus text column:\n$p")
+    assert(!p.contains("Generate"), s"serve re-exploded the corpus:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"df join not pinned shuffled:\n$p")
+    assert("windowspecdefinition\\(term".r.findFirstIn(p).isEmpty,
+      s"term-partitioned window crept back:\n$p")
     assert(p.contains("WindowGroupLimit"), s"rank top-k not pushed:\n$p")
+  }
+
+  test("keywords census: one corpus scan, one explode, map-side-combined aggregate") {
+    // the build's single corpus pass (the serve above never re-scans):
+    // explode_outer → (doc_id, term) keyed count with partial+final
+    // HashAggregate around its one exchange
+    val p = ops.TextOps.keywordsCensusPlan(spark, d)
+      .queryExecution.explainString(FormattedMode)
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).length == 1,
+      s"census must read the corpus exactly once:\n$p")
+    assert("\\(\\d+\\) Generate".r.findAllIn(p).length == 1,
+      s"census must explode exactly once:\n$p")
+    assert("\\(\\d+\\) HashAggregate".r.findAllIn(p).length >= 2,
+      s"census aggregate lost its map-side combine:\n$p")
   }
 
   test("mixture rebalance: census broadcasts, corpus never shuffles on source") {

@@ -3408,7 +3408,83 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t25
+  /** The (doc_id, chunk_idx, token-count) spans of t22's window
+    * geometry WITHOUT the chunk text — the packer below needs only the
+    * token accounting, so the composed plan never materializes the
+    * window payloads. Null-text docs produce no spans (posexplode of a
+    * NULL transform — the t22 rule, mirrored by unnest(NULL) in the
+    * oracle). */
+  private def chunkSpans(doc: DataFrame): DataFrame =
+    doc.select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(t), $ChunkStride), " +
+          s"st -> size(slice(t, st, $ChunkTokens)))")))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+        col("col").cast("long").as("tok"))
+
+  /** Chunk→pack composition — t22's overlapping context windows fed
+    * through t15's packer: the actual training-prep chain (split long
+    * documents into fixed-context windows, then pack the windows into
+    * [[PackBudget]]-token shards in (doc_id, chunk_idx) order) as ONE
+    * declared relation. The per-op oracles prove each stage alone; this
+    * hash-gates their WIRING — a chunk-geometry change that silently
+    * shifts every downstream shard boundary, or a packer that drops the
+    * short tail windows, shows up here and nowhere else.
+    *
+    * Scale posture: the chunk side is t22's zero-shuffle per-row map
+    * (token counts only — the window text never materializes); the
+    * pack side is the t15 two-level distributed prefix sum generalized
+    * to the (doc_id, chunk_idx) composite order — per-range totals
+    * (ranges keyed on doc_id div [[packRangeFor]] width, ≤
+    * [[PackTargetRanges]] rows at any corpus) take the only
+    * unpartitioned window, range offsets broadcast back, and the
+    * per-chunk cumulative sum runs partitioned BY RANGE. The oracle
+    * spells the single-window form — same associative sum, same
+    * result. */
+  val chunkPack: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val rangeWidth = packRangeFor(maxDocId(docs))
+    val t = chunkSpans(Par.widen(docs))
+      .withColumn("rng", expr(s"doc_id div $rangeWidth"))
+    val wR = Window.orderBy("rng")
+    val offs = t.groupBy("rng").agg(sum("tok").as("rtok"))
+      .select(col("rng"), (sum("rtok").over(wR) - col("rtok")).as("roff"))
+    val wD = Window.partitionBy("rng").orderBy("doc_id", "chunk_idx")
+    t.join(broadcast(offs), "rng")
+      .select(col("doc_id"), col("tok"),
+        (col("roff") + sum("tok").over(wD) - col("tok")).as("gstart"))
+      .select(col("doc_id"), col("tok"),
+        floor(col("gstart") / PackBudget).as("shard_id"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("tok").as("tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard_id")
+  }
+
+  val chunkPackSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), win AS (
+       |  SELECT doc_id, CAST((st - 1) // $ChunkStride AS INT) AS chunk_idx,
+       |    CAST(len(t[st:st + ${ChunkTokens - 1}]) AS BIGINT) AS tok
+       |  FROM (SELECT doc_id, t,
+       |          unnest(generate_series(1, len(t), $ChunkStride)) AS st
+       |        FROM tok)
+       |), p AS (
+       |  SELECT doc_id, tok,
+       |    CAST(floor(CAST(sum(tok) OVER (ORDER BY doc_id, chunk_idx)
+       |                    - tok AS DOUBLE) / $PackBudget) AS BIGINT) AS shard_id
+       |  FROM win
+       |)
+       |SELECT shard_id, count(*) AS n_chunks, CAST(sum(tok) AS BIGINT) AS tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM p GROUP BY shard_id
+       |ORDER BY shard_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t25_chunk_pack" -> chunkPack,
     "t22_chunk_windows" -> chunkWindows,
     "t23_doc_keywords" -> docKeywords,
     "t24_mixture_rebalance" -> mixtureRebalance,
@@ -3435,6 +3511,7 @@ object TextOps {
     "t08_ngram_jaccard" -> ngramJaccard)
 
   val oracle: Map[String, String] = Map(
+    "t25_chunk_pack" -> chunkPackSql,
     "t22_chunk_windows" -> chunkWindowsSql,
     "t23_doc_keywords" -> docKeywordsSql,
     "t24_mixture_rebalance" -> mixtureRebalanceSql,

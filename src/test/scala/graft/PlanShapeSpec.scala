@@ -252,6 +252,22 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("chunk pack: the per-chunk window is range-partitioned, never global") {
+    // the t15 lock, over the composed chunk→pack lineage: the
+    // corpus-sized cumulative sum exchanges on the coarse range key and
+    // only aggregate-sized relations reach a single partition
+    val p = plan("t25_chunk_pack")
+    assert("hashpartitioning\\(rng#\\d".r.findFirstIn(p).isDefined,
+      s"per-chunk cumsum is not partitioned by range:\n$p")
+    assert("Window".r.findAllIn(p).length >= 2,
+      s"expected the range-offset and per-chunk windows:\n$p")
+    p.split("Exchange SinglePartition").drop(1).foreach { after =>
+      val branch = after.split("Exchange ").head
+      assert(branch.contains("HashAggregate") || !branch.contains("Scan"),
+        s"a raw scan feeds a single-partition exchange:\n$p")
+    }
+  }
+
   test("residual census computes in-row: model broadcast, one cell-keyed exchange") {
     val p = plan("v13_residual_error")
     // the corpus must never flatten or shuffle: the only exchanges are

@@ -119,6 +119,30 @@ class TextQuerySpec extends SparkSpecBase {
       "over-budget source kept everything — threshold dead")
   }
 
+  test("t25 chunk pack: shards account for every t22 window, in order") {
+    val words80 = (1 to 80).map(i => s"w$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      (0L, words80, "en", "s", 80L),
+      (1L, "x y z", "en", "s", 5L),
+      (2L, null, "en", "s", 0L)))
+    val chunks = TextOps.chunkWindows(spark, dir)
+      .agg(count(lit(1)), sum("n_chunk_tokens")).head()
+    val shards = TextOps.chunkPack(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // every window lands in exactly one shard; token mass conserved
+    assert(shards.map(_._2).sum == chunks.getLong(0),
+      s"chunk count drifted through the packer: $shards")
+    assert(shards.map(_._3).sum == chunks.getLong(1),
+      s"token mass lost through the packer: $shards")
+    // shard ids contiguous from 0, doc spans monotone
+    assert(shards.map(_._1) == shards.indices.map(_.toLong),
+      s"shard ids not contiguous: $shards")
+    assert(shards.sliding(2).forall {
+      case Seq(a, b) => a._5 <= b._4 || a._4 <= b._4
+      case _ => true
+    }, s"shard doc spans out of order: $shards")
+  }
+
   test("t18/t24 census skips null texts like SQL sum (legacy sizeOfNull guard)") {
     // one null-text doc per source: without the isNotNull guard Spark's
     // size(split(NULL)) = -1 would subtract one token per null doc from

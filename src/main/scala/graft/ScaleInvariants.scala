@@ -472,6 +472,36 @@ object ScaleInvariants {
           f"cos_gap=${agg.getDouble(2)}%.2e")
     }
 
+    // ---- v17: IVF-pruned ADC recall against the full-scan ADC ---------
+    // The composed tier prunes v16's candidate set to the probed cells;
+    // its recall@k against v16's full-scan choices must meet the bar of
+    // v07's recall@3 against the exact ranking — v17 probes the same
+    // ~¼ corpus fraction (⌈k/4⌉ of k cells) as v07's 2-of-8, so this is
+    // equal-work pruning judged by the same yardstick, with the finer
+    // k ≈ √n quantizer expected to prune better, not worse. A probe
+    // path that mis-ranks cells, a code kernel that drifts inside the
+    // probed set, or a geometry regression all show up as a recall
+    // drop below a bar that scales with the corpus's own clustering.
+    check("inv_v17_ivf_adc_recall") {
+      val full = ops.SimOps.adcTopk(spark, dir).select("qid", "cid")
+      val pruned = ops.SimOps.simIvfAdc(spark, dir)
+        .select(col("qid"), col("cid"), lit(1).as("hit"))
+      val m17 = full.join(broadcast(pruned), Seq("qid", "cid"), "left")
+        .groupBy("qid")
+        .agg((count(col("hit")).cast("double") / ops.SimOps.AdcTopK).as("rc"))
+        .agg(avg("rc")).head.getDouble(0)
+      val exact = ops.SimOps.simTopk(spark, dir)
+        .filter(col("rk") <= 3).select("qid", "cid")
+      val served7 = ops.SimOps.simIvfProbe2(spark, dir)
+        .select(col("qid"), col("cid"), lit(1).as("hit"))
+      val m7 = exact.join(broadcast(served7), Seq("qid", "cid"), "left")
+        .groupBy("qid")
+        .agg((count(col("hit")).cast("double") / 3).as("rc"))
+        .agg(avg("rc")).head.getDouble(0)
+      (m17 >= m7,
+        f"mean_recall_v17_vs_v16=$m17%.3f bar_v07_vs_exact=$m7%.3f")
+    }
+
     // ---- e03: the seeded threshold-crossing days classify into all
     // three branches with their exact planned values (scalegen seeds
     // six days after the source's last day under user 999983 — means

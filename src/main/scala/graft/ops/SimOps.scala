@@ -1897,13 +1897,28 @@ object SimOps {
     * ≤ k·queries survivor pairs explode for the DECIMAL rerank.
     * inv_v16 re-derives the codes through the in-row spelling, so the
     * two bit-identical lineages now check each other at scale. */
+  /** SQ8 codes at the fixed scale 127 over ANY (vec_id, embedding, …)
+    * relation — the measured v16 spelling (flatten → DECIMAL norm →
+    * join back; see [[adcTopk]]'s scaladoc for the flatten-vs-HOF
+    * decision). Zero vectors are excluded (nrm > 0) and extra columns
+    * carry through — [[simIvfAdcK]] feeds the cell-pruned inverted
+    * file through this, so the flatten explodes probed rows only. */
+  private def sq8Codes(emb: DataFrame): DataFrame =
+    emb.join(norms(flat(emb.select("vec_id", "embedding"))), "vec_id")
+      .filter(col("nrm") > 0)
+      .withColumn("code", expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / nrm, 0) AS BIGINT))"))
+      .drop("nrm")
+
+  /** The pure-integer ADC dot of two SQ8 code arrays (≈ cosine·127²) —
+    * interpreted HOF, bounded by the candidate count upstream. */
+  private val AdcDotExpr =
+    "aggregate(zip_with(code, qcode, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+
   val adcTopk: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val emb = Par.widen(Tables.embeddings(s, d))
-    val codes = emb.join(norms(flat(emb)), "vec_id").filter(col("nrm") > 0)
-      .select(col("vec_id"), col("embedding"), expr(
-        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / nrm, 0) AS BIGINT))")
-        .as("code"))
+    val codes = sq8Codes(emb).select("vec_id", "embedding", "code")
     val q = codes.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("ea"),
         col("code").as("qcode"))
@@ -1912,8 +1927,7 @@ object SimOps {
       .select(col("vec_id").as("cid"), col("embedding").as("eb"), col("code"))
       .crossJoin(broadcast(q))
       .filter(col("cid") =!= col("qid"))
-      .withColumn("adc_dot", expr(
-        "aggregate(zip_with(code, qcode, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("adc_dot", expr(AdcDotExpr))
       .withColumn("rk", row_number().over(w).cast("int"))
       .filter(col("rk") <= AdcTopK)
     exactCosine(top.select("qid", "rk", "cid", "adc_dot", "ea", "eb"),
@@ -1946,7 +1960,115 @@ object SimOps {
        |WHERE t.rk <= $AdcTopK
        |ORDER BY t.qid, t.rk""".stripMargin
 
+  // ---------------------------------------------------------------- v17
+  /** Probe width of the IVF-ADC serve: ⌈k/4⌉ cells of the k-cell
+    * quantizer — the same ~¼ probed-corpus fraction as v07's 2-of-8
+    * default geometry, so inv_v17's recall bar (≥ v07's recall@3
+    * against the exact ranking) compares equal candidate work. */
+  private[graft] def adcNprobe(k: Int): Int = math.max(1, (k + 3) / 4)
+
+  /** [[simIvfAdc]] at an explicit quantizer size — SimSpec exercises a
+    * non-default k to prove the composition is k-generic. */
+  private[graft] def simIvfAdcK(s: SparkSession, d: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val inv = ivfIndexK(s, d, k)
+    val ranked = rankedCells(s, d, k).filter(_._3 <= adcNprobe(k))
+      .map(r => (r._1, r._2))
+    val qcodes = sq8Codes(Tables.embeddings(s, d).filter(col("vec_id") < 20))
+    val qprobe = ranked.toDF("qid", "cell")
+      .join(qcodes.select(col("vec_id").as("qid"),
+        col("embedding").as("ea"), col("code").as("qcode")), "qid")
+    val probed = inv.filter(col("cell").isin(ranked.map(_._2).distinct: _*))
+    val w = Window.partitionBy("qid").orderBy(col("adc_dot").desc, col("cid").asc)
+    val top = sq8Codes(probed)
+      .select(col("vec_id").as("cid"), col("cell"),
+        col("embedding").as("eb"), col("code"))
+      .join(broadcast(qprobe), Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("adc_dot", expr(AdcDotExpr))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= AdcTopK)
+    exactCosine(top.select("qid", "rk", "cid", "adc_dot", "ea", "eb"),
+        Seq("qid", "rk", "cid", "adc_dot"))
+      .select(col("qid"), col("rk"), col("cid"), col("adc_dot"),
+        r6(col("cosine")).as("cosine"))
+      .orderBy("qid", "rk")
+  }
+
+  /** IVF-ADC — the composed ANN serving tier (the faiss IVF-PQ posture
+    * SURVEY §2.11 cites): v15's auto-geometry quantizer picks each
+    * query's [[adcNprobe]] probe cells, v16's SQ8 codes rank the
+    * candidates INSIDE those cells by the pure-integer ADC dot (no
+    * float in the ORDER BY; ties by cid), and the DECIMAL-exact rerank
+    * annotates the survivors. v15 proves the pruning tier and v16 the
+    * scoring kernel; this declares their composition — what a real
+    * 100 TB vector store actually serves.
+    *
+    * Scale posture: the probed-cell set reaches BOTH inverted-file
+    * reads (the norm flatten behind the codes and the candidate join)
+    * as a LITERAL partition filter (the v05 lesson — runtime DPP
+    * dropped to a full index scan; PlanShapeSpec pins both scans), so
+    * the serve touches probed cells only: at k ≈ √n, nprobe = ⌈k/4⌉,
+    * per-query work is ~n/4 integer code dots over a 4× smaller
+    * resident set than float32, shrinking as the quantizer regrows.
+    * Query codes broadcast; the integer top-k caps locally
+    * (WindowGroupLimit) before the one qid exchange; only ≤ k·queries
+    * survivor pairs explode for the DECIMAL rerank. */
+  val simIvfAdc: Q = (s, d) => simIvfAdcK(s, d, autoK(corpusCount(s, d)))
+
+  val simIvfAdcSql: String = {
+    val nprobeSql = "greatest(1, ((SELECT k FROM kk) + 3) // 4)"
+    s"""WITH kk AS (SELECT $AutoKSql AS k FROM embeddings), f AS (
+       |$flatSql
+       |), n AS (
+       |$normsSql
+       |), ${kmeansCtes(KmeansIters,
+            seedHiSql = Some(s"$KmeansSeedLo - 1 + (SELECT k FROM kk)"))},
+       |$assignRankCtes, assign AS (
+       |  SELECT vec_id, cell FROM acr WHERE arn = 1
+       |), qcells AS (
+       |  SELECT vec_id AS qid, cell FROM acr
+       |  WHERE vec_id < 20 AND arn <= $nprobeSql
+       |), c AS (
+       |  SELECT f.vec_id, f.i,
+       |    CAST(round(f.v * 127.0 / n.nrm) AS BIGINT) AS q
+       |  FROM f JOIN n ON f.vec_id = n.vec_id WHERE n.nrm > 0
+       |), ccell AS (
+       |  SELECT c.vec_id, assign.cell, c.i, c.q
+       |  FROM c JOIN assign ON c.vec_id = assign.vec_id
+       |), qcode AS (
+       |  SELECT qc.qid, qc.cell, c.i, c.q AS qv
+       |  FROM qcells qc JOIN c ON c.vec_id = qc.qid
+       |), adc AS (
+       |  SELECT qcode.qid, ccell.vec_id AS cid,
+       |    CAST(sum(qcode.qv * ccell.q) AS BIGINT) AS adc_dot
+       |  FROM ccell JOIN qcode ON ccell.cell = qcode.cell
+       |    AND ccell.i = qcode.i AND ccell.vec_id <> qcode.qid
+       |  GROUP BY qcode.qid, ccell.vec_id
+       |), topa AS (
+       |  SELECT qid, cid, adc_dot,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY adc_dot DESC, cid ASC) AS rk
+       |  FROM adc
+       |), sdots AS (
+       |  SELECT t.qid, t.cid, ${xsumHiSql("fa.v * fb.v")} AS dot
+       |  FROM topa t JOIN f fa ON fa.vec_id = t.qid
+       |              JOIN f fb ON fb.vec_id = t.cid AND fb.i = fa.i
+       |  WHERE t.rk <= $AdcTopK
+       |  GROUP BY t.qid, t.cid
+       |)
+       |SELECT t.qid, CAST(t.rk AS INT) AS rk, t.cid, t.adc_dot,
+       |  0.0 + round(s.dot / (na.nrm * nb.nrm), 6) AS cosine
+       |FROM topa t JOIN sdots s ON s.qid = t.qid AND s.cid = t.cid
+       |JOIN n na ON t.qid = na.vec_id
+       |JOIN n nb ON t.cid = nb.vec_id
+       |WHERE t.rk <= $AdcTopK
+       |ORDER BY t.qid, t.rk""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "v17_ivf_adc" -> simIvfAdc,
     "v16_adc_topk" -> adcTopk,
     "v06_embed_neardup" -> embedNearDup,
     "v01_sim_topk" -> simTopk,
@@ -1965,6 +2087,7 @@ object SimOps {
     "v15_sim_ivf_auto" -> simIvfAuto)
 
   val oracle: Map[String, String] = Map(
+    "v17_ivf_adc" -> simIvfAdcSql,
     "v16_adc_topk" -> adcTopkSql,
     "v08_kmeans_model" -> kmeansModelSql,
     "v06_embed_neardup" -> embedNearDupSql,

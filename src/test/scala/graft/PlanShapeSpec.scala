@@ -518,6 +518,23 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the census join:\n$p")
   }
 
+  test("IVF-ADC serve prunes BOTH inverted-file reads to the probed cells statically") {
+    // the composed v17 tier touches probed cells only: the norm flatten
+    // behind the candidate codes AND the candidate join each scan the
+    // cell-partitioned artifact with the probed set as a LITERAL
+    // partition filter (the v05 lesson — DPP dropped at runtime and the
+    // whole index scanned); the integer top-k caps before its one
+    // exchange and the query codes broadcast
+    val p = plan("v17_ivf_adc")
+    val pruned = p.split("\n").filter(_.contains("PartitionFilters: ["))
+      .count(l => "cell#\\d+ IN".r.findFirstIn(l).isDefined)
+    assert(pruned == 2,
+      s"expected the code-flatten and candidate scans cell-pruned, got $pruned:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"integer top-k not pushed:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the IVF-ADC serve:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"query codes not broadcast:\n$p")
+  }
+
   test("ADC top-k: broadcast query codes, local integer top-k, survivors-only rerank explode") {
     // the norm flatten (one corpus posexplode through the codegen'd
     // keyed aggregate) is the MEASURED choice over the zero-shuffle

@@ -264,6 +264,37 @@ class SimSpec extends SparkSpecBase {
     assert(gap < 5e-7, s"k=16 served cosine drifted from exact: $gap")
   }
 
+  test("v17 IVF-ADC composition is k-generic: integer rank order, exact cosine annotation") {
+    // the composed serve at a non-default quantizer size: ranks must be
+    // contiguous per query, the compressed scan's integer key must be
+    // the actual order, and the exact-cosine annotation must match an
+    // independently spelled double recompute (the k=16 v05 contract)
+    val served = SimOps.simIvfAdcK(spark, sf, 16).collect()
+    val qids = served.map(_.getLong(0)).distinct
+    assert(qids.nonEmpty && qids.forall(_ < 20), s"bad qids: ${qids.toSeq}")
+    served.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).sameElements(1 to rows.length) &&
+        rows.length <= SimOps.AdcTopK, s"qid $q ranks malformed")
+      val dots = sorted.map(_.getLong(3))
+      assert(dots.zip(dots.tail).forall { case (a, b) => a >= b },
+        s"qid $q adc_dot not non-increasing: ${dots.toSeq}")
+    }
+    import org.apache.spark.sql.functions.col
+    val pairs = served.map(r => (r.getLong(0), r.getLong(2), r.getDouble(4)))
+      .toSeq.toDF("qid", "cid", "served")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val gap = pairs
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("ea")), "qid")
+      .join(emb.select(col("vec_id").as("cid"), col("embedding").as("eb")), "cid")
+      .selectExpr("""abs(served -
+        aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, v) -> a + v)
+        / (sqrt(aggregate(transform(ea, x -> CAST(x AS DOUBLE) * x), 0D, (a, v) -> a + v))
+         * sqrt(aggregate(transform(eb, x -> CAST(x AS DOUBLE) * x), 0D, (a, v) -> a + v)))) AS g""")
+      .agg(org.apache.spark.sql.functions.max("g")).head.getDouble(0)
+    assert(gap < 5e-7, s"v17 served cosine drifted from exact: $gap")
+  }
+
   test("bounded-sample training == training on the modular sample as its own corpus") {
     // trainStride math: everything at or below the target trains whole
     assert(SimOps.trainStride(100) == 1L)

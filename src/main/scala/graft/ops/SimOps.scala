@@ -995,19 +995,83 @@ object SimOps {
   private def simIvfNSql(nprobe: Int): String =
     simIvfServeSql(nprobe, "", kmeansCtes(KmeansIters))
 
+  /** Float-pruned assignment CTEs for LARGE-k oracles (the v15/v17
+    * auto-geometry chains). The exact [[assignRankCtes]] `df` computes
+    * DECIMAL dots for every (vector, cell) pair — n·k·dim rows, which
+    * at the 100× corpus and k = 447 is ~5.7G intermediate rows and
+    * exhausted DuckDB's temp disk twice (CORRECTNESS_SCALE100 r15).
+    * The corpus-wide ranking is only consumed at arn = 1 (the
+    * assignment), so this chain prunes candidates per vector with a
+    * native double `list_dot_product` ranking over the packed lists
+    * (dot/cnrm orders identically to cosine — the per-vector norm is
+    * constant across its cells) and DECIMAL-reranks only the
+    * top-[[AssignPruneMargin]] survivors: the v01 two-stage margin
+    * contract spelled in SQL — a flipped assignment would need
+    * [[AssignPruneMargin]] cells inside the ~1e-13 double-vs-DECIMAL
+    * accumulation gap. Query vectors (< 20) rank ALL cells exactly
+    * (`qacr`), so any nprobe stays available to the serve CTEs.
+    * Intermediate volume drops from n·k·dim rows to n·k narrow prune
+    * rows + n·margin·dim DECIMAL rows. */
+  private val AssignPruneMargin = 4
+
+  private def assignRankPrunedCtes: String =
+    s"""cnf AS (
+       |  SELECT cell, sqrt(${xsumHiSql("c * c")}) AS cnrm
+       |  FROM c$KmeansIters GROUP BY cell
+       |), cv AS (
+       |  SELECT cell, list(c ORDER BY i) AS cv
+       |  FROM c$KmeansIters GROUP BY cell
+       |), pr AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, cc.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), cc.cv)
+       |                   / cc.cnrm DESC, cc.cell ASC) AS prn
+       |    FROM embeddings e CROSS JOIN
+       |      (SELECT cv.cell, cv.cv, cnf.cnrm FROM cv JOIN cnf USING (cell)) cc
+       |  ) z WHERE prn <= $AssignPruneMargin
+       |), df AS (
+       |  SELECT f.vec_id, pr.cell, ${xsumHiSql("f.v * cf.c")} AS dot
+       |  FROM pr JOIN f ON f.vec_id = pr.vec_id
+       |          JOIN c$KmeansIters cf ON cf.cell = pr.cell AND cf.i = f.i
+       |  GROUP BY f.vec_id, pr.cell
+       |), acr AS (
+       |  SELECT df.vec_id, df.cell,
+       |    row_number() OVER (PARTITION BY df.vec_id
+       |      ORDER BY df.dot / (n.nrm * cnf.cnrm) DESC, df.cell ASC) AS arn
+       |  FROM df JOIN n ON df.vec_id = n.vec_id
+       |          JOIN cnf ON df.cell = cnf.cell
+       |), qdf AS (
+       |  SELECT f.vec_id, cf.cell, ${xsumHiSql("f.v * cf.c")} AS dot
+       |  FROM f JOIN c$KmeansIters cf ON f.i = cf.i
+       |  WHERE f.vec_id < 20
+       |  GROUP BY f.vec_id, cf.cell
+       |), qacr AS (
+       |  SELECT qdf.vec_id, qdf.cell,
+       |    row_number() OVER (PARTITION BY qdf.vec_id
+       |      ORDER BY qdf.dot / (n.nrm * cnf.cnrm) DESC, qdf.cell ASC) AS arn
+       |  FROM qdf JOIN n ON qdf.vec_id = n.vec_id
+       |           JOIN cnf ON qdf.cell = cnf.cell
+       |)""".stripMargin
+
   /** The serve half of the IVF oracle over an arbitrary k-means CTE
-    * chain — shared by the literal-k v05/v07 oracles and the v15
-    * auto-geometry oracle (whose chain derives k from the corpus). */
+    * chain — shared by the literal-k v05/v07 oracles (exact
+    * assignment) and the v15 auto-geometry oracle (float-pruned
+    * assignment; `pruned = true`). */
   private def simIvfServeSql(nprobe: Int, prefix: String,
-      kctes: String): String =
+      kctes: String, pruned: Boolean = false): String = {
+    val (actes, qsrc) =
+      if (pruned) (assignRankPrunedCtes, "qacr")
+      else (assignRankCtes, "acr")
     s"""WITH ${prefix}f AS (
        |$flatSql
        |), n AS (
        |$normsSql
-       |), $kctes, $assignRankCtes, assign AS (
+       |), $kctes, $actes, assign AS (
        |  SELECT vec_id, cell FROM acr WHERE arn = 1
        |), qcells AS (
-       |  SELECT vec_id AS qid, cell FROM acr WHERE vec_id < 20 AND arn <= $nprobe
+       |  SELECT vec_id AS qid, cell FROM $qsrc
+       |  WHERE vec_id < 20 AND arn <= $nprobe
        |), fc AS (
        |  SELECT f.vec_id, f.i, f.v, assign.cell
        |  FROM f JOIN assign ON f.vec_id = assign.vec_id
@@ -1029,6 +1093,7 @@ object SimOps {
        |  FROM cos) t
        |WHERE rk <= 3
        |ORDER BY qid, rk""".stripMargin
+  }
 
   val simIvf: Q = simIvfN(1)
   val simIvfSql: String = simIvfNSql(1)
@@ -1060,7 +1125,8 @@ object SimOps {
   val simIvfAutoSql: String = simIvfServeSql(1,
     s"kk AS (SELECT $AutoKSql AS k FROM embeddings), ",
     kmeansCtes(KmeansIters,
-      seedHiSql = Some(s"$KmeansSeedLo - 1 + (SELECT k FROM kk)")))
+      seedHiSql = Some(s"$KmeansSeedLo - 1 + (SELECT k FROM kk)")),
+    pruned = true)
 
   // ---------------------------------------------------------------- v07
   /** IVF ANN with nprobe=2 — the recall knob of the inverted-file path:
@@ -2025,10 +2091,10 @@ object SimOps {
        |$normsSql
        |), ${kmeansCtes(KmeansIters,
             seedHiSql = Some(s"$KmeansSeedLo - 1 + (SELECT k FROM kk)"))},
-       |$assignRankCtes, assign AS (
+       |$assignRankPrunedCtes, assign AS (
        |  SELECT vec_id, cell FROM acr WHERE arn = 1
        |), qcells AS (
-       |  SELECT vec_id AS qid, cell FROM acr
+       |  SELECT vec_id AS qid, cell FROM qacr
        |  WHERE vec_id < 20 AND arn <= $nprobeSql
        |), c AS (
        |  SELECT f.vec_id, f.i,

@@ -80,6 +80,46 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // `skew` prices the KEY-SKEW corpus shape (r15 verdict #6) through
+    // the keyed text operators: a derived corpus where one source holds
+    // 90% of the documents and one term appears in EVERY document, the
+    // two hot keys a web crawl actually produces (one dominant domain,
+    // stopwords). Each step reports the max shuffle-read rows any task
+    // absorbed ([[ops.Skew]]) — the straggler number. Reading the
+    // numbers: per-source/lang censuses partial-aggregate (hot key
+    // cost = one row per partition), t23's hot-term rows co-locate in
+    // ONE task of the df shuffle-hash JOIN at this corpus size (below
+    // AQE's 256 MB skew-split threshold; above it the join splits,
+    // which is exactly why the r16 rework chose a join over a window —
+    // a window partition can never split), and the funnel's per-doc
+    // flags key on doc_id/md5, blind to both hot keys.
+    if (mode == "skew") {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-skew-ds").toString
+      import org.apache.spark.sql.functions.{col, concat, lit, when}
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" zzhot")).as("text"), col("lang"),
+          when(col("doc_id") % 10 =!= 0, lit("srcHot"))
+            .otherwise(concat(lit("src"), col("doc_id") % 100)).as("source"),
+          (col("n_chars") + 6).as("n_chars"))
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      def sk(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
+          org.apache.spark.sql.DataFrame): (String, Double) = {
+        val m = ops.Skew.maxTaskShuffleRows(spark) { fn(spark, tmp).count(); () }
+        spark.catalog.clearCache()
+        name -> m.toDouble
+      }
+      val steps = Seq(
+        sk("t18_source_mixture_max_task_rows", ops.TextOps.sourceMixture),
+        sk("t23_doc_keywords_max_task_rows", ops.TextOps.docKeywords),
+        sk("t24_mixture_rebalance_max_task_rows", ops.TextOps.mixtureRebalance),
+        sk("x06_train_val_split_max_task_rows", ops.Multimodal.trainValSplit),
+        sk("t17_curation_funnel_max_task_rows", ops.TextOps.curationFunnel))
+      println(contractLine(Seq("dir" -> dir, "mode" -> mode), steps))
+      ops.Warehouse.invalidateDataset(tmp)
+      spark.stop()
+      return
+    }
     // an unrecognized suffix must fail fast, not silently probe nothing
     // (an `appends-only:vce` typo would otherwise run the corpus copy,
     // emit a zero-step contract line and exit 0)
@@ -125,8 +165,17 @@ object ScaleProbe {
     // is "these numbers stay ~flat between 1x and 8x data". Runs on a
     // hard-linked copy of the text/vector tables (appends mutate the
     // corpus dir; the probe must not touch the shared testdata).
+    // per-task straggler counters for the window-heavy serves (r15 #8):
+    // max shuffle-read rows any task absorbed — a skew regression (or a
+    // re-introduced key-partitioned window) jumps this number at scale
+    // before it is a wall-time mystery
+    val skew = Seq(
+      "t23_max_task_shuffle_rows" -> ops.Skew.maxTaskShuffleRows(spark) {
+        ops.TextOps.docKeywords(spark, dir).count(); () }.toDouble,
+      "v16_max_task_shuffle_rows" -> ops.Skew.maxTaskShuffleRows(spark) {
+        ops.SimOps.adcTopk(spark, dir).count(); () }.toDouble)
     val appends = probeAppends(spark, dir)
-    println(contractLine(Seq("dir" -> dir), builds ++ queries ++ appends))
+    println(contractLine(Seq("dir" -> dir), builds ++ queries ++ skew ++ appends))
     spark.stop()
   }
 

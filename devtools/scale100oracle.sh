@@ -44,7 +44,8 @@ import glob, json
 latest = sorted(glob.glob('CORRECTNESS_r*.json'))[-1]
 names = sorted(set(json.load(open(latest))) |
                {'t22_chunk_windows', 't23_doc_keywords',
-                't24_mixture_rebalance', 't25_chunk_pack'})
+                't24_mixture_rebalance', 't25_chunk_pack',
+                't26_quota_sample'})
 print(' '.join(n for n in names
                if n not in skip and not n.startswith(skip_prefix)))
 EOF

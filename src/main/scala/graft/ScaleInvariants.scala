@@ -472,6 +472,43 @@ object ScaleInvariants {
           f"cos_gap=${agg.getDouble(2)}%.2e")
     }
 
+    // ---- t26: quota sample is EXACTLY the quota smallest per source --
+    // Three claims, all linear: (1) every source keeps exactly `quota`
+    // rows whose ranks are a permutation of 1..quota; (2) the kept u16
+    // re-derives through the oracle's hex-digit spelling (not the
+    // serve's conv()), so the salted-hash contract is pinned from a
+    // second lineage; (3) NO unkept document orders strictly below its
+    // source's kept maximum under (u16, doc_id) — with (1) this proves
+    // the census-threshold selection found the true per-source quota
+    // smallest without any per-source sort having run.
+    check("inv_t26_quota_exact") {
+      def hexd(i: Int) =
+        "(instr('0123456789abcdef', substring(md5(CAST(concat(CAST(" +
+          s"doc_id AS STRING), ':quota-v1') AS BINARY)), $i, 1)) - 1)"
+      val u16b = expr(s"CAST((((${hexd(1)} * 16 + ${hexd(2)}) * 16 + " +
+        s"${hexd(3)}) * 16 + ${hexd(4)}) AS INT)")
+      val out = ops.TextOps.quotaSample(spark, dir)
+      val quota = out.agg(max("quota")).head().getLong(0)
+      val badPer = out.groupBy("source").agg(count(lit(1)).as("n"),
+          countDistinct("rn").as("dr"), max("rn").as("mr"), min("rn").as("lo"))
+        .filter(col("n") =!= quota || col("dr") =!= quota ||
+          col("mr") =!= quota || col("lo") =!= 1L).count()
+      val tagged = docs.select(col("doc_id"), col("source"), u16b.as("u16b"))
+      val bad16 = out.join(tagged.select("doc_id", "u16b"), "doc_id")
+        .filter(col("u16") =!= col("u16b")).count()
+      val maxKept = out.groupBy("source")
+        .agg(max(struct(col("u16"), col("doc_id"))).as("mx"))
+      val belowUnkept = tagged.join(broadcast(maxKept), "source")
+        .join(out.select(col("doc_id"), lit(1).as("k")), Seq("doc_id"), "left")
+        .filter(col("k").isNull &&
+          struct(col("u16b").as("u16"), col("doc_id")) < col("mx"))
+        .count()
+      val kept = out.count()
+      (quota > 0 && kept > 0 && badPer == 0 && bad16 == 0 && belowUnkept == 0,
+        s"quota=$quota kept=$kept per_source_bad=$badPer " +
+          s"u16_respell_mismatches=$bad16 below_max_unkept=$belowUnkept")
+    }
+
     // ---- v17: IVF-pruned ADC recall against the full-scan ADC ---------
     // The composed tier prunes v16's candidate set to the probed cells;
     // its recall@k against v16's full-scan choices must meet the bar of

@@ -113,6 +113,7 @@ object ScaleProbe {
         sk("t18_source_mixture_max_task_rows", ops.TextOps.sourceMixture),
         sk("t23_doc_keywords_max_task_rows", ops.TextOps.docKeywords),
         sk("t24_mixture_rebalance_max_task_rows", ops.TextOps.mixtureRebalance),
+        sk("t26_quota_sample_max_task_rows", ops.TextOps.quotaSample),
         sk("x06_train_val_split_max_task_rows", ops.Multimodal.trainValSplit),
         sk("t17_curation_funnel_max_task_rows", ops.TextOps.curationFunnel))
       println(contractLine(Seq("dir" -> dir, "mode" -> mode), steps))
@@ -173,7 +174,11 @@ object ScaleProbe {
       "t23_max_task_shuffle_rows" -> ops.Skew.maxTaskShuffleRows(spark) {
         ops.TextOps.docKeywords(spark, dir).count(); () }.toDouble,
       "v16_max_task_shuffle_rows" -> ops.Skew.maxTaskShuffleRows(spark) {
-        ops.SimOps.adcTopk(spark, dir).count(); () }.toDouble)
+        ops.SimOps.adcTopk(spark, dir).count(); () }.toDouble,
+      // t26's single-task mass must be the (source, u16) census — bounded
+      // at nsrc·2^16 regardless of corpus size — never the corpus itself
+      "t26_max_task_shuffle_rows" -> ops.Skew.maxTaskShuffleRows(spark) {
+        ops.TextOps.quotaSample(spark, dir).count(); () }.toDouble)
     val appends = probeAppends(spark, dir)
     println(contractLine(Seq("dir" -> dir), builds ++ queries ++ skew ++ appends))
     spark.stop()

@@ -3483,7 +3483,95 @@ object TextOps {
        |FROM p GROUP BY shard_id
        |ORDER BY shard_id""".stripMargin
 
+  // ---------------------------------------------------------------- t26
+  /** Quota sampling — keep EXACTLY `quota` documents per source, where
+    * quota = the smallest source's document count (the count-equalizing
+    * counterpart to t24's token-proportional rebalance: t24 keeps an
+    * expected fraction, this keeps an exact number — the "at most N
+    * documents per domain" budget every mixture spec ultimately ships).
+    * The kept set is deterministic and engine-identical: per source, the
+    * quota smallest documents under the total order (u16, doc_id), with
+    * u16 the salted-md5 16-bit uniform (t24's spelling, salt quota-v1).
+    *
+    * Scale posture — exact per-group selection WITHOUT a per-group
+    * corpus sort. The oracle's obvious spelling
+    * (`row_number() OVER (PARTITION BY source ORDER BY u16, doc_id)`)
+    * puts an entire source — possibly most of the corpus under the
+    * hot-source skew shape — into ONE window task, the exact failure
+    * t23's r15 grade named. Instead, two-phase distributed selection:
+    * (1) a map-side-combined (source, u16) histogram census — at most
+    * 2^16 rows per source regardless of corpus size — augmented IN ONE
+    * LINEAGE (census-sized windows, never a self-join that would
+    * recompute the corpus scan) with per-source cumulative counts, the
+    * global quota, the threshold bucket t where the quota lands, and
+    * the residual r (how many boundary-bucket docs still fit), then
+    * filtered to the kept buckets (u16 ≤ t); (2) ONE broadcast of that
+    * augmented census back onto the corpus as an inner (source, u16)
+    * join — u16 < t rows keep outright, and only the boundary bucket
+    * (expected n_src/2^16 rows per source) pays a doc_id ranking, in
+    * (source, u16) cells that stay bounded under ANY source skew. The
+    * per-source output rank is reconstructed exactly as
+    * census-below(u16) + in-bucket rank, so the full sort order is
+    * verified without ever sorting a source in one task. Corpus cost:
+    * the census scan + the tag scan (the t24 shape). The rejected
+    * one-window-per-source spelling lives on as the DuckDB oracle. */
+  val quotaSample: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val doc = Par.widen(Tables.documents(s, d))
+    def tagged = doc.select(col("doc_id"), col("source"),
+      expr("CAST(conv(substring(md5(CAST(concat(CAST(doc_id AS STRING), " +
+        "':quota-v1') AS BINARY)), 1, 4), 16, 10) AS BIGINT)")
+        .cast("int").as("u16"))
+    // (source, u16) histogram: every window below runs on THIS
+    // census-sized relation (≤ 2^16 rows per source by construction)
+    val wSrc = Window.partitionBy("source")
+    val wCum = wSrc.orderBy("u16")
+    val aug = tagged.groupBy("source", "u16").agg(count(lit(1)).as("n"))
+      .withColumn("below", sum("n").over(wCum) - col("n"))
+      .withColumn("src_total", sum("n").over(wSrc))
+      .withColumn("quota", min("src_total").over(Window.partitionBy()))
+      .withColumn("is_thresh", col("below") < col("quota") &&
+        col("quota") <= col("below") + col("n"))
+      .withColumn("t", max(when(col("is_thresh"), col("u16"))).over(wSrc))
+      .withColumn("resid",
+        max(when(col("is_thresh"), col("quota") - col("below"))).over(wSrc))
+      .filter(col("u16") <= col("t"))
+      .select("source", "u16", "below", "t", "resid", "quota")
+    val wBucket = Window.partitionBy("source", "u16").orderBy("doc_id")
+    tagged.join(broadcast(aug), Seq("source", "u16"))
+      .withColumn("brn", row_number().over(wBucket))
+      .filter(col("u16") < col("t") || col("brn") <= col("resid"))
+      .select(col("doc_id"), col("source"), col("u16"),
+        (col("below") + col("brn")).cast("long").as("rn"),
+        col("quota").cast("long").as("quota"))
+      .orderBy("doc_id")
+  }
+
+  val quotaSampleSql: String = {
+    def hexd(i: Int) =
+      "(instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR) " +
+        s"|| ':quota-v1'), $i, 1)) - 1)"
+    val u16 =
+      s"(((${hexd(1)} * 16 + ${hexd(2)}) * 16 + ${hexd(3)}) * 16 + ${hexd(4)})"
+    s"""WITH tagged AS (
+       |  SELECT doc_id, source, CAST($u16 AS INT) AS u16 FROM documents
+       |), per AS (
+       |  SELECT source, count(*) AS c FROM tagged GROUP BY source
+       |), q AS (
+       |  SELECT CAST(min(c) AS BIGINT) AS quota FROM per
+       |), ranked AS (
+       |  SELECT doc_id, source, u16,
+       |    row_number() OVER (PARTITION BY source ORDER BY u16, doc_id) AS rn
+       |  FROM tagged
+       |)
+       |SELECT r.doc_id, r.source, r.u16, CAST(r.rn AS BIGINT) AS rn, q.quota
+       |FROM ranked r CROSS JOIN q
+       |WHERE r.rn <= q.quota
+       |ORDER BY r.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "t26_quota_sample" -> quotaSample,
     "t25_chunk_pack" -> chunkPack,
     "t22_chunk_windows" -> chunkWindows,
     "t23_doc_keywords" -> docKeywords,
@@ -3511,6 +3599,7 @@ object TextOps {
     "t08_ngram_jaccard" -> ngramJaccard)
 
   val oracle: Map[String, String] = Map(
+    "t26_quota_sample" -> quotaSampleSql,
     "t25_chunk_pack" -> chunkPackSql,
     "t22_chunk_windows" -> chunkWindowsSql,
     "t23_doc_keywords" -> docKeywordsSql,

@@ -555,4 +555,33 @@ class PlanShapeSpec extends SparkSpecBase {
       s"cartesian strategy in the ADC serve:\n$p")
     assert(p.contains("WindowGroupLimit"), s"integer top-k not pushed:\n$p")
   }
+
+  test("quota sample: no per-source corpus window — census thresholds + bounded bucket rank") {
+    // exact per-group selection without the per-group sort: the ONLY
+    // corpus-side window partitions by (source, u16) — cells bounded at
+    // ~n_src/2^16 under any source skew — while a window partitioned by
+    // source alone and ORDERED by (u16, doc_id) (the oracle's spelling)
+    // would put a whole source into one undividable task. In formatted
+    // plans partition columns carry no sort direction, so the bounded
+    // cell window renders `windowspecdefinition(source#, u16#, doc_id# ASC`
+    // and the forbidden corpus sort `source#, u16# ASC ..., doc_id# ASC`
+    // (the census's legitimate per-source cumsum windows order by u16
+    // ALONE over the census-sized aggregate — allowed).
+    val p = plan("t26_quota_sample")
+    assert("windowspecdefinition\\(source#\\d+, u16#\\d+ ASC[^,]*, doc_id#\\d+L? ASC".r
+      .findFirstIn(p).isEmpty,
+      s"per-source corpus-sort window crept in:\n$p")
+    assert("windowspecdefinition\\(source#\\d+, u16#\\d+, doc_id#\\d+L? ASC".r
+      .findFirstIn(p).isDefined,
+      s"bounded (source, u16) bucket window missing:\n$p")
+    // census pass + tag pass, like t24; thresholds and census-below
+    // join back as broadcasts, never shuffling the corpus on source
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).length == 2,
+      s"expected exactly the census and tag scans:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"threshold join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled on source:\n$p")
+    // the census aggregate keeps its map-side combine
+    assert("\\(\\d+\\) HashAggregate".r.findAllIn(p).length >= 2,
+      s"census aggregate lost its map-side combine:\n$p")
+  }
 }

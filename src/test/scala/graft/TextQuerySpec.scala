@@ -167,4 +167,55 @@ class TextQuerySpec extends SparkSpecBase {
     assert(out.filter(_._2 == "A").forall(_._4 == 0.625), s"A weight: $out")
     assert(out.filter(_._2 == "B").forall(_._4 == 2.5), s"B weight: $out")
   }
+
+  /** t26's salted 16-bit uniform, re-derived outside Spark (the t24
+    * pattern: the test catches either engine drifting from the hash
+    * contract, not just the two agreeing with each other). */
+  private def quotaU16(id: Long): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$id:quota-v1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    Integer.parseInt(hex.take(4), 16)
+  }
+
+  test("t26 quota sample: exact per-source quota, boundary cut inside a collision bucket") {
+    // big source: 2000 docs — at 2^16 hash values that corpus carries
+    // ~30 u16-collision pairs, so multi-doc buckets exist. Place the
+    // quota ON the first collision bucket's FIRST member (and not its
+    // second): the threshold bucket then has >1 doc and the residual
+    // keeps a strict subset of it, exercising the doc_id tie-break arm
+    // (u16 == t && brn <= resid), not just the u16 < t bulk arm.
+    val bigIds = (0L until 2000L).toSeq
+    val ordered = bigIds.map(id => (quotaU16(id), id)).sorted
+    val secondIdx = ordered.indices.drop(1)
+      .find(i => ordered(i)._1 == ordered(i - 1)._1)
+      .getOrElse(sys.error("no u16 collision in 2000 ids — salt drifted?"))
+    val quota = secondIdx // = 1-based rank of the bucket's FIRST member
+    assert(quota < 2000, "collision cut must land strictly inside big")
+    val smallIds = (100000L until (100000L + quota)).toSeq
+    val dir = writeDocs((bigIds.map((_, "big")) ++ smallIds.map((_, "small")))
+      .map { case (id, src) => (id, s"doc $id", "en", src, 6L) })
+
+    val out = TextOps.quotaSample(spark, dir)
+      .as[(Long, String, Int, Long, Long)].collect().toSeq
+    assert(out.forall(_._5 == quota), s"quota column wrong: ${out.take(3)}")
+
+    // brute-force expectation: per source, the quota smallest (u16, id)
+    def expect(ids: Seq[Long], src: String) =
+      ids.map(id => (quotaU16(id), id)).sorted.take(quota).zipWithIndex
+        .map { case ((u, id), i) => (id, src, u, (i + 1).toLong, quota.toLong) }
+    val want = (expect(bigIds, "big") ++ expect(smallIds, "small"))
+      .sortBy(_._1)
+    assert(out.sortBy(_._1) == want,
+      s"kept set drifted: got ${out.size} rows, want ${want.size}")
+    // the small source (the minimum) keeps everything; big keeps quota
+    assert(out.count(_._2 == "small") == quota)
+    assert(out.count(_._2 == "big") == quota)
+    // the boundary bucket really was multi-doc and really was split
+    val t = ordered(secondIdx)._1
+    val bucketAll = bigIds.count(quotaU16(_) == t)
+    val bucketKept = out.count(r => r._2 == "big" && r._3 == t)
+    assert(bucketAll >= 2 && bucketKept >= 1 && bucketKept < bucketAll,
+      s"boundary bucket not split: all=$bucketAll kept=$bucketKept")
+  }
 }

@@ -1947,45 +1947,55 @@ object SimOps {
     * codes on, everything is integer until the exact rerank. Zero
     * vectors are excluded identically on both sides (nrm > 0).
     *
-    * Scale posture: norms flatten the corpus through the codegen'd
-    * keyed aggregate and join back on vec_id — MEASURED against the
-    * zero-shuffle in-row alternative and kept (the t16 boundary again):
-    * an in-row DECIMAL(32,18) HOF norm is bit-identical (exact decimal
-    * addition is order-free; note a (38,18) accumulator would not
-    * round-trip — Spark widens the addition to (38,17) — and the norm
-    * must bind as a HOF lambda variable, or CollapseProject inlines the
-    * aggregate dim× into the code lambda, measured 1.3 → 5.2 s at sf1),
-    * but HOFs are CodegenFallback, and interpreted per-element decimal
-    * arithmetic over the corpus loses to the codegen'd explode:
-    * 13.5 s in-row vs 5.1 s flatten at the 100× corpus (2.6×). The
-    * 20-query code set broadcasts, the integer top-k caps locally
+    * Scale posture (r16): the quantize step is ONE native in-row pass —
+    * [[graft.functions.Sq8Code]] computes the exact DECIMAL norm and the
+    * codes in a single loop per row, so the corpus never flattens,
+    * aggregates or joins for its norms. The r15 history that led here:
+    * the SQL-HOF in-row norm was measured 2.6× WORSE than the flatten
+    * (13.5 vs 5.1 s at the 100× corpus — interpreted per-element decimal
+    * lambdas lose to a codegen'd explode), which is a statement about
+    * CodegenFallback HOFs, not about in-row evaluation; the native
+    * expression removes the interpretation overhead AND the flatten's
+    * two corpus-sized exchanges (guide §2.4/§4). Equivalence to both
+    * prior spellings is locked by Sq8Spec and the oracle hashes. The
+    * 20-query code set broadcasts, the candidate scoring loop is the
+    * codegen'd [[graft.functions.AdcDot]] (was an interpreted
+    * zip_with/aggregate lambda per pair), the integer top-k caps locally
     * (WindowGroupLimit) before the one qid exchange, and only the
     * ≤ k·queries survivor pairs explode for the DECIMAL rerank.
-    * inv_v16 re-derives the codes through the in-row spelling, so the
-    * two bit-identical lineages now check each other at scale. */
+    * inv_v16 re-derives the codes through the HOF spelling, so two
+    * bit-identical lineages still check each other at scale. */
   /** SQ8 codes at the fixed scale 127 over ANY (vec_id, embedding, …)
-    * relation — the measured v16 spelling (flatten → DECIMAL norm →
-    * join back; see [[adcTopk]]'s scaladoc for the flatten-vs-HOF
-    * decision). Zero vectors are excluded (nrm > 0) and extra columns
-    * carry through — [[simIvfAdcK]] feeds the cell-pruned inverted
-    * file through this, so the flatten explodes probed rows only. */
+    * relation — the codegen'd in-row spelling ([[graft.functions.Sq8Code]]):
+    * one native loop per row computes the exact DECIMAL norm and the
+    * codes, returning NULL for the zero-norm/no-element rows the
+    * nrm > 0 gate excluded, so the quantize step is a pure projection.
+    * Replaces the r15 flatten → DECIMAL norm → join-back plan (and its
+    * two corpus-sized exchanges); bit-identical by the ExactDot decimal
+    * contract — see Sq8Code's scaladoc, the Sq8Spec equivalence lock,
+    * and OPTIMIZATION_r16.md §v16. Extra columns carry through —
+    * [[simIvfAdcK]] feeds the cell-pruned inverted file through this,
+    * so even the projection touches probed rows only. */
   private def sq8Codes(emb: DataFrame): DataFrame =
-    emb.join(norms(flat(emb.select("vec_id", "embedding"))), "vec_id")
-      .filter(col("nrm") > 0)
-      .withColumn("code", expr(
-        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / nrm, 0) AS BIGINT))"))
-      .drop("nrm")
+    emb.withColumn("code", org.apache.spark.sql.GraftPlanBridge.exprColumn(
+        graft.functions.Sq8Code(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("embedding"),
+          pinned = true)))
+      .filter(col("code").isNotNull)
 
   /** The pure-integer ADC dot of two SQ8 code arrays (≈ cosine·127²) —
-    * interpreted HOF, bounded by the candidate count upstream. */
-  private val AdcDotExpr =
-    "aggregate(zip_with(code, qcode, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    * the codegen'd [[graft.functions.AdcDot]] multiply-accumulate; runs
+    * queries × candidates times, the hottest loop of the ADC serve. */
+  private val AdcDotExpr = "graft_adc_dot(code, qcode)"
 
   val adcTopk: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val emb = Par.widen(Tables.embeddings(s, d))
     val codes = sq8Codes(emb).select("vec_id", "embedding", "code")
-    val q = codes.filter(col("vec_id") < 20)
+    // the query side quantizes a PRE-filtered scan: the pinned Sq8Code
+    // blocks predicate pushdown through its projection (by design — see
+    // its scaladoc), so the vec_id < 20 prune must sit below it
+    val q = sq8Codes(Tables.embeddings(s, d).filter(col("vec_id") < 20))
       .select(col("vec_id").as("qid"), col("embedding").as("ea"),
         col("code").as("qcode"))
     val w = Window.partitionBy("qid").orderBy(col("adc_dot").desc, col("cid").asc)
@@ -2071,16 +2081,18 @@ object SimOps {
     * scoring kernel; this declares their composition — what a real
     * 100 TB vector store actually serves.
     *
-    * Scale posture: the probed-cell set reaches BOTH inverted-file
-    * reads (the norm flatten behind the codes and the candidate join)
+    * Scale posture: the probed-cell set reaches the inverted-file read
     * as a LITERAL partition filter (the v05 lesson — runtime DPP
-    * dropped to a full index scan; PlanShapeSpec pins both scans), so
+    * dropped to a full index scan; PlanShapeSpec pins the scan), and
+    * since r16 the SQ8 quantize is the in-row [[graft.functions.Sq8Code]]
+    * projection (no norm flatten, so the artifact is scanned ONCE), so
     * the serve touches probed cells only: at k ≈ √n, nprobe = ⌈k/4⌉,
-    * per-query work is ~n/4 integer code dots over a 4× smaller
-    * resident set than float32, shrinking as the quantizer regrows.
-    * Query codes broadcast; the integer top-k caps locally
-    * (WindowGroupLimit) before the one qid exchange; only ≤ k·queries
-    * survivor pairs explode for the DECIMAL rerank. */
+    * per-query work is ~n/4 codegen'd integer code dots
+    * ([[graft.functions.AdcDot]]) over a 4× smaller resident set than
+    * float32, shrinking as the quantizer regrows. Query codes
+    * broadcast; the integer top-k caps locally (WindowGroupLimit)
+    * before the one qid exchange; only ≤ k·queries survivor pairs
+    * explode for the DECIMAL rerank. */
   val simIvfAdc: Q = (s, d) => simIvfAdcK(s, d, autoK(corpusCount(s, d)))
 
   val simIvfAdcSql: String = {

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import graft.functions.{CosineSimilarity, ExactDot, InRing, InRings}
+import graft.functions.{AdcDot, CosineSimilarity, ExactDot, InRing, InRings, Sq8Code}
 
 /** Engine extension point (SparkSessionExtensions): registers the native
   * function surface so SQL users get the codegen'd hot paths.
@@ -20,6 +20,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot_exact"),
       ExactDot.info,
       ExactDot.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_adc_dot"),
+      AdcDot.info,
+      AdcDot.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sq8_code"),
+      Sq8Code.info,
+      Sq8Code.builder))
     ext.injectFunction((
       FunctionIdentifier("graft_in_ring"),
       InRing.info,

@@ -10,4 +10,10 @@ object GraftPlanBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Column over a raw catalyst Expression — for expression instances a
+    * SQL string cannot spell (e.g. the pinned/non-deterministic
+    * [[graft.functions.Sq8Code]] the ADC scan projects exactly once). */
+  def exprColumn(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }

@@ -518,37 +518,40 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the census join:\n$p")
   }
 
-  test("IVF-ADC serve prunes BOTH inverted-file reads to the probed cells statically") {
-    // the composed v17 tier touches probed cells only: the norm flatten
-    // behind the candidate codes AND the candidate join each scan the
-    // cell-partitioned artifact with the probed set as a LITERAL
-    // partition filter (the v05 lesson — DPP dropped at runtime and the
-    // whole index scanned); the integer top-k caps before its one
-    // exchange and the query codes broadcast
+  test("IVF-ADC serve prunes the inverted-file read to the probed cells statically") {
+    // the composed v17 tier touches probed cells only: since the r16
+    // in-row Sq8Code quantize (no norm flatten), the cell-partitioned
+    // artifact is scanned exactly ONCE, with the probed set as a
+    // LITERAL partition filter (the v05 lesson — DPP dropped at runtime
+    // and the whole index scanned); the integer top-k caps before its
+    // one exchange and the query codes broadcast
     val p = plan("v17_ivf_adc")
     val pruned = p.split("\n").filter(_.contains("PartitionFilters: ["))
       .count(l => "cell#\\d+ IN".r.findFirstIn(l).isDefined)
-    assert(pruned == 2,
-      s"expected the code-flatten and candidate scans cell-pruned, got $pruned:\n$p")
+    assert(pruned == 1,
+      s"expected exactly the one cell-pruned candidate scan, got $pruned:\n$p")
+    assert(p.contains("graft_sq8_code") && p.contains("graft_adc_dot"),
+      s"quantize/score not on the native in-row expressions:\n$p")
     assert(p.contains("WindowGroupLimit"), s"integer top-k not pushed:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in the IVF-ADC serve:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"query codes not broadcast:\n$p")
   }
 
   test("ADC top-k: broadcast query codes, local integer top-k, survivors-only rerank explode") {
-    // the norm flatten (one corpus posexplode through the codegen'd
-    // keyed aggregate) is the MEASURED choice over the zero-shuffle
-    // in-row decimal HOF — 5.1 vs 13.5 s at 100× (see adcTopk's
-    // scaladoc); the lock pins what must hold either way: the query
-    // side broadcasts, the integer ranking caps locally before its one
-    // window exchange, no cartesian/corpus-broadcast strategy appears,
-    // and exactly three Generates exist: the corpus norm flatten, the
-    // query side's own flatten (20 rows — its vec_id < 20 filter is
-    // pushed to the scan), and the ≤ k·queries survivor rerank — a
-    // fourth would mean the corpus explodes per query
+    // since r16 the quantize is the native in-row Sq8Code projection
+    // and the score the codegen'd AdcDot — the corpus never flattens
+    // for norms and never evaluates an interpreted HOF lambda; the lock
+    // pins the serve shape: the query side broadcasts, the integer
+    // ranking caps locally before its one window exchange, no
+    // cartesian/corpus-broadcast strategy appears, and exactly ONE
+    // Generate exists — the ≤ k·queries survivor rerank. A second
+    // means either the norm flatten crept back or the corpus explodes
+    // per query.
     val p = plan("v16_adc_topk")
-    assert("\\(\\d+\\) Generate".r.findAllIn(p).length == 3,
+    assert("\\(\\d+\\) Generate".r.findAllIn(p).length == 1,
       s"unexpected explode count in the ADC serve:\n$p")
+    assert(p.contains("graft_sq8_code") && p.contains("graft_adc_dot"),
+      s"quantize/score not on the native in-row expressions:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"query codes not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"),

@@ -54,6 +54,18 @@ object TextOps {
   /** Word tokens (single-space separated corpus). */
   private def toks = split(col("text"), " ")
 
+  /** `size(toks)` without materializing the token array: splitting on a
+    * single literal space always yields (number of spaces) + 1 parts, so
+    * the counting-only paths char-count instead of allocating — and then
+    * discarding — every token substring (r16: the packer/census hot
+    * paths tokenized whole corpora just to count). Bit-identical to
+    * `size(split(text, ' '))` on this engine: NULL text → NULL (Spark 4
+    * size-of-null), '' → 1 (one empty part), consecutive/trailing spaces
+    * produce empty parts on both spellings (split keeps them at
+    * limit -1). Locked by TextAggSpec's count-equivalence test. */
+  private[graft] def nToksCheap =
+    length(col("text")) - length(expr("replace(text, ' ', '')")) + lit(1)
+
   // ---------------------------------------------------------------- t01
   /** Per-document text statistics + quality score. */
   val textStats: Q = (s, d) => {
@@ -379,7 +391,7 @@ object TextOps {
   private[graft] def groupCensus(doc: DataFrame): DataFrame =
     doc.select(col("doc_id"),
         coalesce(md5(col("text").cast("binary")), lit(NullTextKey)).as("h"),
-        coalesce(size(toks) < 3, lit(true)).as("trivial"))
+        coalesce(nToksCheap < 3, lit(true)).as("trivial"))
       .groupBy("h")
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("gsize"),
         max(col("trivial")).as("trivial"))
@@ -1448,7 +1460,7 @@ object TextOps {
     // is NULL), so both sides of the split agree with the intersection.
     val fp = doc.join(candDocs.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), md5(col("text").cast("binary")).as("h"),
-        coalesce(size(toks) < 3, lit(true)).as("trivial"))
+        coalesce(nToksCheap < 3, lit(true)).as("trivial"))
     cand.hint("shuffle_hash")
       .join(fp.select(col("doc_id").as("doc_a"), col("h").as("h_a"),
         col("trivial").as("tr_a")).hint("shuffle_hash"), "doc_a")
@@ -1619,7 +1631,7 @@ object TextOps {
     * pure per-row function, so the incremental funnel can evaluate
     * just the docs whose stage membership is new. */
   private[graft] def qualityFlags(doc: DataFrame): DataFrame = {
-    val nToks = size(toks).cast("double")
+    val nToks = nToksCheap.cast("double")
     val stopRatio = (size(expr(s"filter(split(text, ' '), x -> x = '$Stop1')"))
       + size(expr(s"filter(split(text, ' '), x -> x = '$Stop2')"))).cast("double") / nToks
     val digitRatio = size(expr("regexp_extract_all(text, '[0-9]', 0)")).cast("double") /
@@ -2205,10 +2217,13 @@ object TextOps {
     * ([[graft.ops.Export.writePackedShards]]). */
   private[graft] def packAssignments(s: SparkSession, d: String): DataFrame = {
     // max(doc_id) runs on the RAW narrow scan — column-pruned, no
-    // exchange; the widen (a round-robin repartition that spreads the
-    // CPU-heavy tokenize) wraps only the relation the packer consumes
+    // exchange. r16: no Par.widen here any more — the packer's per-row
+    // work is a char count (nToksCheap), so round-robin-shuffling the
+    // full text just to spread it would move corpus bytes for nothing;
+    // the only corpus exchange left is the narrow (doc_id, tok, rng)
+    // shuffle the range-partitioned window needs.
     val docs = Tables.documents(s, d)
-    packAssignmentsOf(Par.widen(docs), packRangeFor(maxDocId(docs)))
+    packAssignmentsOf(docs, packRangeFor(maxDocId(docs)))
   }
 
   /** The two-level prefix-sum packer over ANY (doc_id, text) relation —
@@ -2221,7 +2236,7 @@ object TextOps {
       rangeWidth: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = docs.select(col("doc_id"),
-      size(toks).cast("long").as("tok"),
+      nToksCheap.cast("long").as("tok"),
       expr(s"doc_id div $rangeWidth").as("rng"))
     val wR = Window.orderBy("rng")
     val offs = t.groupBy("rng").agg(sum("tok").as("rtok"))
@@ -2682,12 +2697,12 @@ object TextOps {
     * source-count-sized relation (the p05 pattern), never the corpus. */
   val sourceMixture: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    // NULL-text guard: SQL sum skips NULLs, Spark's legacy sizeOfNull
-    // yields -1 for size(split(NULL)) — the census must count non-null
-    // texts only so both engines agree on any corpus (the t24 rule)
+    // NULL-text guard: SQL sum skips NULLs — the census counts non-null
+    // texts only so both engines agree on any corpus (the t24 rule);
+    // nToksCheap yields NULL on NULL text so the guard is belt-and-braces
     val per = Tables.documents(s, d).groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("text").isNotNull, size(toks).cast("long")))
+        sum(when(col("text").isNotNull, nToksCheap.cast("long")))
           .as("n_tokens"))
     val all = Window.partitionBy()
     per
@@ -3362,10 +3377,14 @@ object TextOps {
     * pass, like x06. */
   val mixtureRebalance: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val doc = Par.widen(Tables.documents(s, d))
+    // r16: no Par.widen — the census is a char count and the tag pass
+    // an md5 over a ~20-char key string; neither justifies round-robin
+    // shuffling the corpus text, and without it the tag side is a pure
+    // scan → broadcast-join → project (zero corpus exchanges)
+    val doc = Tables.documents(s, d)
     val all = Window.partitionBy()
     val per = doc.groupBy("source")
-      .agg(sum(when(col("text").isNotNull, size(toks).cast("long")))
+      .agg(sum(when(col("text").isNotNull, nToksCheap.cast("long")))
         .as("src_tokens"))
       .withColumn("tot", sum("src_tokens").over(all))
       .withColumn("nsrc", count(lit(1)).over(all))
@@ -3416,10 +3435,17 @@ object TextOps {
     * NULL transform — the t22 rule, mirrored by unnest(NULL) in the
     * oracle). */
   private def chunkSpans(doc: DataFrame): DataFrame =
-    doc.select(col("doc_id"), toks.as("t"))
+    // r16: the window SIZES are pure arithmetic over the token count —
+    // size(slice(t, st, C)) == least(C, n - st + 1) for every start the
+    // sequence generates (1 ≤ st ≤ n) — so the spans never tokenize,
+    // slice or materialize anything: one char-count per doc, then
+    // integer window geometry. NULL text keeps producing no spans
+    // (NULL n → NULL sequence → NULL transform → empty posexplode,
+    // exactly the t22 rule the old spelling followed).
+    doc.select(col("doc_id"), nToksCheap.as("n"))
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(t), $ChunkStride), " +
-          s"st -> size(slice(t, st, $ChunkTokens)))")))
+        s"transform(sequence(1, n, $ChunkStride), " +
+          s"st -> least($ChunkTokens, n - st + 1))")))
       .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
         col("col").cast("long").as("tok"))
 
@@ -3446,7 +3472,10 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
     val rangeWidth = packRangeFor(maxDocId(docs))
-    val t = chunkSpans(Par.widen(docs))
+    // r16: no Par.widen — chunkSpans is a char count + integer window
+    // geometry now, so nothing here is worth a full-text round-robin
+    // shuffle; only narrow span rows reach the range exchange
+    val t = chunkSpans(docs)
       .withColumn("rng", expr(s"doc_id div $rangeWidth"))
     val wR = Window.orderBy("rng")
     val offs = t.groupBy("rng").agg(sum("tok").as("rtok"))
@@ -3517,7 +3546,10 @@ object TextOps {
     * one-window-per-source spelling lives on as the DuckDB oracle. */
   val quotaSample: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val doc = Par.widen(Tables.documents(s, d))
+    // r16: no Par.widen — both passes touch only (doc_id, source) plus
+    // one short-string md5; spreading that is not worth shuffling the
+    // corpus rows (text column included) round-robin
+    val doc = Tables.documents(s, d)
     def tagged = doc.select(col("doc_id"), col("source"),
       expr("CAST(conv(substring(md5(CAST(concat(CAST(doc_id AS STRING), " +
         "':quota-v1') AS BINARY)), 1, 4), 16, 10) AS BIGINT)")

@@ -28,6 +28,21 @@ class TextAggSpec extends SparkSpecBase {
     }
   }
 
+  test("nToksCheap == size(split(text, ' ')) on every edge shape") {
+    // the r16 counting-only paths (packer, chunk spans, source censuses,
+    // trivial gates) char-count instead of tokenizing; this pins the
+    // bit-identity incl. NULL, empty, all-space and multi-space texts
+    val texts: Seq[String] = Seq(
+      null, "", " ", "   ", "a", "a b", "a b  c", " leading", "trailing ",
+      "a\tb", "x" * 500, ("w " * 99).trim, "a  ", "  a")
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("viaSplit"),
+        TextOps.nToksCheap.as("viaChars"))
+    val bad = df.filter(!(col("viaSplit") <=> col("viaChars"))).collect()
+    assert(bad.isEmpty, s"token-count spellings diverge: ${bad.toSeq}")
+  }
+
   test("band-bucket audit flags buckets past the pair-expansion cap") {
     // 6 docs share one degenerate signature (every band key collides),
     // 2 docs are distinct: with cap=5 the audit reports exactly the 4

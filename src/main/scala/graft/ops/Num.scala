@@ -69,6 +69,17 @@ object Num {
     new java.math.BigDecimal(java.lang.Double.toString(x))
       .setScale(18, java.math.RoundingMode.HALF_UP)
 
+  /** Driver-side replica of [[r6]] (Spark's Round(x, 6) on a double):
+    * non-finite passes through; otherwise BigDecimal.valueOf — the
+    * Double.toString parse Spark's Round goes through — setScale 6
+    * HALF_UP, back to double. The k-means loop re-centers on the driver
+    * (model-sized state), so its rounding must be THIS replica or the
+    * hash-locked v08 model drifts from the oracle's distributed r6. */
+  def r6d(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** Exact driver-side vector norm: sqrt of the exact scale-18 decimal
     * sum of squares — bit-identical to `sqrt(xsumHi(c*c))` run
     * distributed, order-independent by the decimal accumulation. */

@@ -317,114 +317,59 @@ object SimOps {
     * that loses all members keeps its previous centroid (coalesce), the
     * deterministic empty-cell rule both engines share.
     *
-    * Scale posture: centroids are model-sized (k×dim, corpus-
-    * independent), so they broadcast; the corpus-sized relations only
-    * shuffle on their own keys (vec_id / (cell, i) aggregates, map-side
-    * combined). Each round is pinned with an eager checkpoint (like the
-    * t11 loop) so iteration r+1 does not re-evaluate rounds 0..r, and
-    * the SUPERSEDED round's block is released immediately — the loop
-    * holds exactly one k-sized snapshot at a time instead of leaking one
-    * block per iteration into the BlockManager. The returned frame is
-    * still pinned; the caller releases it once collected
-    * (Checkpoints.rddOf). */
-  private[graft] def trainCentroids(emb: DataFrame, f: DataFrame, n: DataFrame,
+    * Scale posture (r16): the model is k×dim — DRIVER-sized by design —
+    * so the centroids live on the driver between rounds and each round
+    * is exactly ONE distributed job: the in-row [[exactAssign]] winner
+    * projection over the sample (shuffle-free — the same two-stage
+    * native-prune → exact-DECIMAL rule the corpus assignment uses),
+    * its vec→cell result broadcast onto the pinned flattened sample,
+    * and one map-side-combined (cell, i) mean aggregate collected back.
+    * The r15 fused form instead window-ranked the margin candidates
+    * distributively — three extra exchanges, two window sorts and an
+    * eager checkpoint per round, all over model-bounded data. The
+    * empty-cell rule (keep the previous centroid) and the r6 rounding
+    * now apply on the driver through [[Num.r6d]], the exact replica of
+    * Spark's Round(_, 6) — bit-identity with the oracle's chain is
+    * unchanged (v08 hashes all k×dim components). */
+  private[graft] def trainCentroids(emb: DataFrame, f: DataFrame,
       iters: Int = KmeansIters, k: Int = KmeansK,
-      seedLo: Int = KmeansSeedLo, knownStride: Long = -1L): DataFrame = {
+      seedLo: Int = KmeansSeedLo, knownStride: Long = -1L): Array[(Long, Long, Double)] = {
     // Bounded training sample (see [[TrainSampleTarget]]): Lloyd's
     // rounds iterate over the modular slice, not the corpus, so
     // training cost is O(sample) at any scale. The filters run over
-    // the already-pinned flat/norms checkpoints — a map-side prune,
-    // no re-derivation. stride == 1 (small corpora) keeps the exact
+    // the already-pinned flat checkpoint — a map-side prune, no
+    // re-derivation. stride == 1 (small corpora) keeps the exact
     // pre-sampling lineage. A caller that already sampled (trainedRows)
     // passes knownStride=1 so no count job re-runs on the sample.
     val stride =
       if (knownStride > 0) knownStride else trainStride(emb.count())
-    val (embT, fT, nT) =
-      if (stride == 1L) (emb, f, n)
+    val (embT, fT) =
+      if (stride == 1L) (emb, f)
       else {
         val keep = samplePredicate(stride, seedLo, k)
-        (emb.filter(keep), f.filter(keep), n.filter(keep))
+        (emb.filter(keep), f.filter(keep))
       }
-    var (cent, pin) = Checkpoints.pin(
-      f.filter(col("vec_id").between(seedLo, seedLo + k - 1))
-        .select(col("vec_id").as("cell"), col("i"), col("v").as("c")))
-    for (it <- 1 to iters) Prof.tt("ivf")(s"round-$it") {
-      // fused assign+update: one chain computes the winning cell AND
-      // the (cell, i) member mean without re-joining the corpus
-      // against a separate assignment relation (r9, VERDICT #6). The
-      // model is k×dim — driver-sized by design — so one collect per
-      // round feeds LOCAL broadcast relations instead of three
-      // distributed agg+broadcast jobs.
-      import emb.sparkSession.implicits._
-      val centRows = cent.select("cell", "i", "c")
-        .as[(Long, Long, Double)].collect()
-      val upd = fusedUpdate(embT, fT, nT, centRows)
-      val (next, nextPin) = Checkpoints.pin(
-        cent.join(upd, Seq("cell", "i"), "left")
-          .select(col("cell"), col("i"),
-            r6(coalesce(col("cnew"), col("c"))).as("c")))
-      Checkpoints.release(pin)
-      cent = next
-      pin = nextPin
-    }
-    cent
-  }
-
-  /** One Lloyd round, fused: [[exactAssign]]'s two-stage winner rule
-    * applied at (i, v) ROW granularity so the (cell, i) mean shares
-    * the f⋈candidates shuffle instead of re-joining the flattened
-    * corpus against a one-row-per-vector assignment (which cost a
-    * second corpus-wide shuffle per round). The per-round driver
-    * collect is gone too: the packed stage-1 centroids build
-    * distributively and broadcast. Numerics are bit-identical to the
-    * unfused form — dots and means accumulate in DECIMAL
-    * ([[Num.xsumHi]], order-independent), the float cast matches, and
-    * the winner rule is the same (cos desc, cell asc): `dense_rank`
-    * keeps exactly the rank-1 (vec, cell) pair's rows, ties included,
-    * because the ordering key contains the cell tie-break. */
-  private def fusedUpdate(emb: DataFrame, f: DataFrame, n: DataFrame,
-      centRows: Array[(Long, Long, Double)]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import emb.sparkSession.implicits._
-    val byCell = centRows.groupBy(_._1).toSeq.sortBy(_._1)
-    val cents = byCell.map { case (cell, rs) =>
-      (cell, rs.sortBy(_._2).map(_._3.toFloat)) }
-    // Num.exactNorm is the one driver-side replica of sqrt(xsumHi(c*c)):
-    // the decimal sum is exact and order-independent, so the
-    // driver-computed cell norms are bit-identical to the distributed
-    // aggregate they replace (v08 stays hash-locked)
-    val cnrms = byCell.map { case (cell, rs) =>
-      (cell, Num.exactNorm(rs.map(r => r._3))) }
-    val centDF = centRows.toSeq.toDF("cell", "i", "c")
-    val centsRow = Seq(Tuple1(cents)).toDF("cents")
-    val cnDF = cnrms.toDF("cell", "cnrm")
-    // stage 1 entirely IN-ROW: one broadcast row carries all k packed
-    // centroids, each vector ranks them with the codegen'd cosine and
-    // keeps the top margin inside the row — no n×k relation, no
-    // ranking shuffle (the unfused form paid a corpus×k window per
-    // round). Ordering matches row_number(ncos desc, cell asc): the
-    // sort key is (-ncos, cell) ascending.
-    val cand = emb.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(centsRow))
-      .select(col("vec_id"), explode(expr(
-        s"""transform(slice(array_sort(transform(cents,
-           |  s -> struct(-graft_cosine(embedding, s._2) AS nneg,
-           |              s._1 AS cell))),
-           |  1, $AssignMargin), x -> x.cell)""".stripMargin)).as("cell"))
-    val wC = Window.partitionBy("vec_id", "cell")
-    val wA = Window.partitionBy("vec_id")
-      .orderBy(col("cos").desc, col("cell").asc)
-    f.join(cand, "vec_id")
-      .join(broadcast(centDF), Seq("cell", "i"))
-      .withColumn("dot",
-        sum((col("v") * col("c")).cast("decimal(38,18)")).over(wC)
-          .cast("double"))
-      .join(n, "vec_id").join(broadcast(cnDF), "cell")
-      .withColumn("cos", col("dot") / (col("nrm") * col("cnrm")))
-      .withColumn("arn", dense_rank().over(wA))
-      .filter(col("arn") === 1)
-      .groupBy("cell", "i")
-      .agg((xsumHi(col("v")) / count(lit(1))).as("cnew"))
+    var centRows: Array[(Long, Long, Double)] =
+      f.filter(col("vec_id").between(seedLo, seedLo + k - 1))
+        .select(col("vec_id").as("cell"), col("i"), col("v").as("c"))
+        .as[(Long, Long, Double)].collect()
+    for (it <- 1 to iters) Prof.tt("ivf")(s"round-$it") {
+      // winners is sample-sized (≤ TrainSampleTarget + k rows) — safe
+      // to broadcast at any corpus scale by construction
+      val winners = exactAssign(embT, centRows).select("vec_id", "cell")
+      val upd = fT.join(broadcast(winners), "vec_id")
+        .groupBy("cell", "i")
+        .agg((xsumHi(col("v")) / count(lit(1))).as("cnew"))
+        .as[(Long, Long, Double)].collect()
+      val updMap = upd.map { case (c, i, v) => ((c, i), v) }.toMap
+      // r6(coalesce(cnew, c)) of the r15 relational spelling, on the
+      // driver: r6 applies to BOTH branches (a cell keeping its seed
+      // gets rounded too — seeds are raw corpus doubles)
+      centRows = centRows.map { case (c, i, old) =>
+        (c, i, Num.r6d(updMap.getOrElse((c, i), old))) }
+    }
+    centRows
   }
 
   /** How many native-ranked cells per vector enter the exact re-rank in
@@ -511,21 +456,16 @@ object SimOps {
   private[graft] def corpusCount(s: SparkSession, d: String): Long =
     countCache.get(embKey(d, "|n"))(Tables.embeddings(s, d).count())
 
-  /** Train on an already-pinned (f, n) pair and collect the model rows,
-    * releasing the final centroid snapshot — the shared core of
-    * [[trainedModel]] and [[ivfIndex]]'s one-pass build. */
+  /** Train on an already-pinned flattened sample — the shared core of
+    * [[trainedModel]] and [[ivfIndex]]'s one-pass build. (r16: the
+    * model rows come back driver-side from the loop itself; no final
+    * snapshot to collect or release.) */
   private def trainAndCollect(s: SparkSession, emb: DataFrame, f: DataFrame,
-      n: DataFrame, k: Int, seedLo: Int): Array[(Long, Long, Double)] = {
+      k: Int, seedLo: Int): Array[(Long, Long, Double)] =
     // emb is already the bounded sample (trainedRows sampled before the
     // flatten); a sample never re-samples, so pin stride 1 instead of
     // paying a count job just to re-derive it
-    val cent = trainCentroids(emb, f, n, KmeansIters, k, seedLo,
-      knownStride = 1L)
-    try {
-      import s.implicits._
-      cent.select("cell", "i", "c").as[(Long, Long, Double)].collect()
-    } finally Checkpoints.release(Checkpoints.rddOf(cent))
-  }
+    trainCentroids(emb, f, KmeansIters, k, seedLo, knownStride = 1L)
 
   /** Collected model rows for (dataset, k, seed): the persisted
     * artifact is a (cell, i, c) parquet in the [[Warehouse]] — a fresh
@@ -558,14 +498,11 @@ object SimOps {
           else emb.filter(samplePredicate(stride, seedLo, k)))
         val (f, fPin) = Checkpoints.pin(flat(embT))
         try {
-          val (n, nPin) = Checkpoints.pin(norms(f))
-          try {
-            import s.implicits._
-            Warehouse.writeParquet(
-              trainAndCollect(s, embT, f, n, k, seedLo)
-                .toSeq.toDF("cell", "i", "c"),
-              tmp.toString)
-          } finally Checkpoints.release(nPin)
+          import s.implicits._
+          Warehouse.writeParquet(
+            trainAndCollect(s, embT, f, k, seedLo)
+              .toSeq.toDF("cell", "i", "c"),
+            tmp.toString)
         } finally Checkpoints.release(fPin)
       }
       import s.implicits._

@@ -2285,22 +2285,42 @@ object TextOps {
     * Complements t10's length/punctuation/stopword score with the
     * repetition dimension real filter stacks (Gopher, C4) apply.
     *
-    * Scale posture: two explode → keyed-aggregate passes (doc_id and
-    * (doc_id, gram) keys, map-side combined) — the t03/t07 shape; no
-    * self-join, no window over more than one document's grams. A fully
-    * in-row spelling (array_distinct + an aggregate() run-length pass
-    * over the sorted per-doc bigram array — zero exchanges) was
-    * measured at the 100× probe and LOST 3.7×: higher-order-function
-    * lambdas evaluate interpreted per element, and 500k docs × ~200
-    * grams of interpreted named_struct updates cost far more than the
-    * codegen'd hash aggregation the explode plan runs after its
-    * token-count-sized exchange (330 s vs ~90 s for the k4 funnel
-    * stage). Shuffles are not free, but losing whole-stage codegen on
-    * the per-token path is worse. */
+    * Scale posture (r16): ONE in-row native census —
+    * [[graft.functions.RepStats]] tokenizes and hash-counts each
+    * document's grams in a single native loop, so the gate is a pure
+    * projection with zero exchanges (the r15 plan exploded every gram
+    * and paid two token-count-sized keyed exchanges). The r15 scaladoc's
+    * measured 3.7× rejection of the in-row spelling was about
+    * interpreted HOF lambdas (named_struct updates per gram), not
+    * in-row evaluation — the native expression removes the
+    * interpretation AND the shuffles; equivalence to the explode form
+    * is locked by TextAggSpec and the t16/t17/t19 oracle hashes. */
   val repetitionScore: Q = (s, d) =>
     repetitionStats(Par.widen(Tables.documents(s, d)))
 
   private[graft] def repetitionStats(doc: DataFrame): DataFrame = {
+    // pinned RepStats: evaluated exactly once per row; the null gate
+    // and every derived column consume the projected struct attribute
+    // (see the Sq8Code pushdown/inlining rationale)
+    val st = doc.select(col("doc_id"),
+        org.apache.spark.sql.GraftPlanBridge.exprColumn(
+          graft.functions.RepStats(
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("text"),
+            pinned = true)).as("rs"))
+      .filter(col("rs").isNotNull)
+    val dupFrac =
+      (col("rs.n_tri") - col("rs.n_tri_d")).cast("double") / col("rs.n_tri")
+    val topFrac = col("rs.top_big").cast("double") / col("rs.n_big")
+    st.select(col("doc_id"), r6(dupFrac).as("dup_trigram_frac"),
+        r6(topFrac).as("top_bigram_frac"),
+        (dupFrac > DupTrigramMax || topFrac > TopBigramMax).as("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  /** The r15 explode/aggregate spelling of [[repetitionStats]] — kept as
+    * the independent lineage TextAggSpec checks the native census
+    * against (the inv_v16 pattern: two spellings, one truth). */
+  private[graft] def repetitionStatsRelational(doc: DataFrame): DataFrame = {
     val tri = ngrams(doc, 3).groupBy("doc_id")
       .agg(count(lit(1)).as("n_tri"), countDistinct("s").as("n_tri_d"))
     val big = ngrams(doc, 2).groupBy("doc_id", "s")

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import graft.functions.{AdcDot, CosineSimilarity, ExactDot, InRing, InRings, Sq8Code}
+import graft.functions.{AdcDot, CosineSimilarity, ExactDot, InRing, InRings, RepStats, Sq8Code}
 
 /** Engine extension point (SparkSessionExtensions): registers the native
   * function surface so SQL users get the codegen'd hot paths.
@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_sq8_code"),
       Sq8Code.info,
       Sq8Code.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_rep_stats"),
+      RepStats.info,
+      RepStats.builder))
     ext.injectFunction((
       FunctionIdentifier("graft_in_ring"),
       InRing.info,

@@ -89,7 +89,7 @@ class SimSpec extends SparkSpecBase {
     val emb = Tables.embeddings(spark, sf)
     val f = SimOps.flat(emb)
     val n = SimOps.norms(f)
-    val cent = SimOps.trainCentroids(emb, f, n)
+    val cent = SimOps.trainCentroids(emb, f).toSeq.toDF("cell", "i", "c")
     // training actually learned something: at least one component left
     // its seed value
     val seeds = f.filter(col("vec_id").between(100, 107))
@@ -323,12 +323,8 @@ class SimSpec extends SparkSpecBase {
     assert(sampleIds.size < 2 * SimOps.TrainSampleTarget,
       s"sample not bounded: ${sampleIds.size}")
     val sample = mkEmb(sampleIds)
-    def train(emb: org.apache.spark.sql.DataFrame): Array[org.apache.spark.sql.Row] = {
-      val f = SimOps.flat(emb)
-      val cent = SimOps.trainCentroids(emb, f, SimOps.norms(f))
-      try cent.orderBy("cell", "i").collect()
-      finally ops.Checkpoints.release(ops.Checkpoints.rddOf(cent))
-    }
+    def train(emb: org.apache.spark.sql.DataFrame): Array[(Long, Long, Double)] =
+      SimOps.trainCentroids(emb, SimOps.flat(emb)).sortBy(r => (r._1, r._2))
     val viaSampling = train(full)
     val viaSampleCorpus = train(sample)
     assert(viaSampling.length == SimOps.KmeansK * 64)

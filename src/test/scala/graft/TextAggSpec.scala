@@ -43,6 +43,23 @@ class TextAggSpec extends SparkSpecBase {
     assert(bad.isEmpty, s"token-count spellings diverge: ${bad.toSeq}")
   }
 
+  test("native repetition census == the explode/aggregate spelling") {
+    // the r16 in-row RepStats vs the r15 relational lineage, over the
+    // real corpus plus adversarial shapes (null, short, empty-token,
+    // repeated-gram, multi-space texts)
+    val extra = Seq(
+      (9001L, null.asInstanceOf[String]), (9002L, ""), (9003L, "a"),
+      (9004L, "a b"), (9005L, "a b c"), (9006L, "a a a a a a"),
+      (9007L, "a  b  a  b"), (9008L, " x y "), (9009L, "a b a b a b"))
+      .toDF("doc_id", "text")
+    val doc = Tables.documents(spark, sf).select("doc_id", "text")
+      .unionByName(extra)
+    val a = TextOps.repetitionStats(doc).collect().toSeq
+    val b = TextOps.repetitionStatsRelational(doc).collect().toSeq
+    assert(a == b, s"repetition spellings diverge:\n native=${a.take(5)}\n rel=${b.take(5)}")
+    assert(a.exists(_.getLong(0) >= 9001L))
+  }
+
   test("band-bucket audit flags buckets past the pair-expansion cap") {
     // 6 docs share one degenerate signature (every band key collides),
     // 2 docs are distinct: with cap=5 the audit reports exactly the 4

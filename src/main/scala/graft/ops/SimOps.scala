@@ -1205,21 +1205,25 @@ object SimOps {
     * per-element error is one fixed IEEE-double formula, and the mean
     * accumulates via DECIMAL(38,18) sums — so the census hash-matches at
     * any parallelism. Zero vectors (m = 0) are excluded identically on
-    * both sides. Scale posture: one flatten + two keyed aggregates
-    * (vec_id then label), all map-side combined; no joins beyond the
-    * corpus-keyed m/label lookups. */
+    * both sides.
+    *
+    * Scale posture (r16): the whole per-vector census is the in-row
+    * [[graft.functions.Q8Err]] pass (exact per-row decimal partials,
+    * reduced by a map-side-combined label aggregate) — the corpus never
+    * flattens; the r15 plan paid a corpus×dim explode, a per-vector max
+    * join-back and a label join (three corpus exchanges). Equivalence
+    * locked by SimSpec's census test and the v11 oracle hash. */
   val quantizeError: Q = (s, d) => {
     val emb = Par.widen(Tables.embeddings(s, d))
-    val f = flat(emb)
-    val m = f.groupBy("vec_id").agg(max(abs(col("v"))).as("m"))
-    f.join(m, "vec_id").filter(col("m") > 0)
-      .select(col("vec_id"),
-        abs(col("v") - round(col("v") * 127.0 / col("m"), 0) * col("m") / 127.0)
-          .as("err"))
-      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+    emb.select(col("label"),
+        org.apache.spark.sql.GraftPlanBridge.exprColumn(
+          graft.functions.Q8Err(Seq(
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("embedding")),
+            pinned = true)).as("q"))
+      .filter(col("q").isNotNull)
       .groupBy("label")
-      .agg(r6(xsumHi(col("err")) / count(lit(1))).as("avg_err"),
-        r6(max(col("err"))).as("max_err"))
+      .agg(r6(sum(col("q.dsum")).cast("double") / sum(col("q.n"))).as("avg_err"),
+        r6(max(col("q.dmax"))).as("max_err"))
       .orderBy("label")
   }
 
@@ -1276,22 +1280,24 @@ object SimOps {
     // pruning and is fragile to partition-inference config)
     val centsDf = cents.toDF("cell", "cd")
       .select(col("cell").cast("int").as("cell"), col("cd"))
+    // r16: the residual subtraction, per-vector scale, int8 round-trip
+    // AND the exact decimal error partials all run in the one native
+    // Q8Err pass — the r15 form still exploded the err array (a
+    // Generate plus three interpreted HOF lambdas per row) before its
+    // census aggregate
     Par.widen(inv.select(col("cell"), col("embedding")))
       .join(broadcast(centsDf), "cell")
-      // exact float→double elements minus the model component — the
-      // same IEEE subtraction the flattened (v - c) computed
       .select(col("cell"),
-        expr("zip_with(embedding, cd, (v, c) -> CAST(v AS DOUBLE) - c)")
-          .as("res"))
-      .withColumn("m", expr("array_max(transform(res, r -> abs(r)))"))
-      .filter(col("m") > 0)
-      .select(col("cell"), explode(
-        expr("transform(res, r -> abs(r - round(r * 127.0D / m, 0) * m / 127.0D))"))
-        .as("err"))
+        org.apache.spark.sql.GraftPlanBridge.exprColumn(
+          graft.functions.Q8Err(Seq(
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("embedding"),
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("cd")),
+            pinned = true)).as("q"))
+      .filter(col("q").isNotNull)
       .groupBy("cell")
-      .agg(count(lit(1)).as("n_components"),
-        r6(xsumHi(col("err")) / count(lit(1))).as("avg_err"),
-        r6(max(col("err"))).as("max_err"))
+      .agg(sum(col("q.n")).as("n_components"),
+        r6(sum(col("q.dsum")).cast("double") / sum(col("q.n"))).as("avg_err"),
+        r6(max(col("q.dmax"))).as("max_err"))
       .orderBy("cell")
   }
 

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import graft.functions.{AdcDot, CosineSimilarity, ExactDot, InRing, InRings, RepStats, Sq8Code}
+import graft.functions.{AdcDot, CosineSimilarity, ExactDot, InRing, InRings, Q8Err, RepStats, Sq8Code}
 
 /** Engine extension point (SparkSessionExtensions): registers the native
   * function surface so SQL users get the codegen'd hot paths.
@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_rep_stats"),
       RepStats.info,
       RepStats.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_q8_err"),
+      Q8Err.info,
+      Q8Err.builder))
     ext.injectFunction((
       FunctionIdentifier("graft_in_ring"),
       InRing.info,

@@ -283,12 +283,20 @@ class PlanShapeSpec extends SparkSpecBase {
       s"census aggregate lost its map-side partial:\n$p")
   }
 
-  test("quantization census combines map-side at both aggregation levels") {
+  test("quantization census computes in-row: no flatten, one map-side-combined label agg") {
+    // r16: the per-vector int8 error census is the native Q8Err
+    // projection — the corpus never explodes and never joins back for
+    // its per-vector scale; the only exchanges are the label aggregate
+    // and presentation ordering
     val p = plan("v11_quantize_error")
-    val nAgg = "HashAggregate".r.findAllIn(p).length
-    assert(nAgg >= 4, s"expected partial+final pairs for vec and label aggs:\n$p")
-    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
-      s"corpus lookup joins lost their co-located/broadcast shape:\n$p")
+    assert(p.contains("graft_q8_err"), s"census not on the native expression:\n$p")
+    assert(!"\\(\\d+\\) Generate".r.findFirstIn(p).isDefined,
+      s"census regressed to a corpus flatten:\n$p")
+    assert("\\(\\d+\\) HashAggregate".r.findAllIn(p).length >= 2,
+      s"label aggregate lost its map-side partial:\n$p")
+    val nEx = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(nEx <= 3, s"expected ≤3 exchanges (widen + census + order), got $nEx:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"an unexpected corpus join appeared:\n$p")
   }
 
   test("IVF serve prunes the inverted file to the probed cells statically") {

@@ -64,6 +64,63 @@ class Sq8Spec extends SparkSpecBase {
     assert(a.nonEmpty)
   }
 
+  test("graft_q8_err reduces to the v11 flatten census and the v13 HOF census") {
+    val emb = vecDf(99L, 300).withColumn("label",
+      (col("vec_id") % 7).cast("string"))
+    // v11's replaced relational spelling, verbatim
+    val f = emb.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("i"),
+        col("col").cast("double").as("v"))
+    val m = f.groupBy("vec_id").agg(max(abs(col("v"))).as("m"))
+    val old = f.join(m, "vec_id").filter(col("m") > 0)
+      .select(col("vec_id"),
+        abs(col("v") - round(col("v") * 127.0 / col("m"), 0) * col("m") / 127.0)
+          .as("err"))
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy("label")
+      .agg(ops.Num.r6(ops.Num.xsumHi(col("err")) / count(lit(1))).as("avg_err"),
+        ops.Num.r6(max(col("err"))).as("max_err"))
+      .orderBy("label")
+    val neu = emb.select(col("label"), expr("graft_q8_err(embedding)").as("q"))
+      .filter(col("q").isNotNull)
+      .groupBy("label")
+      .agg(ops.Num.r6(sum(col("q.dsum")).cast("double") / sum(col("q.n"))).as("avg_err"),
+        ops.Num.r6(max(col("q.dmax"))).as("max_err"))
+      .orderBy("label")
+    assert(old.collect().toSeq == neu.collect().toSeq, "v11 census spellings diverge")
+
+    // v13's replaced HOF spelling over residuals, verbatim (cd = a
+    // shifted copy so residuals are non-trivial)
+    val cd = vecDf(123L, 300)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) * 0.5)").as("cd"),
+        (col("vec_id") % 5).as("cell"))
+    val j = emb.join(cd, "vec_id")
+    val oldR = j
+      .select(col("cell"),
+        expr("zip_with(embedding, cd, (v, c) -> CAST(v AS DOUBLE) - c)").as("res"))
+      .withColumn("mm", expr("array_max(transform(res, r -> abs(r)))"))
+      .filter(col("mm") > 0)
+      .select(col("cell"), explode(
+        expr("transform(res, r -> abs(r - round(r * 127.0D / mm, 0) * mm / 127.0D))"))
+        .as("err"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_components"),
+        ops.Num.r6(ops.Num.xsumHi(col("err")) / count(lit(1))).as("avg_err"),
+        ops.Num.r6(max(col("err"))).as("max_err"))
+      .orderBy("cell")
+    val neuR = j
+      .select(col("cell"), expr("graft_q8_err(embedding, cd)").as("q"))
+      .filter(col("q").isNotNull)
+      .groupBy("cell")
+      .agg(sum(col("q.n")).as("n_components"),
+        ops.Num.r6(sum(col("q.dsum")).cast("double") / sum(col("q.n"))).as("avg_err"),
+        ops.Num.r6(max(col("q.dmax"))).as("max_err"))
+      .orderBy("cell")
+    assert(oldR.collect().toSeq == neuR.collect().toSeq,
+      "v13 residual census spellings diverge")
+  }
+
   test("graft_adc_dot == aggregate(zip_with(...)) incl. null/length-mismatch poisoning") {
     val rnd = new scala.util.Random(7L)
     val rows = (0 until 300).map { i =>

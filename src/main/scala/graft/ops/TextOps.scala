@@ -227,23 +227,23 @@ object TextOps {
   private def sigCols: Seq[(Int, String)] = Seeds.map(i => (i, s"s$i"))
 
   private[graft] def signatures(doc: DataFrame): DataFrame = {
-    // In-row form: hash every shingle once inside the row, then take the
-    // 8 window minima with array HOFs — the whole signature computes in
-    // one codegen'd projection with NO shuffle. The equivalent
-    // explode + groupBy(8×min) form exchanged every (doc, shingle) pair
-    // (~2M rows at sf0.1) before aggregating; see t04 for the same
-    // measured pattern. array_min skips the NULL shingles a <3-token
-    // document produces, exactly like the min aggregate did.
-    val sel = col("doc_id") +: sigCols.map { case (i, n) =>
-      expr(s"array_min(transform(hs, h -> substring(h, ${i * 2 + 1}, 16)))").as(n)
-    }
-    doc.select(col("doc_id"), toks.as("ts"))
-      .select(col("doc_id"), expr(
-        """transform(sequence(1, greatest(size(ts) - 2, 1)),
-          |  g -> md5(CAST(concat(try_element_at(ts, g), ' ',
-          |              try_element_at(ts, g + 1), ' ',
-          |              try_element_at(ts, g + 2)) AS BINARY)))""".stripMargin).as("hs"))
-      .select(sel: _*)
+    // In-row NATIVE form (r16): one graft_minhash8 loop per row hashes
+    // every shingle once and tracks all eight window minima — still a
+    // single shuffle-free projection, but without the r15 spelling's
+    // NINE interpreted HOF evaluations per document (one transform
+    // building the md5 array + 8 array_min(transform(substring))
+    // passes). Short/NULL-text docs keep their row with all-NULL
+    // signature columns, exactly like the HOF form (OOB shingles were
+    // NULL and array_min skipped them). Locked against the one-pass
+    // MinHashAgg aggregator lineage by TextAggSpec's signature test.
+    val m = org.apache.spark.sql.GraftPlanBridge.exprColumn(
+      graft.functions.MinHash8(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("text"),
+        pinned = true)).as("mh")
+    doc.select(col("doc_id"), m)
+      .select(col("doc_id") +: sigCols.map { case (_, n) =>
+        col(s"mh.$n").as(n)
+      }: _*)
   }
 
   private val signaturesSql: String =
@@ -1357,16 +1357,27 @@ object TextOps {
     * 16 interpreted HOF passes per document (measured 1.7× slower than
     * this shuffle at sf0.1), while the (doc, token) exchange is modest
     * and the codegen'd aggregate combines map-side. */
-  private[graft] def simhashDoc(doc: DataFrame): DataFrame = {
-    // ONE exchange (doc_id), not two: the classic per-(doc, token)
-    // weight table is algebraically redundant here — summing ±1 per
-    // token OCCURRENCE equals summing w·(±1) per distinct token with
-    // w = occurrence count — so the bit sums aggregate straight off the
-    // exploded relation with map-side partial aggregation. The md5 runs
-    // per occurrence instead of per distinct token; a hash of a short
-    // string is far cheaper than the extra corpus-wide exchange it
-    // replaces. Oracle (dedupSimhashSql) computes the same sums from the
-    // weighted form — identical totals, hash-identical results.
+  private[graft] def simhashDoc(doc: DataFrame): DataFrame =
+    // r16: ZERO exchanges — the whole tokenize → md5 → nibble-vote →
+    // bit-pack pass runs in the one native graft_simhash16 loop per
+    // row, so the table is a pure projection (the r15 form exploded
+    // every token occurrence and aggregated back on doc_id; its own
+    // r9 improvement had already removed the per-(doc, token) weight
+    // exchange). NULL-text docs produced no exploded rows, so the
+    // NULL filter keeps the row set identical. Oracle (dedupSimhashSql)
+    // still computes the weighted relational form — identical totals,
+    // hash-identical results; TextAggSpec locks the two Spark
+    // spellings against each other.
+    doc.select(col("doc_id"),
+        org.apache.spark.sql.GraftPlanBridge.exprColumn(
+          graft.functions.SimHash16(
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("text"),
+            pinned = true)).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  /** The r15 explode/aggregate spelling of [[simhashDoc]] — the
+    * independent lineage TextAggSpec checks the native pass against. */
+  private[graft] def simhashDocRelational(doc: DataFrame): DataFrame = {
     val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     val bits = (0 until 16).map { j =>
       when(sum(when(substring(col("h"), j + 1, 1).isin(highHex: _*), 1)

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import graft.functions.{AdcDot, CosineSimilarity, ExactDot, InRing, InRings, Q8Err, RepStats, Sq8Code}
+import graft.functions.{AdcDot, CosineSimilarity, ExactDot, InRing, InRings, MinHash8, Q8Err, RepStats, SimHash16, Sq8Code}
 
 /** Engine extension point (SparkSessionExtensions): registers the native
   * function surface so SQL users get the codegen'd hot paths.
@@ -36,6 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_q8_err"),
       Q8Err.info,
       Q8Err.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash16"),
+      SimHash16.info,
+      SimHash16.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash8"),
+      MinHash8.info,
+      MinHash8.builder))
     ext.injectFunction((
       FunctionIdentifier("graft_in_ring"),
       InRing.info,

@@ -60,6 +60,19 @@ class TextAggSpec extends SparkSpecBase {
     assert(a.exists(_.getLong(0) >= 9001L))
   }
 
+  test("native simhash == the explode/aggregate spelling") {
+    val extra = Seq(
+      (9001L, null.asInstanceOf[String]), (9002L, ""), (9003L, "a"),
+      (9004L, "a b a b"), (9005L, " x y "), (9006L, "a  b"),
+      (9007L, "unicode éß tokens"))
+      .toDF("doc_id", "text")
+    val doc = Tables.documents(spark, sf).select("doc_id", "text")
+      .unionByName(extra)
+    val a = TextOps.simhashDoc(doc).orderBy("doc_id").collect().toSeq
+    val b = TextOps.simhashDocRelational(doc).orderBy("doc_id").collect().toSeq
+    assert(a == b, s"simhash spellings diverge:\n native=${a.take(5)}\n rel=${b.take(5)}")
+  }
+
   test("band-bucket audit flags buckets past the pair-expansion cap") {
     // 6 docs share one degenerate signature (every band key collides),
     // 2 docs are distinct: with cap=5 the audit reports exactly the 4

@@ -3470,10 +3470,15 @@ object TextOps {
     // size(slice(t, st, C)) == least(C, n - st + 1) for every start the
     // sequence generates (1 ≤ st ≤ n) — so the spans never tokenize,
     // slice or materialize anything: one char-count per doc, then
-    // integer window geometry. NULL text keeps producing no spans
-    // (NULL n → NULL sequence → NULL transform → empty posexplode,
-    // exactly the t22 rule the old spelling followed).
-    doc.select(col("doc_id"), nToksCheap.as("n"))
+    // integer window geometry. The widen moves AFTER the narrow
+    // projection (guide §2.3 — project before the exchange): the
+    // single-row-group scan stays one task for the cheap char count,
+    // and only (doc_id, n) rows shuffle before the span explode runs
+    // at cluster parallelism (measured at sf1: explode+downstream in
+    // the scan task serialized the query, 0.98 → 1.9 s). NULL text
+    // keeps producing no spans (NULL n → NULL sequence → NULL
+    // transform → empty posexplode, exactly the t22 rule).
+    Par.widen(doc.select(col("doc_id"), nToksCheap.as("n")))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, n, $ChunkStride), " +
           s"st -> least($ChunkTokens, n - st + 1))")))
@@ -3503,9 +3508,9 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
     val rangeWidth = packRangeFor(maxDocId(docs))
-    // r16: no Par.widen — chunkSpans is a char count + integer window
-    // geometry now, so nothing here is worth a full-text round-robin
-    // shuffle; only narrow span rows reach the range exchange
+    // r16: chunkSpans widens its own NARROW (doc_id, n) projection —
+    // no full-text round-robin shuffle; only narrow span rows reach
+    // the range exchange
     val t = chunkSpans(docs)
       .withColumn("rng", expr(s"doc_id div $rangeWidth"))
     val wR = Window.orderBy("rng")
@@ -3577,10 +3582,13 @@ object TextOps {
     * one-window-per-source spelling lives on as the DuckDB oracle. */
   val quotaSample: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    // r16: no Par.widen — both passes touch only (doc_id, source) plus
-    // one short-string md5; spreading that is not worth shuffling the
-    // corpus rows (text column included) round-robin
-    val doc = Tables.documents(s, d)
+    // r16: the widen wraps the NARROW (doc_id, source) projection —
+    // the corpus text never shuffles, but the two md5 passes below run
+    // at cluster parallelism instead of inside the one-task scan a
+    // single-row-group file produces (guide §2.3: project before the
+    // exchange)
+    val doc = Par.widen(
+      Tables.documents(s, d).select("doc_id", "source"))
     def tagged = doc.select(col("doc_id"), col("source"),
       expr("CAST(conv(substring(md5(CAST(concat(CAST(doc_id AS STRING), " +
         "':quota-v1') AS BINARY)), 1, 4), 16, 10) AS BIGINT)")

@@ -5,8 +5,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Benchmark main (driver contract): run every declared query on
   * SPARK_GRAFT_SF_DIR, print ONE JSON line with total + per-query secs.
   * The same line is also written to SPARK_GRAFT_BENCH_OUT (default
-  * ./BENCH_local.json) — stdout through the driver has been observed to
-  * truncate mid-stream, losing per-query families from the artifact.
+  * ./BENCH_run.json, untracked) — stdout through the driver has been
+  * observed to truncate mid-stream, losing per-query families from the
+  * artifact. The default deliberately does NOT overwrite
+  * BENCH_local.json (the committed rolling baseline the gate reads):
+  * r16's driver runs clobbered the baseline in the working tree, which
+  * then got committed over the real min-of-runs numbers. Refreshing
+  * the baseline is now an explicit act (benchmin.py or
+  * SPARK_GRAFT_BENCH_OUT=BENCH_local.json), never a side effect.
   *
   * Noise robustness: this box is co-tenant, and a single-sample gate
   * false-fires on CPU contention (round 6 shipped `pass:false` with 7
@@ -198,7 +204,7 @@ object Bench {
       .mkString
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$bs"errors":$errs,"sf":"$sfDir","gate":$gate}"""
     println(line)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_run.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>

@@ -543,8 +543,16 @@ object SimOps {
         def tt[A](name: String)(f: => A): A = Prof.tt("ivf")(name)(f)
         val emb = Tables.embeddings(s, d)
         val rows = tt("train")(trainedRows(s, d))
+        // REBALANCE(cell) before the partitioned write (guide §6 file
+        // sizing): the assignment is a pure projection, so without it
+        // every scan partition writes a file into every cell dir
+        // (32 × k tiny files at sf0.1 — measured 1.3-1.8× on every
+        // cell-pruned v-serve). AQE sizes the rebalance to the
+        // advisory target and splits oversized cells, so at 100 TB
+        // each cell lands as ~64 MB files instead of one-per-task.
         tt("assign-write")(exactAssign(emb, rows)
           .select("cell", "vec_id", "embedding")
+          .hint("rebalance", "cell")
           .write.mode("overwrite").partitionBy("cell")
           .parquet(tmp.resolve("cells").toString))
         // trained_n records the CORPUS SIZE AT TRAINING TIME (the
@@ -582,6 +590,7 @@ object SimOps {
         val rows = trainedRows(s, d, k)
         exactAssign(Tables.embeddings(s, d), rows)
           .select("cell", "vec_id", "embedding")
+          .hint("rebalance", "cell") // guide §6 — see ivfIndex
           .write.mode("overwrite").partitionBy("cell")
           .parquet(tmp.resolve("cells").toString)
         val nVec = corpusCount(s, d)
@@ -697,6 +706,7 @@ object SimOps {
       // batch-sized in-row assignment — the corpus never re-scans
       exactAssign(appended, rows)
         .select("cell", "vec_id", "embedding")
+        .hint("rebalance", "cell") // guide §6 — see ivfIndex
         .write.mode("append").partitionBy("cell")
         .parquet(tmp.resolve("cells").toString)
       // each append lands one file per touched cell; past the per-cell

@@ -276,7 +276,14 @@ object TextOps {
     val path = sigCache.get(
       s"$d@${BuildCache.version(d, "documents.parquet")}") {
       Warehouse.getOrBuild("sig", d, "documents.parquet") { tmp =>
-        Warehouse.writeParquet(signatures(Par.widen(Tables.documents(s, d))),
+        // REBALANCE before the write (guide §6): the signature table is
+        // a pure projection of the widened corpus, so it would land one
+        // tiny file per task (32 × ~20 KB at sf0.1 — every sig-served
+        // query then pays a 32-split scan). The rebalance shuffles only
+        // the ~100-byte signature rows and AQE sizes the output files
+        // to the advisory target at any scale.
+        Warehouse.writeParquet(
+          signatures(Par.widen(Tables.documents(s, d))).hint("rebalance"),
           tmp.toString)
       }
     }
@@ -581,9 +588,13 @@ object TextOps {
         } finally Checkpoints.release(gPin)
         // per-doc 16-bit SimHash (t07 serves from this table): a pure
         // per-document function, so appends extend it by file like the
-        // signature table — the build pays the one token-explode pass
+        // signature table. REBALANCE before the write (guide §6): the
+        // r16 projection form landed one ~5 KB file per widened task
+        // (32 at sf0.1) and t07's serve regressed 2.2× paying the
+        // per-file scan overhead; the rebalance shuffles only the
+        // 12-byte (doc_id, simhash) rows and AQE sizes the files.
         tt("simhash")(Warehouse.writeParquet(
-          simhashDoc(Par.widen(Tables.documents(s, d))),
+          simhashDoc(Par.widen(Tables.documents(s, d))).hint("rebalance"),
           s"$tmp/simhash"))
         writeEpoch(s, tmp.toString, "epoch")
       }
@@ -2575,6 +2586,11 @@ object TextOps {
         // the table is written (the k-means/t11 loop discipline)
         val pins = scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
         try {
+          // REBALANCE before the write (guide §6): the six-branch union
+          // inherits every pinned stage's partitioning (99 tiny files
+          // at sf0.1/32 cores — t17/t19 serves pay the per-file scan
+          // overhead); the rebalance shuffles only ~20-byte
+          // (stage, doc_id) rows and AQE sizes the output files.
           tt("stages")(Warehouse.writeParquet(
             funnelStages(s, d, pin = { df =>
                 val (out, p) = Checkpoints.pin(df)
@@ -2582,7 +2598,8 @@ object TextOps {
                 out
               })
               .map { case (st, df) => df.select(lit(st).as("stage"), col("doc_id")) }
-              .reduce(_ unionByName _),
+              .reduce(_ unionByName _)
+              .hint("rebalance"),
             s"$tmp/stages"))
         } finally pins.foreach(Checkpoints.release)
         // hashes/ side table: what the INCREMENTAL updater joins a

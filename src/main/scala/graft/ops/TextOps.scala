@@ -1621,7 +1621,12 @@ object TextOps {
     * the audit summary. */
   val dedupKeepFirst: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val doc = Par.widen(Tables.documents(s, d))
+    // r17: project (and hash) BEFORE the exchange (guide §2.3) — the
+    // r16 spelling round-robin-shuffled the full corpus TEXT just to
+    // spread a cheap md5; now the only corpus exchange is the window's
+    // hash(h) shuffle of ~50-byte rows. At scale the scan is already
+    // wide, so the dropped widen was a no-op there anyway.
+    val doc = Tables.documents(s, d)
     val w = Window.partitionBy("h").orderBy("doc_id")
     doc.select(col("doc_id"), col("source"), col("n_chars"),
         md5(col("text").cast("binary")).as("h"))
@@ -3502,6 +3507,25 @@ object TextOps {
       .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
         col("col").cast("long").as("tok"))
 
+  /** Closed form of a document's TOTAL chunk-span tokens — the sum the
+    * posexplode in [[chunkSpans]] produces, as pure integer arithmetic
+    * over the token count `n` (so the range-totals branch of the t25
+    * packer never explodes; r17, guide §2.3 aggregate-before-shuffle).
+    * With K spans (`sequence(1, n, S)`) of which F are full (value C,
+    * those with st ≤ n−C+1) and the rest the arithmetic tail n−jS for
+    * j in [F, K): sum = F·C + (K−F)·n − S·Σj. NULL n (NULL text) stays
+    * NULL — such docs produce no spans, and sum() skips NULLs.
+    * Spec-locked against the explode spelling by ChunkPackSpec. */
+  private[graft] def chunkTokTotal(nCol: String): org.apache.spark.sql.Column = {
+    val S = ChunkStride
+    val C = ChunkTokens
+    val n = s"CAST($nCol AS BIGINT)"
+    val k = s"(($n - 1) DIV $S + 1)"
+    val f = s"(CASE WHEN $n >= $C THEN ($n - $C) DIV $S + 1 ELSE 0 END)"
+    // (k−1+f)·(k−f) is always even: the factors differ in parity
+    expr(s"$f * $C + ($k - $f) * $n - $S * ((($k - 1 + $f) * ($k - $f)) DIV 2)")
+  }
+
   /** Chunk→pack composition — t22's overlapping context windows fed
     * through t15's packer: the actual training-prep chain (split long
     * documents into fixed-context windows, then pack the windows into
@@ -3525,14 +3549,34 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
     val rangeWidth = packRangeFor(maxDocId(docs))
-    // r16: chunkSpans widens its own NARROW (doc_id, n) projection —
-    // no full-text round-robin shuffle; only narrow span rows reach
-    // the range exchange
-    val t = chunkSpans(docs)
-      .withColumn("rng", expr(s"doc_id div $rangeWidth"))
+    // r17, two structural changes (guide §2.3/§2.4):
+    // 1. The range-totals branch sums the CLOSED FORM of each doc's
+    //    span tokens ([[chunkTokTotal]], spec-locked to the explode
+    //    sum) — no Generate on that branch, so at scale its map-side
+    //    partials aggregate corpus rows, not corpus×chunks rows, and
+    //    only range-sized rows shuffle.
+    // 2. The main branch hash-clusters the NARROW (doc_id, n, rng)
+    //    projection on rng BEFORE the explode; the spans are generated
+    //    inside the already-clustered partitions and the per-range
+    //    window adds no shuffle. r16 widened round-robin first and then
+    //    paid a second, span-row-sized exchange for the window — ~C/S×
+    //    more rows than the doc-level exchange this replaces.
+    val baseRaw = docs.select(col("doc_id"), nToksCheap.as("n"),
+      expr(s"doc_id div $rangeWidth").as("rng"))
+    val base = baseRaw.repartition(col("rng"))
     val wR = Window.orderBy("rng")
-    val offs = t.groupBy("rng").agg(sum("tok").as("rtok"))
+    // the totals branch aggregates its own UN-shuffled copy map-side
+    // (partials in the scan tasks), so only range-sized rows move on
+    // this branch
+    val offs = baseRaw.groupBy("rng")
+      .agg(sum(chunkTokTotal("n")).as("rtok"))
       .select(col("rng"), (sum("rtok").over(wR) - col("rtok")).as("roff"))
+    val t = base
+      .select(col("doc_id"), col("rng"), posexplode(expr(
+        s"transform(sequence(1, n, $ChunkStride), " +
+          s"st -> least($ChunkTokens, n - st + 1))")))
+      .select(col("doc_id"), col("rng"), col("pos").cast("int").as("chunk_idx"),
+        col("col").cast("long").as("tok"))
     val wD = Window.partitionBy("rng").orderBy("doc_id", "chunk_idx")
     t.join(broadcast(offs), "rng")
       .select(col("doc_id"), col("tok"),
@@ -3599,22 +3643,33 @@ object TextOps {
     * one-window-per-source spelling lives on as the DuckDB oracle. */
   val quotaSample: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    // r16: the widen wraps the NARROW (doc_id, source) projection —
-    // the corpus text never shuffles, but the two md5 passes below run
-    // at cluster parallelism instead of inside the one-task scan a
-    // single-row-group file produces (guide §2.3: project before the
-    // exchange)
-    val doc = Par.widen(
-      Tables.documents(s, d).select("doc_id", "source"))
-    def tagged = doc.select(col("doc_id"), col("source"),
-      expr("CAST(conv(substring(md5(CAST(concat(CAST(doc_id AS STRING), " +
-        "':quota-v1') AS BINARY)), 1, 4), 16, 10) AS BIGINT)")
-        .cast("int").as("u16"))
+    // r17: ONE corpus exchange instead of three. The narrow
+    // (doc_id, source, u16) projection is hash-clustered on
+    // (source, u16) up front, which the boundary-bucket window
+    // Window.partitionBy(source, u16) consumes directly (guide §2.4 —
+    // no second corpus shuffle); the census branch aggregates its own
+    // un-shuffled copy map-side, so it only moves census-sized rows
+    // (it deliberately does NOT share the repartition exchange: the
+    // inner join's pushed isnotnull(source) may not be applied to the
+    // census — a NULL-source group must still count toward the global
+    // quota minimum — so the two subtrees can never canonicalize
+    // equal). r16's spelling round-robin-widened BOTH lineages and
+    // paid the window exchange on top. The md5 tag runs in the scan
+    // tasks: at scale the scan is already wide (the widen this
+    // replaces degrades to a no-op there), and the (source, u16) key
+    // space (2^16 per source) spreads any source skew exactly as
+    // before.
+    val taggedRaw = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        expr("CAST(conv(substring(md5(CAST(concat(CAST(doc_id AS STRING), " +
+          "':quota-v1') AS BINARY)), 1, 4), 16, 10) AS BIGINT)")
+          .cast("int").as("u16"))
+    val tagged = taggedRaw.repartition(col("source"), col("u16"))
     // (source, u16) histogram: every window below runs on THIS
     // census-sized relation (≤ 2^16 rows per source by construction)
     val wSrc = Window.partitionBy("source")
     val wCum = wSrc.orderBy("u16")
-    val aug = tagged.groupBy("source", "u16").agg(count(lit(1)).as("n"))
+    val aug = taggedRaw.groupBy("source", "u16").agg(count(lit(1)).as("n"))
       .withColumn("below", sum("n").over(wCum) - col("n"))
       .withColumn("src_total", sum("n").over(wSrc))
       .withColumn("quota", min("src_total").over(Window.partitionBy()))

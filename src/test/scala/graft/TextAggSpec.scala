@@ -705,4 +705,24 @@ class TextAggSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("t25 closed-form chunk-token total equals the explode sum at every n") {
+    import spark.implicits._
+    // every boundary shape: n < stride, n == stride, stride < n < C,
+    // n == C, the full/partial mix, exact multiples, and large n
+    val ns = ((1 to 130) ++ Seq(1000, 4097, 65536, 999999)).map(_.toLong)
+    val df = ns.toDF("n")
+    val got = df.select(col("n"), TextOps.chunkTokTotal("n").as("closed"),
+        expr(s"aggregate(transform(sequence(1, n, ${TextOps.ChunkStride}), " +
+          s"st -> CAST(least(${TextOps.ChunkTokens}, n - st + 1) AS BIGINT)), " +
+          "0L, (a, x) -> a + x)").as("explode"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (n, c, e) =>
+      assert(c == e, s"closed-form chunk total drifted at n=$n: $c != $e")
+    }
+    // NULL n (NULL text) must stay NULL so sum() skips it
+    val nulls = Seq[Option[Long]](None).toDF("n")
+      .select(TextOps.chunkTokTotal("n")).collect()
+    assert(nulls.head.isNullAt(0), "closed form must be NULL on NULL n")
+  }
 }

@@ -67,11 +67,7 @@ object Pipeline {
     // 3. scene-level quality filter (quality.py:29-91): keep scenes the
     //    neighbor pass doesn't reject (skip entirely when < 3 scenes,
     //    quality.py:19-21)
-    val scenes = gated.groupBy("time")
-      .agg(avg("ndvi_c").as("ndvi_mean"),
-        stddev_pop(col("ndvi_c")).as("ndvi_std"),
-        count(col("ndvi_c")).as("n_valid"),
-        count(lit(1)).as("n_total"))
+    val scenes = scenesOf(gated)
     val w = Window.orderBy("time")
     val keepScenes = scenes
       .withColumn("n_scenes", count(lit(1)).over(Window.partitionBy()))
@@ -80,8 +76,21 @@ object Pipeline {
       .withColumn("valid_share", lit(100.0) * col("n_valid") / col("n_total"))
       .filter(col("n_scenes") < 3 || col("valid_share") >= 40.0)
       .select("time")
-    val filtered = gated.join(keepScenes, Seq("time"), "left_semi")
+    stages45(gated.join(keepScenes, Seq("time"), "left_semi"), scenes)
+  }
 
+  /** The pixel-level per-scene stats relation (stage 3's input). */
+  private def scenesOf(gated: DataFrame): DataFrame =
+    gated.groupBy("time")
+      .agg(avg("ndvi_c").as("ndvi_mean"),
+        stddev_pop(col("ndvi_c")).as("ndvi_std"),
+        count(col("ndvi_c")).as("n_valid"),
+        count(lit(1)).as("n_total"))
+
+  /** Stages 4-5 over the fully gated+scene-filtered pixel relation
+    * (shared by [[fromGated]] and [[run]]; `scenes` only populates the
+    * lazy Result field). */
+  private def stages45(filtered: DataFrame, scenes: DataFrame): Result = {
     // 4. same-day merge (merger.py:56-93); chronological order applied
     //    only on the sink-facing relation (see Result scaladoc)
     val cubeRaw = filtered
@@ -103,9 +112,54 @@ object Pipeline {
   }
 
   /** Run the full flow over the testdata pixel relation as ONE
-    * declarative DAG (the oracle-gated p05/p06 form). */
-  def run(spark: SparkSession, dir: String): Result =
-    fromGated(gatedPixels(spark, dir))
+    * declarative DAG (the oracle-gated p05/p06 form).
+    *
+    * r17: the scene-level keep rule derives from the GRANULE census
+    * instead of a second pixel-level aggregation. The rule only reads
+    * integer counts per scene — n_valid (non-NULL clipped NDVI) and
+    * n_total over the gated pixels — and both are exact sums of the
+    * per-granule counts the QC aggregate already computes
+    * (n_valid_ndvi, total), restricted to passing granules. So the
+    * composed plan scans the fact relation TWICE (QC census + the
+    * pixel pass that feeds the cube) instead of three times: the old
+    * shape re-derived the whole scan → indices → semi-join subtree
+    * once for the scene stats and once for the cube (guide §2.4 /
+    * §1.2 — remove a full pass). The kept-scene SET is bit-identical:
+    * integer counts, same 100.0 * n_valid / n_total double, same
+    * global n_scenes < 3 branch (PipelineSpec locks run == fromGated
+    * row-for-row). Result.sceneStats keeps the pixel-level spelling —
+    * it is lazy and nothing in the composed cube consumes it. */
+  def run(spark: SparkSession, dir: String): Result = {
+    val raw = Pixels.pixels(spark, dir)
+    val pass = Quality.granuleQcOf(raw)
+      .filter(col("contamination_pct") <= Quality.MaxContaminationPct &&
+        col("valid_pct") >= Quality.MinValidPct)
+    // scene-level stats via windows over the GRANULE census (never a
+    // second census lineage — that would re-scan the fact relation),
+    // then both gates fused into one kept-granule set: a granule
+    // survives iff it passes QC and its scene passes the valid-share
+    // rule, so ONE semi-join gates the pixel relation
+    val wT = Window.partitionBy("time")
+    val keepGranules = pass
+      .withColumn("n_valid_t", sum("n_valid_ndvi").over(wT))
+      .withColumn("n_total_t", sum("total").over(wT))
+      .withColumn("first_in_scene",
+        row_number().over(wT.orderBy("tile_id")) === 1)
+      .withColumn("n_scenes",
+        sum(when(col("first_in_scene"), 1L).otherwise(0L))
+          .over(Window.partitionBy()))
+      .filter(col("n_scenes") < 3 ||
+        lit(100.0) * col("n_valid_t") / col("n_total_t") >= 40.0)
+      .select("tile_id", "time")
+    val filtered = PixelOps.withIndices(raw)
+      .join(keepGranules, Seq("tile_id", "time"), "left_semi")
+    // the lazy sceneStats field keeps its pixel-level spelling over the
+    // QC-gated (pre-scene-filter) relation; nothing in the composed
+    // cube consumes it
+    stages45(filtered, scenesOf(PixelOps.withIndices(raw)
+      .join(pass.select("tile_id", "time"), Seq("tile_id", "time"),
+        "left_semi")))
+  }
 
   /** Run and persist through the standard sinks (pipeline.py:167-187),
     * including per-date GeoTIFF frames on the reference grid

@@ -51,7 +51,16 @@ object Quality {
         r6(lit(100.0) * sum(when(!mask, 1L).otherwise(0L)) / count(lit(1))).as("valid_pct"),
         r6(lit(100.0) * (sum(when(haze, 1L).otherwise(0L))
           + sum(when(anomaly, 1L).otherwise(0L))
-          + sum(when(invalid, 1L).otherwise(0L))) / count(lit(1))).as("contamination_pct"))
+          + sum(when(invalid, 1L).otherwise(0L))) / count(lit(1))).as("contamination_pct"),
+        // per-granule count of non-NULL clipped NDVI — the exact rows
+        // the scene-level valid-share keep rule counts per time, so the
+        // composed pipeline (Pipeline.run) can derive that rule from
+        // this census instead of a second pixel-level aggregation over
+        // the gated relation (r17; column-pruned away by every other
+        // consumer)
+        count(Indices.clip(
+          Indices.maskToNull(Indices.ndvi(col("nir"), col("red")), mask),
+          -1.0, 1.0)).as("n_valid_ndvi"))
   }
 
   /** QC relation with a string timestamp key (deterministic output). */

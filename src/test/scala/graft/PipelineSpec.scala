@@ -80,4 +80,20 @@ class PipelineSpec extends SparkSpecBase {
     val dec = ops.GeoTiff.decode(Files.readAllBytes(tifs.head.toPath))
     assert(dec.width == 32 && dec.height == 32 && dec.epsg == 4326)
   }
+
+  test("run's census-derived scene gate equals the pixel-level fromGated gate") {
+    // r17: Pipeline.run derives the valid-share keep rule from the
+    // granule QC census; this locks the composed cube row-for-row
+    // against the pixel-level spelling it replaced (both SFs with data)
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val composed = Pipeline.run(spark, dir).cubeRaw
+        .select("date", "y", "x", "ndvi", "evi", "num_granules_merged")
+      val pixelLevel = Pipeline.fromGated(Pipeline.gatedPixels(spark, dir))
+        .cubeRaw
+        .select("date", "y", "x", "ndvi", "evi", "num_granules_merged")
+      assert(composed.exceptAll(pixelLevel).isEmpty &&
+        pixelLevel.exceptAll(composed).isEmpty,
+        s"census-derived gate drifted from the pixel-level gate at $dir")
+    }
+  }
 }

@@ -637,8 +637,10 @@ object TextOps {
         tt("sizes")(Warehouse.writeParquet(
           wb.select(col("band"), col("key"), col("w").as("n_members")),
           s"$tmp/sizes"))
+        // derived from the same pinned census as sizes/, not a
+        // read-back of the just-written table (see mineDocLevel)
         tt("audit")(Warehouse.writeParquet(
-          s.read.parquet(s"$tmp/sizes")
+          wb.select(col("band"), col("key"), col("w").as("n_members"))
             .filter(col("n_members") > MaxBucketMembers),
           s"$tmp/audit"))
         // rep-level mining, KEEPING the bucket key: `pairbk/`
@@ -785,8 +787,12 @@ object TextOps {
         buckets.select(col("band"), col("key"),
           size(col("ms")).cast("long").as("n_members")),
         s"$tmp/sizes"))
+      // audit/ is exactly the over-cap slice of sizes/ — derive it from
+      // the same pinned buckets instead of reading the just-written
+      // table back (one Spark job less per build; r17)
       tt("audit")(Warehouse.writeParquet(
-        s.read.parquet(s"$tmp/sizes")
+        buckets.select(col("band"), col("key"),
+            size(col("ms")).cast("long").as("n_members"))
           .filter(col("n_members") > MaxBucketMembers),
         s"$tmp/audit"))
       // pair expansion keeps its bucket key: `pairbk/` records every
@@ -2459,7 +2465,11 @@ object TextOps {
     def tp(name: String)(df: DataFrame): DataFrame =
       Prof.tt("funnel")(name)(pin(df))
     val doc = Par.widen(Tables.documents(s, d))
-    val k1 = tp("k1-exact")(doc.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    // k1 projects (doc_id, md5) BEFORE its exchange (guide §2.3, the
+    // t09 shape): the window's hash(h) shuffle carries ~40-byte rows
+    // instead of round-robining the full corpus text first (r17)
+    val k1 = tp("k1-exact")(Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
       .withColumn("m", min("doc_id").over(Window.partitionBy("h")))
       .filter(col("doc_id") === col("m")).select("doc_id"))
     // nearpairs, not the full pair table: a byte-identical pair's
@@ -2610,9 +2620,12 @@ object TextOps {
         // hashes/ side table: what the INCREMENTAL updater joins a
         // batch against to settle exact-dedup membership without
         // re-hashing the historic corpus
+        // rebalanced like sig/simhash (guide §6): a pure projection
+        // would land one small file per scan task at scale
         tt("hashes")(Warehouse.writeParquet(
           Tables.documents(s, d).select(col("doc_id"),
-            md5(col("text").cast("binary")).as("h")),
+            md5(col("text").cast("binary")).as("h"))
+            .hint("rebalance"),
           s"$tmp/hashes"))
         // the textdup pair-state epoch this stage table incorporated —
         // an append whose current epoch still matches can prove the

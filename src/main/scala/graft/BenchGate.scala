@@ -145,8 +145,10 @@ object BenchGate {
   }
 
   /** The freshest usable baseline for `sfDir`: an explicit
-    * `SPARK_GRAFT_BENCH_PREV` path, else BENCH_local.json (the full
-    * contract line the previous Bench run wrote), else the highest
+    * `SPARK_GRAFT_BENCH_PREV` path, else BENCH_local.json (the
+    * COMMITTED rolling baseline — since r17 a Bench run writes its own
+    * line to BENCH_run.json by default and never refreshes this file;
+    * devtools/benchmin.py does, explicitly), else the highest
     * BENCH_r<N>.json — skipping any whose scale factor differs or whose
     * per-query map comes up empty. */
   def previousBaseline(dir: String, sfDir: String): Option[(String, Map[String, Double])] =

@@ -36,15 +36,15 @@ object Pipeline {
     * survivors back to the pixel relation. This is exactly the relation
     * the reference persists as its granule cache (processor.py:349-366).
     *
-    * `gated` feeds both the scene-stats branch and the filtered-cube
-    * branch downstream, so Catalyst re-evaluates the scan + QC +
-    * semi-join subtree per consumer in the one-shot [[run]] form.
-    * Deliberately left declarative there: both gates are broadcast
-    * semi-joins (the big side never shuffles), and a measured parquet
-    * materialization of this stage cost MORE at sf0.1 than the
-    * recompute it saved. The production [[runAndWrite]] flow persists
-    * this stage through `Export.writeGranuleCache` and feeds the rest
-    * of the DAG from the cache — one fact scan, like the reference. */
+    * Since r17 the one-shot [[run]] no longer goes through this +
+    * [[fromGated]] (it derives the scene gate from the granule census
+    * and scans the fact relation exactly twice — see [[run]]); this
+    * form remains for [[runAndWrite]], which persists it through
+    * `Export.writeGranuleCache` and feeds the rest of the DAG from the
+    * cache — one fact scan, like the reference — and for the
+    * incremental batch gates. A measured parquet materialization of
+    * this stage cost MORE at sf0.1 than the recompute it saved (r4),
+    * which is why the serve paths stay declarative. */
   private[graft] def gatedPixels(spark: SparkSession, dir: String): DataFrame =
     gateOf(Pixels.pixels(spark, dir))
 
@@ -64,15 +64,13 @@ object Pipeline {
     * live [[gatedPixels]] plan or a granule-cache read-back). Needs
     * columns (tile_id, time, date, y, x, ndvi_c, evi_c). */
   private[graft] def fromGated(gated: DataFrame): Result = {
-    // 3. scene-level quality filter (quality.py:29-91): keep scenes the
-    //    neighbor pass doesn't reject (skip entirely when < 3 scenes,
-    //    quality.py:19-21)
+    // 3. scene-level quality filter (quality.py:29-91): the pipeline's
+    //    keep rule is the hard valid-share arm only (skip entirely when
+    //    < 3 scenes, quality.py:19-21); the full neighbor-aware verdict
+    //    is q04's relation, not a cube gate
     val scenes = scenesOf(gated)
-    val w = Window.orderBy("time")
     val keepScenes = scenes
       .withColumn("n_scenes", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("prev_mean", lag(col("ndvi_mean"), 1).over(w))
-      .withColumn("next_mean", lead(col("ndvi_mean"), 1).over(w))
       .withColumn("valid_share", lit(100.0) * col("n_valid") / col("n_total"))
       .filter(col("n_scenes") < 3 || col("valid_share") >= 40.0)
       .select("time")
@@ -282,7 +280,11 @@ object Pipeline {
       // update and the contract guard all consume it, so the batch
       // pays ONE QC aggregation pass (the sibling updaters' pin
       // discipline)
-      val (qc, qcPin) = Checkpoints.pin(Quality.granuleQcOf(batchRaw))
+      val (qc, qcPin) = Checkpoints.pin(
+        // drop the scene-gate census column before the eager pin: the
+        // batch paths never read it, and a pin materializes ALL columns
+        // (pruning stops at a localCheckpoint)
+        Quality.granuleQcOf(batchRaw).drop("n_valid_ndvi"))
       try {
         val pass = col("contamination_pct") <= Quality.MaxContaminationPct &&
           col("valid_pct") >= Quality.MinValidPct
@@ -415,7 +417,11 @@ object Pipeline {
   private def appendToGranuleCacheIncremental(s: SparkSession, d: String,
       batchRaw: DataFrame, prior: String, priorMaxDate: String): Unit = {
     Warehouse.getOrBuild("gcache", d, "lineitem.parquet") { tmp =>
-      val (qc, qcPin) = Checkpoints.pin(Quality.granuleQcOf(batchRaw))
+      val (qc, qcPin) = Checkpoints.pin(
+        // drop the scene-gate census column before the eager pin: the
+        // batch paths never read it, and a pin materializes ALL columns
+        // (pruning stops at a localCheckpoint)
+        Quality.granuleQcOf(batchRaw).drop("n_valid_ndvi"))
       try {
         val mrow = qc.agg(count(lit(1)).as("n"),
           min(date_format(col("time"), "yyyy-MM-dd")).as("dmin"),

@@ -56,8 +56,10 @@ object Quality {
         // the scene-level valid-share keep rule counts per time, so the
         // composed pipeline (Pipeline.run) can derive that rule from
         // this census instead of a second pixel-level aggregation over
-        // the gated relation (r17; column-pruned away by every other
-        // consumer)
+        // the gated relation (r17). Column pruning removes it for the
+        // declarative consumers; the eager-pinned batch paths drop it
+        // explicitly before the pin (a localCheckpoint materializes
+        // all columns)
         count(Indices.clip(
           Indices.maskToNull(Indices.ndvi(col("nir"), col("red")), mask),
           -1.0, 1.0)).as("n_valid_ndvi"))

@@ -634,14 +634,14 @@ object TextOps {
       // and the mining
       val (wb, bPin) = tt("pin-buckets")(Checkpoints.pin(repBuckets(sig, groups)))
       try {
-        tt("sizes")(Warehouse.writeParquet(
-          wb.select(col("band"), col("key"), col("w").as("n_members")),
-          s"$tmp/sizes"))
-        // derived from the same pinned census as sizes/, not a
-        // read-back of the just-written table (see mineDocLevel)
-        tt("audit")(Warehouse.writeParquet(
+        // sizes/ and audit/ derive from ONE projection of the pinned
+        // census, not a read-back of the just-written table (see
+        // mineDocLevel)
+        val sizesRel =
           wb.select(col("band"), col("key"), col("w").as("n_members"))
-            .filter(col("n_members") > MaxBucketMembers),
+        tt("sizes")(Warehouse.writeParquet(sizesRel, s"$tmp/sizes"))
+        tt("audit")(Warehouse.writeParquet(
+          sizesRel.filter(col("n_members") > MaxBucketMembers),
           s"$tmp/audit"))
         // rep-level mining, KEEPING the bucket key: `pairbk/`
         // records every under-cap bucket each mined pair shares,
@@ -783,17 +783,14 @@ object TextOps {
     def tt[A](name: String)(f: => A): A = Prof.tt("textdup")(name)(f)
     val (buckets, bPin) = tt("pin-buckets")(Checkpoints.pin(sigBuckets(sig)))
     try {
-      tt("sizes")(Warehouse.writeParquet(
-        buckets.select(col("band"), col("key"),
-          size(col("ms")).cast("long").as("n_members")),
-        s"$tmp/sizes"))
-      // audit/ is exactly the over-cap slice of sizes/ — derive it from
-      // the same pinned buckets instead of reading the just-written
-      // table back (one Spark job less per build; r17)
+      // audit/ is exactly the over-cap slice of sizes/ — both derive
+      // from ONE projection of the pinned buckets (no read-back of the
+      // just-written table, one Spark job less per build; r17)
+      val sizesRel = buckets.select(col("band"), col("key"),
+        size(col("ms")).cast("long").as("n_members"))
+      tt("sizes")(Warehouse.writeParquet(sizesRel, s"$tmp/sizes"))
       tt("audit")(Warehouse.writeParquet(
-        buckets.select(col("band"), col("key"),
-            size(col("ms")).cast("long").as("n_members"))
-          .filter(col("n_members") > MaxBucketMembers),
+        sizesRel.filter(col("n_members") > MaxBucketMembers),
         s"$tmp/audit"))
       // pair expansion keeps its bucket key: `pairbk/` records every
       // under-cap bucket each mined pair shares, so an append can
@@ -3494,31 +3491,17 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------- t25
-  /** The (doc_id, chunk_idx, token-count) spans of t22's window
-    * geometry WITHOUT the chunk text — the packer below needs only the
-    * token accounting, so the composed plan never materializes the
-    * window payloads. Null-text docs produce no spans (posexplode of a
-    * NULL transform — the t22 rule, mirrored by unnest(NULL) in the
-    * oracle). */
-  private def chunkSpans(doc: DataFrame): DataFrame =
-    // r16: the window SIZES are pure arithmetic over the token count —
-    // size(slice(t, st, C)) == least(C, n - st + 1) for every start the
-    // sequence generates (1 ≤ st ≤ n) — so the spans never tokenize,
-    // slice or materialize anything: one char-count per doc, then
-    // integer window geometry. The widen moves AFTER the narrow
-    // projection (guide §2.3 — project before the exchange): the
-    // single-row-group scan stays one task for the cheap char count,
-    // and only (doc_id, n) rows shuffle before the span explode runs
-    // at cluster parallelism (measured at sf1: explode+downstream in
-    // the scan task serialized the query, 0.98 → 1.9 s). NULL text
-    // keeps producing no spans (NULL n → NULL sequence → NULL
-    // transform → empty posexplode, exactly the t22 rule).
-    Par.widen(doc.select(col("doc_id"), nToksCheap.as("n")))
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, n, $ChunkStride), " +
-          s"st -> least($ChunkTokens, n - st + 1))")))
-      .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
-        col("col").cast("long").as("tok"))
+  /** The span-SIZE expression of t22's window geometry, per doc: the
+    * windows never tokenize, slice or materialize anything —
+    * size(slice(t, st, C)) == least(C, n − st + 1) for every start the
+    * sequence generates (1 ≤ st ≤ n), so one char-count per doc plus
+    * integer geometry is the whole explode. NULL text yields no spans
+    * (NULL n → NULL sequence → NULL transform → empty posexplode,
+    * exactly the t22 rule). Shared by the t25 packer's explode branch;
+    * [[chunkTokTotal]] is the closed form of this expression's sum. */
+  private def chunkSpanSizes: org.apache.spark.sql.Column =
+    expr(s"transform(sequence(1, n, $ChunkStride), " +
+      s"st -> least($ChunkTokens, n - st + 1))")
 
   /** Closed form of a document's TOTAL chunk-span tokens — the sum the
     * posexplode in [[chunkSpans]] produces, as pure integer arithmetic
@@ -3528,7 +3511,8 @@ object TextOps {
     * those with st ≤ n−C+1) and the rest the arithmetic tail n−jS for
     * j in [F, K): sum = F·C + (K−F)·n − S·Σj. NULL n (NULL text) stays
     * NULL — such docs produce no spans, and sum() skips NULLs.
-    * Spec-locked against the explode spelling by ChunkPackSpec. */
+    * Spec-locked against the explode spelling by TextAggSpec's
+    * "t25 closed-form chunk-token total" case. */
   private[graft] def chunkTokTotal(nCol: String): org.apache.spark.sql.Column = {
     val S = ChunkStride
     val C = ChunkTokens
@@ -3585,9 +3569,7 @@ object TextOps {
       .agg(sum(chunkTokTotal("n")).as("rtok"))
       .select(col("rng"), (sum("rtok").over(wR) - col("rtok")).as("roff"))
     val t = base
-      .select(col("doc_id"), col("rng"), posexplode(expr(
-        s"transform(sequence(1, n, $ChunkStride), " +
-          s"st -> least($ChunkTokens, n - st + 1))")))
+      .select(col("doc_id"), col("rng"), posexplode(chunkSpanSizes))
       .select(col("doc_id"), col("rng"), col("pos").cast("int").as("chunk_idx"),
         col("col").cast("long").as("tok"))
     val wD = Window.partitionBy("rng").orderBy("doc_id", "chunk_idx")

@@ -85,12 +85,16 @@ class PipelineSpec extends SparkSpecBase {
     // r17: Pipeline.run derives the valid-share keep rule from the
     // granule QC census; this locks the composed cube row-for-row
     // against the pixel-level spelling it replaced (both SFs with data)
+    // doubles compared at the oracle's 6-decimal contract (merge order
+    // of float partials is not bitwise-deterministic across plans)
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("date"), col("y"), col("x"),
+        round(col("ndvi"), 6).as("ndvi"), round(col("evi"), 6).as("evi"),
+        col("num_granules_merged"))
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
-      val composed = Pipeline.run(spark, dir).cubeRaw
-        .select("date", "y", "x", "ndvi", "evi", "num_granules_merged")
-      val pixelLevel = Pipeline.fromGated(Pipeline.gatedPixels(spark, dir))
-        .cubeRaw
-        .select("date", "y", "x", "ndvi", "evi", "num_granules_merged")
+      val composed = cells(Pipeline.run(spark, dir).cubeRaw)
+      val pixelLevel =
+        cells(Pipeline.fromGated(Pipeline.gatedPixels(spark, dir)).cubeRaw)
       assert(composed.exceptAll(pixelLevel).isEmpty &&
         pixelLevel.exceptAll(composed).isEmpty,
         s"census-derived gate drifted from the pixel-level gate at $dir")
